@@ -1,0 +1,59 @@
+"""CSV sink (SURVEY §2.1 S6, §2.2 P6, §2.8 F6-F7; reference:
+`export_parquet_to_csv` /root/reference/src/main.rs:693-729).
+
+Semantics: header row; ``__internal__`` columns dropped (P6); nulls written
+as empty strings; RFC-4180 quoting.  All of these are Spark CSV-writer
+defaults except the internal-column drop, which is a plain ``select``.
+
+Documented deviation (SURVEY §1.3): the reference renders dates/timestamps
+through Rust's ``Debug`` formatter (``Some(2024-05-01T00:00:00)``); we emit
+ISO-8601 instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from parquet_merger_spark.functions.strings import is_internal_column
+
+
+def drop_internal_columns(df: DataFrame) -> DataFrame:
+    """Drop ``__name__``-style columns (reference: src/main.rs:689-691,
+    applied only on the CSV path at :706 — the parquet sink keeps them)."""
+    keep = [c for c in df.columns if not is_internal_column(c)]
+    return df.select(*keep)
+
+
+def export_csv(df: DataFrame, out_path: str, single_file: bool = False) -> None:
+    """Write CSV with header, internal columns dropped, ISO timestamps.
+
+    ``single_file=True`` -> exactly one ``.csv`` file at ``out_path``
+    (parity mode); default is Spark's parallel directory output.
+    """
+    clean = drop_internal_columns(df)
+    # escape='"' => RFC-4180 doubled inner quotes (reference: escape_csv_field,
+    # src/main.rs:731-737); Spark's default escape is backslash.
+    opts = {
+        "header": "true",
+        "escape": '"',
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS",
+        "dateFormat": "yyyy-MM-dd",
+    }
+    writer = clean.write.mode("overwrite").options(**opts)
+    if single_file:
+        tmp = out_path + "._tmp_single"
+        clean.coalesce(1).write.mode("overwrite").options(**opts).csv(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        elif os.path.exists(out_path):
+            os.remove(out_path)
+        shutil.move(part, out_path)
+        shutil.rmtree(tmp)
+    else:
+        writer.csv(out_path)

@@ -1,0 +1,172 @@
+"""The core operator: schema-reconciled UNION ALL over parquet files, plus
+the parquet sink (SURVEY §2.4 O1, §2.1 S5; reference:
+`merge_parquet_files` /root/reference/src/main.rs:549-614,
+`merge_batches` :298-404).
+
+Semantics reproduced exactly; execution is Spark-native:
+
+- Compatible schemas  -> ONE multi-file vectorized scan
+  (``spark.read.parquet(*paths)``) — no per-file plan nodes, a task per
+  split, scales to any file count.
+- Mismatched schemas  -> files are grouped by identical schema signature,
+  each group is one scan projected to the common-column intersection
+  (projection reaches the parquet reader => column pruning, unlike the
+  reference which reads full batches then projects in memory,
+  src/main.rs:587-592), groups combined with positional UNION ALL.
+  Number of plan nodes = number of DISTINCT schemas, not number of files.
+- Unlike the reference (which materializes every input batch in RAM before
+  opening the writer, src/main.rs:580-599), Spark pipelines
+  scan->project->write per task with spill — O(partition) memory.
+
+The output row count is captured with ``DataFrame.observe`` during the
+write job itself — no second scan (the reference sums batch row counts
+inline, src/main.rs:601).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_merger_spark.functions.naming import sanitize_filename
+from parquet_merger_spark.plans.planner import MergePlan
+from parquet_merger_spark.plans.schema import (
+    NoCommonColumnsError,
+    NoFilesToMergeError,
+    UnreadableSchemaError,
+    find_common_columns,
+    schemas_compatible,
+)
+from parquet_merger_spark.sources.catalog import probe_schema
+
+
+def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Build the merged DataFrame for one batch (lazy; no job runs).
+
+    Raises the reference's three hard errors: empty input, unreadable
+    schema (naming the file), empty schema intersection.
+    """
+    if not paths:
+        raise NoFilesToMergeError("No files to merge")
+
+    schemas = []
+    for p in paths:
+        s = probe_schema(spark, p)
+        if s is None:
+            raise UnreadableSchemaError(f"Cannot read schema from file: {p}")
+        schemas.append(s)
+
+    first = schemas[0]
+    if all(schemas_compatible(first, s) for s in schemas[1:]):
+        # Fast path: all columns kept, one distributed scan over all files.
+        return spark.read.parquet(*paths)
+
+    common = find_common_columns(schemas)
+    if not common:
+        raise NoCommonColumnsError("No common columns found across all files")
+
+    # Group files by identical schema signature so each distinct schema is
+    # scanned once; select() pushes the projection into the parquet reader.
+    groups: dict[tuple, list[str]] = {}
+    for path, schema in zip(paths, schemas):
+        key = tuple((f.name, f.dataType) for f in schema.fields)
+        groups.setdefault(key, []).append(path)
+
+    parts = [
+        spark.read.parquet(*group_paths).select(*common)
+        for group_paths in groups.values()
+    ]
+    # Positional union is safe: every part was select()-ed into the same
+    # column order with exactly-equal types (§1.4).
+    return reduce(DataFrame.union, parts)
+
+
+def write_parquet(
+    df: DataFrame,
+    out_path: str,
+    single_file: bool = False,
+    compression: str | None = None,
+) -> int:
+    """Parquet sink; returns the row count observed during the write.
+
+    ``single_file=True`` gives reference parity (exactly one ``.parquet``
+    file at ``out_path``) via coalesce(1) + rename — correct only at
+    single-node scale.  The default keeps Spark's parallel, partitioned
+    directory output, which is the 100 TB path.
+    """
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+
+    if single_file:
+        tmp = out_path + "._tmp_single"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        elif os.path.exists(out_path):
+            os.remove(out_path)
+        shutil.move(part, out_path)
+        shutil.rmtree(tmp)
+    else:
+        writer.parquet(out_path)
+    return int(obs.get["rows"])
+
+
+@dataclass
+class BatchResult:
+    name: str
+    output_path: str | None
+    rows: int | None
+    error: str | None = None
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+
+def merge_batches(
+    spark: SparkSession,
+    plans: list[MergePlan],
+    output_dir: str,
+    single_file: bool = True,
+    csv: bool = False,
+) -> list[BatchResult]:
+    """Execute a list of merge plans into ``<output_dir>/merged/``.
+
+    Per-batch failures are collected, not raised — one bad batch does not
+    abort the run (reference: errors aggregated at src/main.rs:331-403).
+    """
+    from parquet_merger_spark.operators.export import export_csv
+
+    merged_dir = os.path.join(output_dir, "merged")
+    os.makedirs(merged_dir, exist_ok=True)
+
+    results: list[BatchResult] = []
+    for plan in plans:
+        name = sanitize_filename(plan.name)
+        out = os.path.join(merged_dir, name + ".parquet") if single_file else os.path.join(merged_dir, name)
+        try:
+            df = merged_df(spark, plan.paths)
+            rows = write_parquet(df, out, single_file=single_file)
+            if csv:
+                export_csv(
+                    spark.read.parquet(out),
+                    os.path.join(merged_dir, name + ".csv"),
+                    single_file=single_file,
+                )
+            results.append(BatchResult(name=plan.name, output_path=out, rows=rows))
+        except Exception as exc:  # isolate per-batch failure
+            results.append(
+                BatchResult(name=plan.name, output_path=None, rows=None, error=str(exc))
+            )
+    return results

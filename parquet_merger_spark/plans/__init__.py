@@ -1,0 +1,15 @@
+from parquet_merger_spark.plans.schema import (
+    check_schema_mismatch,
+    find_common_columns,
+    schemas_compatible,
+)
+from parquet_merger_spark.plans.planner import MergePlan, plan_batch, smart_batch
+
+__all__ = [
+    "schemas_compatible",
+    "find_common_columns",
+    "check_schema_mismatch",
+    "MergePlan",
+    "plan_batch",
+    "smart_batch",
+]

@@ -1,0 +1,82 @@
+"""Batch planning: manual batches and "smart batch" grouping (SURVEY EP2).
+
+A ``MergePlan`` is the logical plan the reference builds per batch:
+``Sink(Union(Project?(Scan(f) for f in files)))`` with the projection
+decision (full schema vs common-column intersection) resolved at execution
+time (reference: `Batch` struct src/main.rs:45-54, `add_batch` :184-228,
+`smart_batch` :237-296).
+
+Smart batching groups the discovered file list by bare filename and keeps
+groups with more than one member (groupBy + HAVING count > 1).  The group
+metadata is tiny relative to the data, so planning runs on the driver; the
+same grouping is also expressible over the file-catalog DataFrame
+(``file_catalog_df(...).groupBy("file_name")``) when the catalog itself is
+large.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from parquet_merger_spark.functions.naming import generate_batch_name
+from parquet_merger_spark.plans.schema import check_schema_mismatch
+from parquet_merger_spark.sources.catalog import ParquetFileEntry, probe_schema
+
+
+@dataclass
+class MergePlan:
+    """One unit of merging: a named set of input files."""
+
+    name: str
+    paths: list[str] = field(default_factory=list)
+    schema_mismatch: bool = False
+
+
+def _stem(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def plan_batch(
+    spark: SparkSession, paths: list[str], batch_number: int = 0
+) -> MergePlan:
+    """Manual batch from an explicit file selection (reference: add_batch,
+    src/main.rs:184-228): deterministic order, advisory mismatch flag from
+    footer-only probes, name derived from member file stems."""
+    paths = sorted(paths)
+    schemas = [probe_schema(spark, p) for p in paths]
+    mismatch = check_schema_mismatch(schemas)
+    name = generate_batch_name([_stem(p) for p in paths], batch_number)
+    return MergePlan(name=name, paths=paths, schema_mismatch=mismatch)
+
+
+def smart_batch(
+    spark: SparkSession, entries: list[ParquetFileEntry]
+) -> tuple[list[MergePlan], int]:
+    """Group files by bare filename; every group with >1 member becomes a
+    batch named by the filename stem; returns (plans, singleton_count)
+    (reference: smart_batch, src/main.rs:237-296 — groupBy at :246-255,
+    HAVING count>1 at :262, stem naming at :271-275)."""
+    groups: dict[str, list[str]] = {}
+    for e in entries:
+        groups.setdefault(os.path.basename(e.full_path), []).append(e.full_path)
+
+    plans: list[MergePlan] = []
+    singletons = 0
+    for filename, paths in groups.items():
+        if len(paths) <= 1:
+            singletons += 1
+            continue
+        paths = sorted(paths)
+        schemas = [probe_schema(spark, p) for p in paths]
+        plans.append(
+            MergePlan(
+                name=os.path.splitext(filename)[0],
+                paths=paths,
+                schema_mismatch=check_schema_mismatch(schemas),
+            )
+        )
+    plans.sort(key=lambda p: p.name)
+    return plans, singletons

@@ -1,0 +1,50 @@
+"""SparkSession construction tuned for this engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions ~ cores (not 200), AQE on (runtime coalesce + skew-join),
+UTC session timezone (parquet timestamps compare cleanly against
+UTC-naive engines like DuckDB), Arrow enabled for the Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "parquet_merger_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def pin_oracle_confs(spark: SparkSession) -> SparkSession:
+    """Runtime confs required for bit-exact oracle comparison.
+
+    Safe to call on a session we did not build (e.g. the driver's):
+    only touches runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,15 @@
+from parquet_merger_spark.sources.catalog import (
+    ParquetFileEntry,
+    file_catalog_df,
+    probe_schema,
+    read_parquet_batch,
+    scan_folders,
+)
+
+__all__ = [
+    "ParquetFileEntry",
+    "scan_folders",
+    "probe_schema",
+    "file_catalog_df",
+    "read_parquet_batch",
+]

@@ -1,0 +1,128 @@
+"""Golden merge-semantics tests on the FIXTURES §B pairs (SURVEY §2.11)."""
+
+import os
+
+import pytest
+
+from parquet_merger_spark.operators.export import export_csv
+from parquet_merger_spark.operators.merge import merge_batches, merged_df, write_parquet
+from parquet_merger_spark.plans.planner import MergePlan
+from parquet_merger_spark.plans.schema import (
+    NoCommonColumnsError,
+    NoFilesToMergeError,
+    UnreadableSchemaError,
+)
+
+
+def test_compatible_pair_keeps_all_columns(spark, fixture_dir):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["compat_a"], f["compat_b"]])
+    assert df.columns == ["key", "name", "val"]
+    assert df.count() == 200
+
+
+def test_reordered_pair_is_mismatch_but_full_intersection(spark, fixture_dir):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["compat_a"], f["reordered"]])
+    # intersection contains all 3 columns, ordered by FIRST file's schema
+    assert df.columns == ["key", "name", "val"]
+    assert df.count() == 200
+
+
+def test_subset_pair_drops_extra_not_null_fills(spark, fixture_dir):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["subset_super"], f["compat_a"]])
+    assert df.columns == ["key", "name", "val"]  # 'extra' dropped entirely
+    assert df.count() == 200
+
+
+def test_type_conflict_excludes_column(spark, fixture_dir):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["compat_a"], f["type_conflict"]])
+    assert df.columns == ["name", "val"]  # key: int64 vs int32 -> excluded
+    assert df.count() == 200
+
+
+def test_no_common_columns_errors(spark, fixture_dir):
+    _, f = fixture_dir
+    with pytest.raises(NoCommonColumnsError):
+        merged_df(spark, [f["no_common_a"], f["no_common_b"]])
+
+
+def test_empty_batch_errors(spark):
+    with pytest.raises(NoFilesToMergeError):
+        merged_df(spark, [])
+
+
+def test_unreadable_schema_errors(spark, tmp_path):
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"not a parquet file")
+    with pytest.raises(UnreadableSchemaError):
+        merged_df(spark, [str(bad)])
+
+
+def test_single_file_sink_and_row_count(spark, fixture_dir, tmp_path):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["compat_a"], f["compat_b"]])
+    out = str(tmp_path / "out.parquet")
+    rows = write_parquet(df, out, single_file=True)
+    assert rows == 200
+    assert os.path.isfile(out)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_partitioned_sink(spark, fixture_dir, tmp_path):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["compat_a"], f["compat_b"]])
+    out = str(tmp_path / "out_dir")
+    rows = write_parquet(df, out, single_file=False)
+    assert rows == 200
+    assert os.path.isdir(out)
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_csv_export_drops_internal_cols_parquet_keeps(spark, fixture_dir, tmp_path):
+    _, f = fixture_dir
+    df = merged_df(spark, [f["internal_cols"]])
+    assert "__index_level_0__" in df.columns  # parquet path keeps it
+    out = str(tmp_path / "out.csv")
+    export_csv(df, out, single_file=True)
+    header = open(out).readline().strip()
+    assert header == "key,val"
+
+
+def test_csv_rfc4180_quoting(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("has,comma", 1), ('has"quote', 2), ("has\nnewline", 3), (None, 4)],
+        "s string, i int",
+    )
+    out = str(tmp_path / "esc.csv")
+    export_csv(df, out, single_file=True)
+    text = open(out).read()
+    assert '"has,comma"' in text
+    assert '"has""quote"' in text  # RFC-4180 doubled inner quote
+    roundtrip = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    got = {r["i"]: r["s"] for r in roundtrip.collect()}
+    assert got["1"] == "has,comma"
+    assert got["2"] == 'has"quote'
+    assert got["3"] == "has\nnewline"
+    assert got["4"] is None
+
+
+def test_merge_batches_isolates_failures(spark, fixture_dir, tmp_path):
+    _, f = fixture_dir
+    plans = [
+        MergePlan(name="good", paths=[f["compat_a"], f["compat_b"]]),
+        MergePlan(name="bad", paths=[f["no_common_a"], f["no_common_b"]]),
+    ]
+    results = merge_batches(spark, plans, str(tmp_path), single_file=True)
+    by_name = {r.name: r for r in results}
+    assert by_name["good"].ok and by_name["good"].rows == 200
+    assert not by_name["bad"].ok
+    assert "No common columns" in by_name["bad"].error
+    assert os.path.isfile(os.path.join(str(tmp_path), "merged", "good.parquet"))
