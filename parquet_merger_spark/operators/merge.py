@@ -87,6 +87,24 @@ def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
     return reduce(DataFrame.union, parts)
 
 
+def merge_dataframes(dfs: list[DataFrame]) -> DataFrame:
+    """Schema-reconciled UNION ALL over already-constructed DataFrames —
+    the same intersection semantics as :func:`merged_df` applied above the
+    source layer (compatible -> positional union of all columns; mismatch ->
+    select the common-column intersection in first-DF order, then union).
+    """
+    if not dfs:
+        raise NoFilesToMergeError("No files to merge")
+    schemas = [df.schema for df in dfs]
+    first = schemas[0]
+    if all(schemas_compatible(first, s) for s in schemas[1:]):
+        return reduce(DataFrame.union, dfs)
+    common = find_common_columns(schemas)
+    if not common:
+        raise NoCommonColumnsError("No common columns found across all files")
+    return reduce(DataFrame.union, [df.select(*common) for df in dfs])
+
+
 def write_parquet(
     df: DataFrame,
     out_path: str,

@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing here is real and tested: schemas, partitioning,
+UDF signatures, and batch shapes all work against genuine binary columns.
+The actual media decode is STUBBED — this container has no image/audio
+libraries — behind ``decode_image``/``decode_audio`` which raise
+``NotImplementedError``, with a deterministic header-parse fake
+(:func:`extract_payload_meta`) standing in so pipelines are end-to-end
+runnable.  Swapping the stub for PIL/libsndfile changes one function.
+
+Scale notes: payloads stay columnar (parquet binary + Arrow transfer);
+``mapInPandas`` streams record batches so a partition never fully
+materializes; metadata extraction is shuffle-free.  Batch size is bounded
+by ``spark.sql.execution.arrow.maxRecordsPerBatch`` for fat payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("magic", T.StringType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("modality", T.StringType()),
+    ]
+)
+
+_MAGIC_TO_MODALITY = {
+    b"\x89PNG": "image",
+    b"\xff\xd8\xff": "image",
+    b"RIFF": "audio",
+    b"fLaC": "audio",
+    b"\x00\x00\x00\x18ftyp"[:4]: "video",
+}
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Materialize a binary column from a string column (UTF-8 bytes) —
+    the test stand-in for reading real media bytes; in production the
+    payload arrives from parquet binary columns or
+    ``spark.read.format("binaryFile")``."""
+    return df.withColumn(payload_col, F.encode(F.col(source_col), "UTF-8"))
+
+
+def _sniff_modality(data: bytes) -> str:
+    for magic, modality in _MAGIC_TO_MODALITY.items():
+        if data.startswith(magic):
+            return modality
+    return "unknown"
+
+
+def extract_payload_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-payload metadata via mapInPandas: byte length, 4-byte magic hex,
+    sha256, sniffed modality.  Deterministic; exercises the full
+    Arrow-batched binary path (the real decode would slot into the same
+    iterator)."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *MEDIA_META_SCHEMA.fields]
+    )
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "magic": payloads.map(lambda b: bytes(b[:4]).hex()),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "modality": payloads.map(lambda b: _sniff_modality(bytes(b))),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(meta_batches, out_schema)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode image payloads to (height, width, channels) + pixel tensor.
+
+    STUB: no image library in this container.  The Spark plumbing
+    (signature, schema) is the contract; plug PIL/opencv into the
+    mapInPandas iterator to activate."""
+    raise NotImplementedError(
+        "image decode requires an image library (PIL/opencv) not present in "
+        "this environment; use extract_payload_meta for the metadata path"
+    )
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB — as :func:`decode_image`, for audio (libsndfile/ffmpeg)."""
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this environment"
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int,
+    n_frames_col: str = "n_frames",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: explode (id, frame_idx) for every
+    ``every_n``-th frame — pure JVM sequence/explode, no decode.  The
+    decode of selected frames would join this plan against the payloads
+    and run in mapInPandas."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,246 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+- :func:`brute_force_topk` — exact cosine top-k; the correctness baseline.
+  Cross join with a BROADCAST query side (queries are small by definition),
+  score with JVM higher-order functions (zip_with/aggregate — no Python in
+  the loop), rank with a per-query window.
+- :func:`ivf_topk` — the scale path: a deterministic IVF coarse quantizer
+  (centroids = seeded sample of the corpus) partitions vectors into nlist
+  buckets; queries probe only their nprobe nearest buckets.  At 100 TB the
+  corpus side is hash-partitioned by bucket id so each probe touches a
+  bounded slice, and the centroid table (nlist rows) broadcasts.
+
+Quantized scoring (:func:`quantized_cosine`) maps floats to integer grids
+so dot products are exact integers — bit-identical across engines, used by
+the DuckDB-oracle differential queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 10_000
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> -> array<long> on a 1/QUANT_SCALE grid.  Integer dot
+    products on the grid are exact (no FP accumulation-order sensitivity),
+    which makes cross-engine differential checks bit-stable.
+
+    The float element is cast to double BEFORE scaling: float32 arithmetic
+    near a rounding boundary would otherwise round differently than an
+    engine that computes in double."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long")
+    )
+
+
+def quantized_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_cosine(qa: Column, qb: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine = int_dot / (sqrt(int_self_dot_a) * sqrt(int_self_dot_b)) —
+    every input is an exact integer, so the double result is deterministic."""
+    return quantized_dot(qa, qb) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+
+
+def _with_quantized(df: DataFrame, vec_col: str) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.withColumn("__q", q).withColumn(
+        "__q2", quantized_dot(F.col("__q"), F.col("__q"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by quantized cosine: (query_id, vec_id, cosine, rank).
+
+    Broadcast cross join (queries are the small side), deterministic
+    tie-break on corpus id.  Self-matches (query_id == vec_id) excluded.
+    """
+    c = _with_quantized(corpus, vec_col).select(
+        F.col(id_col), F.col("__q").alias("cq"), F.col("__q2").alias("cq2")
+    )
+    q = _with_quantized(queries, vec_col).select(
+        F.col(query_id_col), F.col("__q").alias("qq"), F.col("__q2").alias("qq2")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            quantized_cosine(F.col("qq"), F.col("cq"), F.col("qq2"), F.col("cq2")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def build_ivf_centroids(
+    corpus: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: centroids = the nlist corpus vectors
+    with the smallest xxhash64(id) (a seeded uniform sample — no kmeans
+    iterations needed for a partitioning that bounds probe fan-out).
+    Returns (centroid_id, centroid_vec); nlist rows -> always broadcastable.
+    """
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nlist)
+        .select(
+            (F.col("__r") - 1).alias("centroid_id"), F.col(vec_col).alias("centroid")
+        )
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max quantized cosine).
+    Broadcast the centroid table; one pass over the corpus; result can be
+    written hash-partitioned by bucket for shuffle-free probes."""
+    c = _with_quantized(centroids, "centroid").select(
+        "centroid_id", F.col("__q").alias("cenq"), F.col("__q2").alias("cenq2")
+    )
+    v = _with_quantized(corpus, vec_col)
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "sim",
+        quantized_cosine(F.col("__q"), F.col("cenq"), F.col("__q2"), F.col("cenq2")),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("bucket"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe buckets nearest each query.
+
+    Join shape: queries x nprobe bucket-ids equi-joined to the bucketed
+    corpus — the scan is (nprobe/nlist) of the brute-force cross join.
+    Recall is tunable via nprobe; exactness restored at nprobe = nlist.
+    """
+    centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+
+    qprobes = assign_probes = (
+        _with_quantized(queries, vec_col)
+        .crossJoin(
+            F.broadcast(
+                _with_quantized(centroids, "centroid").select(
+                    "centroid_id", F.col("__q").alias("cenq"), F.col("__q2").alias("cenq2")
+                )
+            )
+        )
+        .withColumn(
+            "sim",
+            quantized_cosine(F.col("__q"), F.col("cenq"), F.col("__q2"), F.col("cenq2")),
+        )
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
+    probes = (
+        qprobes.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, F.col(vec_col), F.col("centroid_id").alias("bucket"))
+    )
+
+    cq = _with_quantized(bucketed, vec_col).select(
+        F.col(id_col), "bucket", F.col("__q").alias("cq"), F.col("__q2").alias("cq2")
+    )
+    pq = _with_quantized(probes, vec_col).select(
+        query_id_col, "bucket", F.col("__q").alias("qq"), F.col("__q2").alias("qq2")
+    )
+    scored = (
+        cq.join(pq, "bucket")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "cosine",
+            quantized_cosine(F.col("qq"), F.col("cq"), F.col("qq2"), F.col("cq2")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    With ``block_col`` the join is an equi-join within blocks (e.g. an IVF
+    bucket or a label) — the scale path; without it, a full cross join
+    (exact, small corpora / oracle checks only)."""
+    v = _with_quantized(df, vec_col).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.col("__q").alias("q"),
+        F.col("__q2").alias("q2"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        joined = a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond)
+    else:
+        joined = a.join(b, cond)
+    return (
+        joined.withColumn(
+            "cosine",
+            quantized_cosine(F.col("a.q"), F.col("b.q"), F.col("a.q2"), F.col("b.q2")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure JVM-side expressions (split/filter/transform/md5) — these run per
+document over arbitrarily many partitions with no shuffle at all, which is
+exactly what a 100 TB text-cleaning pass needs: embarrassingly parallel,
+whole-stage-codegen'd, columns pruned to (id, text) at the scan.
+
+Tokenization is a deliberate, documented contract: split on single spaces
+(the corpus is space-normalized) — keep the tokenizer trivial and identical
+across engines so differential oracles compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.  Real
+# pipelines plug fastText/cld3 here via a Pandas UDF; the heuristic keeps
+# the engine dependency-free and the semantics SQL-expressible.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "is"],
+    "fr": ["le", "la", "et", "un", "est"],
+    "de": ["der", "die", "und", "ein", "ist"],
+    "es": ["el", "la", "y", "un", "es"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "is", "to", "in"]
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(t), r"\s+")))
+        .cast("long")
+    )
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: word-boundary pieces of <=4 chars count
+    as 1, longer words as ceil(len/4) — a deterministic stand-in for a BPE
+    tokenizer's token count (regex segmentation, no vocab needed)."""
+    t = F.col(text) if isinstance(text, str) else text
+    per_word = F.transform(
+        F.split(F.trim(t), r"\s+"), lambda w: F.ceil(F.length(w) / 4.0)
+    )
+    return (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x))
+        .cast("long")
+    )
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Number of tokens (with multiplicity) that are in ``words``."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_chars / n_tokens / n_tokens_bpe / avg_token_len /
+    stopword_ratio / punct_ratio columns."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    no_punct = F.regexp_replace(t, r"[^\p{L}\p{N}\s]", "")
+    return (
+        df.withColumn("n_chars", F.length(t).cast("long"))
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_tokens_bpe", bpe_ish_token_count(t))
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tok > 0, (F.length(t) - n_tok + 1) / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, stopword_hits(toks, STOPWORDS) / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                F.length(t) > 0,
+                (F.length(t) - F.length(no_punct)) / F.length(t),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword presence -
+    punctuation noise.  Weights are fixed, documented constants so the
+    score is reproducible (and SQL-expressible for the oracle)."""
+    stats = with_text_stats(df, text_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    punct_term = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 10.0
+    )
+    return stats.withColumn(
+        "quality",
+        F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term, 6),
+    )
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-hit counts per language + argmax prediction.
+
+    Argmax ties break by language-code order (deterministic).  'und' when
+    no marker hits at all."""
+    toks = tokens(F.col(text_col))
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        out = out.withColumn(f"hits_{lang}", stopword_hits(toks, words))
+    best = None
+    for lang in LANG_MARKERS:  # first-wins tie-break in insertion order
+        cond = F.col(f"hits_{lang}")
+        if best is None:
+            best = F.struct(cond.alias("hits"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(F.col(f"hits_{lang}") > best["hits"], F.struct(
+                cond.alias("hits"), F.lit(lang).alias("lang")
+            )).otherwise(best)
+    return out.withColumn(
+        "predicted_lang",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the whitespace-collapsed,
+    lowercased text — the canonical exact-dup key after normalization."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(normalized))

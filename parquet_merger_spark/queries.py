@@ -1,0 +1,813 @@
+"""Driver-contract query registry: every SURVEY §2 operator (plus the
+LLM-pipeline extensions) as a named PySpark query with, where
+SQL-expressible, a DuckDB oracle that computes the identical result.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+- aggregate doubles are round()-ed (2dp money, 6dp ratios);
+- similarity scores are computed on integer-quantized vectors
+  (:mod:`operators.simsearch`) so dot products are exact integers and the
+  final double ops are bit-identical in both engines;
+- every ranking has a total order (explicit id tie-break);
+- timestamps that feed arithmetic are reduced to epoch seconds with
+  explicit FLOOR on both sides (Spark cast truncates, DuckDB cast rounds);
+- all computed columns are aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from parquet_merger_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from parquet_merger_spark.operators.merge import merge_dataframes, merged_df
+from parquet_merger_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_payload_meta,
+)
+from parquet_merger_spark.operators.simsearch import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from parquet_merger_spark.operators.textstats import (
+    fingerprint,
+    language_scores,
+    quality_score,
+    with_text_stats,
+)
+from parquet_merger_spark.operators.export import drop_internal_columns
+from parquet_merger_spark.functions.strings import sanitize_filename_col
+from parquet_merger_spark.session import pin_oracle_confs
+from parquet_merger_spark.streaming.events import (
+    sessionize_batch,
+    windowed_event_counts_batch,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_oracle_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` rebuilt as a microsecond TIMESTAMP.
+
+    The parquet column is TIMESTAMP(NANOS) which Spark 4 only reads as a
+    long (see :func:`pin_oracle_confs`); ``ts div 1000`` is an exact
+    integer floor to micros (a double division would lose precision —
+    epoch-nanos exceed 2^53).
+    """
+    e = _t(spark, sf_dir, "events")
+    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+# --------------------------------------------------------------------------
+# Core parity queries (SURVEY §2.1-2.8)
+# --------------------------------------------------------------------------
+
+
+def q_scan_parquet(spark, sf_dir):
+    """S4: full vectorized scan."""
+    return _t(spark, sf_dir, "nation")
+
+
+def q_projection(spark, sf_dir):
+    """P1/P2: column projection (pruned at the parquet reader)."""
+    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+
+
+def q_filter_pushdown(spark, sf_dir):
+    """Predicate + projection pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+def q_union_all(spark, sf_dir):
+    """O1 fast path: duplicate-preserving UNION ALL (includes a raw
+    timestamp column as a cross-engine type probe)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return hi.union(urgent)
+
+
+def q_union_common_columns(spark, sf_dir):
+    """O1+P3 mismatch path: schema-intersection union (NOT null-filling) —
+    dfB lacks c_nationkey, so it is dropped from both sides; column order
+    follows the first frame."""
+    c = _t(spark, sf_dir, "customer")
+    df_a = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    df_b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return merge_dataframes([df_a, df_b])
+
+
+def q_row_count(spark, sf_dir):
+    """A1: total row count."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_group_count_having(spark, sf_dir):
+    """A2 analog of smart-batch: groupBy + count + HAVING count > 1."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+def q_distinct_rows(spark, sf_dir):
+    """O2 analog on data rows."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_sort_limit(spark, sf_dir):
+    """R1 + top-k: total order via explicit tie-break."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+def q_filter_contains(spark, sf_dir):
+    """P7/F8: case-insensitive substring search filter."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.contains(F.lower("text"), F.lit("spark"))).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_internal_column_drop(spark, sf_dir):
+    """P6: __internal__ column drop (CSV-sink semantics)."""
+    d = _t(spark, sf_dir, "documents").withColumnRenamed("source", "__source__")
+    return drop_internal_columns(d)
+
+
+def q_cast_string_null_empty(spark, sf_dir):
+    """F7: typed cast-to-string with null -> empty string."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.coalesce(F.col("p_size").cast("string"), F.lit("")).alias("size_str"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("")).alias(
+            "brand_or_empty"
+        ),
+    )
+
+
+def q_sanitize_name(spark, sf_dir):
+    """F5 as a column expression."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey", sanitize_filename_col("p_name").alias("sanitized")
+    )
+
+
+def q_basename_stem(spark, sf_dir):
+    """F9: basename / stem path functions over synthesized paths."""
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+    )
+    base = F.regexp_extract(path, r"([^/]+)$", 1)
+    return d.select(
+        "doc_id",
+        path.alias("full_path"),
+        base.alias("base_name"),
+        F.regexp_replace(base, r"\.[^.]*$", "").alias("stem"),
+    )
+
+
+def q_lower_contains(spark, sf_dir):
+    """F8/F10: lowercase + contains predicate."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.contains(F.lower("p_type"), F.lit("med"))).select(
+        "p_partkey", F.lower("p_type").alias("type_lc")
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytical queries (joins / aggs / windows — SURVEY §2.3, §2.5-2.7 rebuild)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style groupBy aggregate (the flagship)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3-style 3-way join + agg + deterministic top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.to_timestamp(F.lit("2000-01-01"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-style star join; nation/region are broadcast dims."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Window ranking: top 3 events by value per type (total order)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", "value", "rank")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the events props column."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(k.alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_window_agg_events(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (batch twin of the streaming
+    aggregate); window boundaries exported as epoch seconds."""
+    e = _events(spark, sf_dir)
+    agg = windowed_event_counts_batch(e, "1 hour")
+    return agg.select(
+        F.col("window_start").cast("long").alias("ws_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_sliding_window_events(spark, sf_dir):
+    """Sliding 2h/1h windows — each event lands in two windows."""
+    e = _events(spark, sf_dir)
+    agg = windowed_event_counts_batch(e, "2 hours", "1 hour")
+    return agg.select(
+        F.col("window_start").cast("long").alias("ws_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min), second-granularity contract."""
+    e = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("long").cast("timestamp")
+    )
+    s = sessionize_batch(e, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension operators: dedup / similarity / text / multimodal
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: earliest order per customer survives."""
+    o = _t(spark, sf_dir, "orders")
+    return exact_dedup(o, ["o_custkey"], "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-2-gram Jaccard near-dup pairs (threshold 0.8)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs — rows-only (xxhash64 has no DuckDB
+    equivalent); deterministic across runs."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) — rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: quantized cosine >= 0.4 over all pairs."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.4)
+
+
+def q_simsearch_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return brute_force_topk(e, queries, k=10)
+
+
+def q_simsearch_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-10 — rows-only (deterministic seeded
+    centroids; approximate by design)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    return ivf_topk(e, queries, k=10, nlist=16, nprobe=4)
+
+
+def q_text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stats = with_text_stats(d)
+    return stats.select(
+        "doc_id",
+        F.col("n_chars").alias("chars_computed"),
+        "n_tokens",
+        "n_tokens_bpe",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality")
+
+
+def q_text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = language_scores(d)
+    return scored.select(
+        "doc_id", "hits_en", "hits_fr", "hits_de", "hits_es", "predicted_lang"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d).select("doc_id", "fingerprint")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata via the Arrow/mapInPandas multimodal path."""
+    d = _t(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(d, "text")
+    return extract_payload_meta(with_payload, "payload", "doc_id")
+
+
+def q_merge_files_roundtrip(spark, sf_dir):
+    """The core merge operator itself through the driver: write two
+    overlapping projections of nation as parquet, merge with intersection
+    semantics, return the merged frame — rows-only (sink round-trip)."""
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    base = os.path.join(tempfile.gettempdir(), "pm_spark_roundtrip")
+    p_a, p_b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").parquet(p_a)
+    n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(p_b)
+    return merged_df(spark, [p_a, p_b])
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect) — one per SQL-expressible query above
+# --------------------------------------------------------------------------
+
+_QUANT = """
+    list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))
+"""
+
+_QVIEW = f"""
+    SELECT vec_id,
+           {_QUANT} AS qe,
+           CAST(list_sum(list_transform(list_zip({_QUANT}, {_QUANT}),
+                                        p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT) AS q2
+    FROM embeddings
+"""
+
+_TOKS = "string_split(text, ' ')"
+
+_GRAMS = f"""
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len({_TOKS}) >= 2
+                       THEN list_transform(range(1, len({_TOKS})),
+                                           i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])
+                       ELSE [] END) AS gram
+    FROM documents
+"""
+
+
+def _langid_sql() -> str:
+    from parquet_merger_spark.operators.textstats import LANG_MARKERS
+
+    hit_cols = ", ".join(
+        "CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS BIGINT)"
+        " AS hits_{lang}".format(
+            toks=_TOKS,
+            lst="[" + ", ".join(f"'{w}'" for w in ws) + "]",
+            lang=lang,
+        )
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    m = "GREATEST(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN hits_{lg} = {m} THEN '{lg}' "
+    case += "END"
+    return f"""
+        WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+        SELECT doc_id, hits_en, hits_fr, hits_de, hits_es, {case} AS predicted_lang
+        FROM h
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "scan_parquet": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "projection": "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem",
+    "filter_pushdown": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+    "union_all": """
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    "union_common_columns": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    "row_count": "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+    "group_count_having": """
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    """,
+    "distinct_rows": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "sort_limit": """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    "filter_contains": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE contains(lower(text), 'spark')
+    """,
+    "internal_column_drop": "SELECT doc_id, text, lang, n_chars FROM documents",
+    "cast_string_null_empty": """
+        SELECT p_partkey,
+               coalesce(CAST(p_size AS VARCHAR), '') AS size_str,
+               coalesce(nullif(p_brand, 'Brand#1'), '') AS brand_or_empty
+        FROM part
+    """,
+    "sanitize_name": r"""
+        SELECT p_partkey,
+               regexp_replace(p_name, '[^\p{L}\p{N}_\-.]', '_', 'g') AS sanitized
+        FROM part
+    """,
+    "basename_stem": r"""
+        WITH p AS (
+          SELECT doc_id,
+                 '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS full_path
+          FROM documents
+        )
+        SELECT doc_id, full_path,
+               regexp_extract(full_path, '([^/]+)$', 1) AS base_name,
+               regexp_replace(regexp_extract(full_path, '([^/]+)$', 1), '\.[^.]*$', '') AS stem
+        FROM p
+    """,
+    "lower_contains": """
+        SELECT p_partkey, lower(p_type) AS type_lc FROM part
+        WHERE contains(lower(p_type), 'med')
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": """
+        SELECT l_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND l_shipdate > TIMESTAMP '2000-01-01'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "nation_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "topk_per_group": """
+        SELECT event_type, event_id, value, CAST(rank AS INT) AS rank FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+          FROM events
+        ) WHERE rank <= 3
+    """,
+    "json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
+    "window_agg_events": """
+        SELECT CAST(FLOOR(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS ws_epoch,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_window_events": """
+        SELECT CAST(FLOOR(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT)
+                 - off.o * 3600 AS ws_epoch,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+        GROUP BY 1, 2
+    """,
+    "sessionize": """
+        WITH e AS (
+          SELECT user_id, CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+          FROM events
+        ), l AS (
+          SELECT user_id, es,
+                 CASE WHEN lag(es) OVER w IS NULL
+                        OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+        ), s AS (
+          SELECT user_id, es,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM l
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(es) AS session_start_epoch, MAX(es) AS session_end_epoch,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, session_id
+    """,
+    "dedup_exact": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH g AS ({_GRAMS}),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(sh / (sa.n + sb.n - sh), 6) AS jaccard
+        FROM shared
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE sh / (sa.n + sb.n - sh) >= 0.8
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH q AS ({_QVIEW}),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                              p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT) AS dot,
+                 a.q2 AS qa2, b.q2 AS qb2
+          FROM q a JOIN q b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(dot / (sqrt(qa2) * sqrt(qb2)), 6) AS cosine
+        FROM p WHERE dot / (sqrt(qa2) * sqrt(qb2)) >= 0.4
+    """,
+    "simsearch_topk": f"""
+        WITH q AS ({_QVIEW}),
+        queries AS (SELECT vec_id AS query_id, qe AS qqe, q2 AS qq2 FROM q WHERE vec_id < 5),
+        scored AS (
+          SELECT query_id, c.vec_id,
+                 CAST(list_sum(list_transform(list_zip(qqe, c.qe),
+                                              p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT)
+                   / (sqrt(qq2) * sqrt(c.q2)) AS cosine
+          FROM queries CROSS JOIN q c WHERE c.vec_id <> query_id
+        ), r AS (
+          SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 10
+    """,
+    "text_token_stats": rf"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS chars_computed,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 END AS n_tokens,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(list_sum(list_transform(
+                             string_split_regex(trim(text), '\s+'),
+                             w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+                 END AS n_tokens_bpe,
+                 CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','and','of','is','to','in'], t))) AS BIGINT)
+                   AS stop_hits,
+                 CAST(length(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT)
+                   AS clean_len
+          FROM documents
+        )
+        SELECT doc_id, chars_computed, n_tokens, n_tokens_bpe,
+               round(CASE WHEN n_tokens > 0
+                          THEN (chars_computed - n_tokens + 1) / n_tokens
+                          ELSE 0.0 END, 6) AS avg_token_len,
+               round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END, 6)
+                 AS stopword_ratio,
+               round(CASE WHEN chars_computed > 0
+                          THEN (chars_computed - clean_len) / chars_computed
+                          ELSE 0.0 END, 6) AS punct_ratio
+        FROM s
+    """,
+    "text_quality": rf"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 END AS n_tokens,
+                 CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','and','of','is','to','in'], t))) AS BIGINT)
+                   AS stop_hits,
+                 CAST(length(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')) AS BIGINT)
+                   AS clean_len
+          FROM documents
+        )
+        SELECT doc_id,
+               round(0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.3 * least((CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 5.0, 1.0)
+                   + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN (n_chars - clean_len) / n_chars ELSE 0.0 END) * 10.0),
+                 6) AS quality
+        FROM s
+    """,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    """,
+    "multimodal_meta": """
+        WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                     lower(substring(hex(payload), 1, 8)) AS magic,
+                     -- duckdb's sha256 takes VARCHAR; payload bytes ARE the
+                     -- utf-8 of text, so hashing the string is identical
+                     sha256(text) AS sha256
+              FROM b)
+        SELECT doc_id, n_bytes, magic, sha256,
+               CASE WHEN magic LIKE '89504e47%' THEN 'image'
+                    WHEN magic LIKE 'ffd8ff%' THEN 'image'
+                    WHEN magic LIKE '52494646%' THEN 'audio'
+                    WHEN magic LIKE '664c6143%' THEN 'audio'
+                    WHEN magic LIKE '00000018%' THEN 'video'
+                    ELSE 'unknown' END AS modality
+        FROM m
+    """,
+}
+
+
+QUERIES: dict[str, QueryFn] = {
+    "scan_parquet": q_scan_parquet,
+    "projection": q_projection,
+    "filter_pushdown": q_filter_pushdown,
+    "union_all": q_union_all,
+    "union_common_columns": q_union_common_columns,
+    "row_count": q_row_count,
+    "group_count_having": q_group_count_having,
+    "distinct_rows": q_distinct_rows,
+    "sort_limit": q_sort_limit,
+    "filter_contains": q_filter_contains,
+    "internal_column_drop": q_internal_column_drop,
+    "cast_string_null_empty": q_cast_string_null_empty,
+    "sanitize_name": q_sanitize_name,
+    "basename_stem": q_basename_stem,
+    "lower_contains": q_lower_contains,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "nation_revenue": q_nation_revenue,
+    "topk_per_group": q_topk_per_group,
+    "json_extract": q_json_extract,
+    "window_agg_events": q_window_agg_events,
+    "sliding_window_events": q_sliding_window_events,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "simsearch_topk": q_simsearch_topk,
+    "simsearch_ivf": q_simsearch_ivf,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "merge_files_roundtrip": q_merge_files_roundtrip,
+}

@@ -45,6 +45,12 @@ def pin_oracle_confs(spark: SparkSession) -> SparkSession:
 
     Safe to call on a session we did not build (e.g. the driver's):
     only touches runtime-settable SQL confs.
+
+    ``nanosAsLong``: Spark 4 rejects parquet TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); with this conf the ns column arrives as a long
+    (nanos since epoch) and readers rebuild a timestamp at whatever
+    precision they need (see ``queries._events``).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

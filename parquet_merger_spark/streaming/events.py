@@ -1,0 +1,106 @@
+"""Structured Streaming operators over the events table (stream-shaped:
+event_id, ts, user_id, event_type, value, props-json).
+
+The reference is strictly batch (SURVEY §2.9); these are the extension
+operators a continuously-ingesting pipeline needs.  Each streaming query
+has a batch twin with identical semantics (same logical plan minus the
+watermark) so correctness is oracle-checkable in batch mode and the
+streaming wiring is smoke-tested with the file source + memory sink.
+
+Scale notes: tumbling/sliding windows + watermark keep state bounded by
+(window span / slide) x keys; late data beyond the watermark is dropped
+deterministically.  File-source streaming here stands in for Kafka — the
+transformations are source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _windowed_agg(df: DataFrame, window: str, slide: str | None) -> DataFrame:
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_batch(
+    events: DataFrame, window: str = "1 hour", slide: str | None = None
+) -> DataFrame:
+    """Batch twin of the streaming windowed aggregate (same plan, no
+    watermark) — used by the DuckDB oracle check."""
+    return _windowed_agg(events, window, slide)
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    query_name: str = "windowed_events",
+) -> StreamingQuery:
+    """File-source streaming windowed aggregate -> memory sink.
+
+    Watermark bounds state: windows older than (max event time - watermark)
+    finalize and evict.  ``query.processAllAvailable()`` drains the
+    directory synchronously for tests."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = _windowed_agg(stream.withWatermark("ts", watermark), window, slide)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization (batch): per-user sessions split on inactivity gaps.
+
+    Window(lag) + cumulative-sum-of-gap-breaks — the standard Spark idiom;
+    the streaming twin is ``session_window(ts, gap)``.  Returns one row per
+    session: user_id, session_id, session_start, session_end, n_events.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_break = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_id = with_break.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumnRenamed("session_seq", "session_id")
+    )

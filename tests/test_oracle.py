@@ -1,0 +1,100 @@
+"""Differential tests: every oracle-backed query in the driver contract,
+Spark vs DuckDB at sf0.01 — replicating the driver's compare (row count +
+schema + order-insensitive value comparison) so CORRECTNESS regressions are
+caught locally before a round ends.
+
+Comparison is EXACT (string equality after canonicalization) — the driver
+hashes values, so near-equality is not good enough.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.10g}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+ORACLE_KEYS = sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(ORACLE_SQL[name]).df()
+
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
+
+    s_rows, d_rows = _canon(sdf), _canon(ddf)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} differing rows; first 3: {mismatches[:3]}"
+    )
+
+
+def test_rows_only_queries_run_and_are_deterministic(spark):
+    """Queries without an oracle must still run and return identical rows
+    across two executions (the driver's weaker check)."""
+    for name in sorted(set(QUERIES) - set(ORACLE_SQL)):
+        df1 = QUERIES[name](spark, SF_DIR).toPandas()
+        df2 = QUERIES[name](spark, SF_DIR).toPandas()
+        assert _canon(df1) == _canon(df2), f"{name}: nondeterministic result"
+        assert len(df1.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
