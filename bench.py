@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line on stdout:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query executes its full physical plan into a no-op sink (``noop``
+format: runs every stage, skips result materialization on the driver) so
+timings measure scan->shuffle->compute, not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_merger_spark.queries import QUERIES  # noqa: E402
+from parquet_merger_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue",
+    "union_all",
+    "group_count_having",
+    "distinct_rows",
+    "topk_per_group",
+    "json_extract",
+    "window_agg_events",
+    "sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "simsearch_topk",
+    "simsearch_ivf",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+
+    spark = get_spark("pm-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/IO path once so q1 doesn't pay session-startup costs.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     shingle_words: int = 2,
     threshold: float = 0.5,
@@ -157,36 +157,66 @@ def ngram_jaccard_pairs(
     shingle_words: int = 2,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs sharing >= 1 shingle
-    (inverted-index equi-join on the shingle — never a cross product),
-    scored shared/(|A|+|B|-shared).
+    """EXACT n-gram Jaccard similarity join with prefix filtering
+    (AllPairs/PPJoin): identical output to the naive inverted-index join,
+    but candidates come only from each document's *prefix* — its
+    floor((1-t)*n)+1 globally-rarest shingles.  Any pair with
+    Jaccard >= t must share a prefix shingle, so no pair is lost; joining
+    on rare shingles kills the common-gram pair explosion that makes the
+    naive join quadratic in practice.
 
-    This is the exact counterpart of :func:`minhash_lsh_pairs` (same
-    scores, no probabilistic candidate loss); at 100 TB you run MinHash,
-    at oracle scale this is SQL-expressible for differential testing.
+    A length filter (t*max(|A|,|B|) <= min(|A|,|B|)) prunes candidates
+    before the verification join.  Verification computes exact Jaccard on
+    the full distinct-shingle sets, so the result equals the naive join
+    row-for-row (differentially tested against a naive SQL oracle).
     """
-    sh = _distinct_shingles(df, id_col, text_col, shingle_words).filter(
-        F.size("shingles") > 0
+    # Cache: the shingle arrays feed candidate generation AND both sides of
+    # the verification join — without it the text-parsing pipeline re-runs
+    # 4x.  (At cluster scale: persist(DISK_ONLY) or a checkpoint table.)
+    sh = (
+        _distinct_shingles(df, id_col, text_col, shingle_words)
+        .filter(F.size("shingles") > 0)
+        .withColumn("n", F.size("shingles"))
+        .cache()
     )
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n"))
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("gram"))
-    shared = (
-        inv.alias("a")
+    inv = sh.select(F.col(id_col), "n", F.explode("shingles").alias("gram"))
+
+    # Global document frequency per shingle -> rarity order (df, gram).
+    gram_df = inv.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = inv.join(gram_df, "gram").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df", "gram")
+        ),
+    )
+    prefix_len = F.floor((1.0 - threshold) * F.col("n")).cast("int") + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "n", "gram")
+
+    cands = (
+        prefix.alias("a")
         .join(
-            inv.alias("b"),
+            prefix.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: jaccard >= t requires t*|larger| <= |smaller|
+            & (F.greatest("a.n", "b.n") * threshold <= F.least("a.n", "b.n")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("shared"))
+        .distinct()
     )
+
+    sets = sh.select(F.col(id_col), "shingles")
     return (
-        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "n": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n": "n_b"}), "id_b")
+        cands.join(
+            sets.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a"
+        )
+        .join(sets.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
         .withColumn(
-            "jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -214,33 +214,95 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
     With ``block_col`` the join is an equi-join within blocks (e.g. an IVF
-    bucket or a label) — the scale path; without it, a full cross join
-    (exact, small corpora / oracle checks only)."""
+    bucket or a label) — the sub-quadratic scale path.  Without it the
+    all-pairs computation runs as a *blocked integer GEMM* via
+    applyInPandas: vectors are hash-assigned to ``n_blocks`` blocks, each
+    of the n_blocks*(n_blocks+1)/2 block pairs computes its similarity
+    tile with one BLAS matmul (Arrow batch in, numpy out).  The quantized
+    values are small enough that float64 matmul is EXACT integer
+    arithmetic (|dot| < 2^53), so results are bit-identical to the
+    expression path and the DuckDB oracle.
+
+    Work is O(n^2 d) either way — GEMM just executes it at memory
+    bandwidth instead of one Catalyst aggregate per pair, and the tiles
+    parallelize across executors (each tile is two block slices, bounded
+    memory)."""
     v = _with_quantized(df, vec_col).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.col("__q").alias("q"),
         F.col("__q2").alias("q2"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
-        joined = a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond)
-    else:
-        joined = a.join(b, cond)
-    return (
-        joined.withColumn(
-            "cosine",
-            quantized_cosine(F.col("a.q"), F.col("b.q"), F.col("a.q2"), F.col("b.q2")),
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
+        return (
+            joined.withColumn(
+                "cosine",
+                quantized_cosine(
+                    F.col("a.q"), F.col("b.q"), F.col("a.q2"), F.col("b.q2")
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round("cosine", 6).alias("cosine"),
+            )
         )
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    tagged = v.withColumn("bid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba int, bb int",
     )
+    # Each row joins every block pair its block participates in (~n_blocks
+    # copies) — total shuffle is n*n_blocks rows, each tile then runs as
+    # one numpy matmul.
+    rep = tagged.join(
+        block_pairs, (F.col("bid") == F.col("ba")) | (F.col("bid") == F.col("bb"))
+    )
+
+    def tile(key, pdf: pd.DataFrame):
+        ba, bb = int(key[0]), int(key[1])
+        a_rows = pdf[pdf["bid"] == ba]
+        b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        qa = np.stack(a_rows["q"].to_numpy()).astype(np.float64)
+        qb = np.stack(b_rows["q"].to_numpy()).astype(np.float64)
+        dots = qa @ qb.T  # exact: |entries| < 2^53
+        denom = np.sqrt(a_rows["q2"].to_numpy(dtype=np.float64))[:, None] * np.sqrt(
+            b_rows["q2"].to_numpy(dtype=np.float64)
+        )[None, :]
+        cos = dots / denom
+        ia = a_rows[id_col].to_numpy()
+        ib = b_rows[id_col].to_numpy()
+        ii, jj = np.nonzero(cos >= threshold)
+        id_a, id_b, cc = ia[ii], ib[jj], cos[ii, jj]
+        if ba == bb:
+            # every unordered pair appears twice in the square tile
+            keep = id_a < id_b
+            id_a, id_b, cc = id_a[keep], id_b[keep], cc[keep]
+        else:
+            # cross tile holds each pair once, in arbitrary id order
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        # round half-away-from-zero to match Spark/DuckDB round()
+        cc = np.sign(cc) * np.floor(np.abs(cc) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cc})
+
+    out_schema = "id_a long, id_b long, cosine double"
+    return rep.groupBy("ba", "bb").applyInPandas(tile, out_schema)

@@ -364,7 +364,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs — rows-only (xxhash64 has no DuckDB
     equivalent); deterministic across runs."""
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
+    # 32 hashes / 16 bands -> r=2: candidate prob 1-(1-j^2)^16, ~0.99 at
+    # j=0.5 — better recall at the 0.5 threshold than r=4, at half the cost
+    pairs = minhash_lsh_pairs(d, num_hashes=32, bands=16, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
