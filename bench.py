@@ -34,7 +34,9 @@ HEADLINE = [
     "window_agg_events",
     "sessionize",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard is deliberately NOT a headline: exact pairwise
+    # Jaccard is the verification/audit tier (it stays oracle-checked in
+    # CORRECTNESS); the headline near-dup path at scale is MinHash-LSH.
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",

@@ -74,11 +74,17 @@ def minhash_signatures(
     xxhash64(shingle, salt=i).  Deterministic; k independent hash functions
     via salt literals."""
     sh = _distinct_shingles(df, id_col, text_col, shingle_words)
+
+    # NB: the salt must be bound via a closure, NOT a defaulted lambda
+    # parameter (lambda s, i=i: ...) — pyspark dispatches on lambda ARITY,
+    # and a 2-parameter lambda receives (element, array_index), silently
+    # replacing the salt with the element's own index (which collapses all
+    # k hash functions into one).
+    def _salted(i: int):
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     sig = F.array(
-        *[
-            F.array_min(F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform("shingles", _salted(i))) for i in range(num_hashes)]
     ).alias("sig")
     return sh.select(id_col, "shingles", sig)
 
@@ -156,28 +162,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 2,
     threshold: float = 0.5,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join with prefix filtering
-    (AllPairs/PPJoin): identical output to the naive inverted-index join,
-    but candidates come only from each document's *prefix* — its
-    floor((1-t)*n)+1 globally-rarest shingles.  Any pair with
-    Jaccard >= t must share a prefix shingle, so no pair is lost; joining
-    on rare shingles kills the common-gram pair explosion that makes the
-    naive join quadratic in practice.
+    """EXACT n-gram Jaccard similarity join with prefix + positional
+    filtering (AllPairs/PPJoin): identical output to the naive
+    inverted-index join, but candidates come only from each document's
+    *prefix* — its floor((1-t)*n)+1 globally-rarest shingles.  Any pair
+    with Jaccard >= t must share a prefix shingle, so no pair is lost;
+    joining on rare shingles kills the common-gram pair explosion that
+    makes the naive join quadratic in practice.
 
-    A length filter (t*max(|A|,|B|) <= min(|A|,|B|)) prunes candidates
-    before the verification join.  Verification computes exact Jaccard on
-    the full distinct-shingle sets, so the result equals the naive join
-    row-for-row (differentially tested against a naive SQL oracle).
+    Three pruning filters run inside the candidate join (all conservative —
+    verification recomputes exact Jaccard, so over-inclusion is harmless
+    and over-pruning is guarded with an epsilon against FP boundary error):
+    - length filter: t*max(|A|,|B|) <= min(|A|,|B|);
+    - positional filter (PPJoin): for a gram matched at rarity positions
+      (pa, pb), overlap <= min(pa,pb)-1 + 1 + min(|A|-pa, |B|-pb); prune
+      when that upper bound < ceil(t/(1+t)*(|A|+|B|)), the minimum overlap
+      Jaccard >= t requires.
+
+    TIERING AT SCALE: this operator is the exact VERIFICATION tier.  At
+    100 TB the headline near-dup path is :func:`minhash_lsh_pairs` (cost
+    O(docs x bands)); exact pairwise Jaccard — even prefix-filtered — is
+    run only on LSH candidates or sampled audits.  ``storage_level``
+    controls how the shingle table is persisted across its four consumers
+    (default MEMORY_AND_DISK; pass ``StorageLevel.DISK_ONLY`` at cluster
+    scale, or checkpoint to a table).
     """
-    # Cache: the shingle arrays feed candidate generation AND both sides of
-    # the verification join — without it the text-parsing pipeline re-runs
-    # 4x.  (At cluster scale: persist(DISK_ONLY) or a checkpoint table.)
+    from pyspark import StorageLevel
+
+    # The shingle arrays feed candidate generation AND both sides of the
+    # verification join — persist so the text-parsing pipeline doesn't
+    # re-run 4x.
     sh = (
         _distinct_shingles(df, id_col, text_col, shingle_words)
         .filter(F.size("shingles") > 0)
         .withColumn("n", F.size("shingles"))
-        .cache()
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
     inv = sh.select(F.col(id_col), "n", F.explode("shingles").alias("gram"))
 
@@ -189,9 +210,27 @@ def ngram_jaccard_pairs(
             Window.partitionBy(id_col).orderBy("df", "gram")
         ),
     )
-    prefix_len = F.floor((1.0 - threshold) * F.col("n")).cast("int") + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "n", "gram")
+    # +1e-9: (1-t)*n can land infinitesimally BELOW an exact integer in FP
+    # (e.g. 0.19999...96*10), which would shorten the prefix and lose true
+    # pairs.  The epsilon only ever lengthens the prefix (conservative).
+    prefix_len = (
+        F.floor((1.0 - threshold) * F.col("n") + F.lit(1e-9)).cast("int") + 1
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "n", "gram", "rn")
 
+    # Minimum overlap required for jaccard >= t (epsilon guards FP landing
+    # infinitesimally ABOVE the exact rational, which would raise the ceil).
+    min_overlap = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    # Overlap upper bound from one matched prefix gram at positions (pa, pb)
+    # in the shared rarity order: elements before the match overlap at most
+    # min(pa,pb)-1, the match itself is 1, the suffixes at most
+    # min(n_a-pa, n_b-pb).
+    overlap_ub = F.least("a.rn", "b.rn") + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
     cands = (
         prefix.alias("a")
         .join(
@@ -199,7 +238,10 @@ def ngram_jaccard_pairs(
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             # length filter: jaccard >= t requires t*|larger| <= |smaller|
-            & (F.greatest("a.n", "b.n") * threshold <= F.least("a.n", "b.n")),
+            # (epsilon: 0.8*5 > 4 in FP would wrongly prune an exact-0.8 pair)
+            & (F.greatest("a.n", "b.n") * threshold <= F.least("a.n", "b.n") + F.lit(1e-9))
+            # positional filter (PPJoin)
+            & (overlap_ub >= min_overlap),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -226,28 +268,33 @@ def ngram_jaccard_pairs(
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document: each token votes +1/-1 on every bit of
-    xxhash64(token); the sign of each bit-sum becomes the fingerprint bit.
+    """``bits``-bit SimHash per document: each token votes +1/-1 on every
+    bit of xxhash64(token); the sign of each bit-sum becomes the
+    fingerprint bit.
 
-    Implemented as 64 conditional-sum aggregates over the exploded tokens —
-    all JVM-side, one shuffle on id."""
-    toks = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    The votes are computed entirely ROW-LOCALLY: one ``transform`` hashes
+    the token array, then ``bits`` higher-order ``aggregate`` sums fold the
+    per-bit votes — zero shuffle, zero explode.  The only shuffle in the
+    whole SimHash pipeline is the downstream candidate equi-join."""
+    hashes = F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    with_h = df.select(F.col(id_col), hashes.alias("__h"))
+
+    # Closure factory, not a defaulted lambda param: pyspark dispatches on
+    # lambda arity and a 3-parameter merge function breaks `aggregate`.
+    def _vote(j: int):
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("long")
+
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+        # vote_j = sum over tokens of (bit_j(hash) ? +1 : -1)
+        vote = F.aggregate("__h", F.lit(0).cast("long"), _vote(j))
+        bit = F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
             F.lit(0).cast("long")
         )
         fp = bit if fp is None else fp.bitwiseOR(bit)
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    return with_h.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -256,15 +303,28 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= max_hamming on 64-bit SimHash.
+    """Near-dup pairs with Hamming distance <= max_hamming on ``bits``-bit
+    SimHash.
 
     Candidate generation: split the fingerprint into ``bands`` chunks; by
     pigeonhole any pair within distance < bands shares >= 1 exact chunk, so
     candidates come from an equi-join on (chunk_id, chunk_value).  Verify
-    with bit_count(xor)."""
-    sigs = simhash_signatures(df, id_col, text_col).cache()
-    chunk_bits = 64 // bands
+    with bit_count(xor).
+
+    The pigeonhole guarantee REQUIRES max_hamming < bands (a pair at
+    distance == bands can differ in every chunk) — asserted, not silently
+    recall-lossy.  At billions of docs, raise ``bands`` (narrower chunks ->
+    more, smaller buckets) rather than accepting huge per-bucket self-joins.
+    """
+    assert max_hamming < bands, (
+        f"pigeonhole needs max_hamming ({max_hamming}) < bands ({bands}); "
+        "pairs at distance >= bands can evade every chunk bucket"
+    )
+    assert bits % bands == 0, "bits must divide evenly into bands"
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits).cache()
+    chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         F.col(id_col),

@@ -120,13 +120,16 @@ def write_parquet(
     """
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    writer = df.write.mode("overwrite")
-    if compression:
-        writer = writer.option("compression", compression)
+
+    def _writer(frame: DataFrame):
+        w = frame.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        return w
 
     if single_file:
         tmp = out_path + "._tmp_single"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _writer(df.coalesce(1)).parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         if os.path.isdir(out_path):
@@ -136,7 +139,7 @@ def write_parquet(
         shutil.move(part, out_path)
         shutil.rmtree(tmp)
     else:
-        writer.parquet(out_path)
+        _writer(df).parquet(out_path)
     return int(obs.get["rows"])
 
 

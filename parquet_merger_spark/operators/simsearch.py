@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT_SCALE = 10_000
 
@@ -109,15 +110,28 @@ def build_ivf_centroids(
     with the smallest xxhash64(id) (a seeded uniform sample — no kmeans
     iterations needed for a partitioning that bounds probe fan-out).
     Returns (centroid_id, centroid_vec); nlist rows -> always broadcastable.
+
+    ``orderBy().limit(nlist)`` executes as a distributed TakeOrderedAndProject
+    (each partition keeps its local top-nlist, the driver merges) — no
+    single-task global sort.  The nlist selected rows then live on the
+    driver as the quantizer "model" (exactly like Spark ML KMeans
+    centroids) and are re-parallelized as a small broadcastable table.
     """
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    return (
+    rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= nlist)
-        .select(
-            (F.col("__r") - 1).alias("centroid_id"), F.col(vec_col).alias("centroid")
-        )
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    vec_type = corpus.schema[vec_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType(), False),
+            T.StructField("centroid", vec_type),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(i, row[vec_col]) for i, row in enumerate(rows)], schema
     )
 
 
@@ -165,7 +179,7 @@ def ivf_topk(
     centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
     bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
 
-    qprobes = assign_probes = (
+    qprobes = (
         _with_quantized(queries, vec_col)
         .crossJoin(
             F.broadcast(
@@ -214,24 +228,36 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    rows_per_block: int = 4096,
+    ann_threshold: int = 1_000_000,
+    nlist: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
-    With ``block_col`` the join is an equi-join within blocks (e.g. an IVF
-    bucket or a label) — the sub-quadratic scale path.  Without it the
-    all-pairs computation runs as a *blocked integer GEMM* via
-    applyInPandas: vectors are hash-assigned to ``n_blocks`` blocks, each
-    of the n_blocks*(n_blocks+1)/2 block pairs computes its similarity
-    tile with one BLAS matmul (Arrow batch in, numpy out).  The quantized
-    values are small enough that float64 matmul is EXACT integer
-    arithmetic (|dot| < 2^53), so results are bit-identical to the
-    expression path and the DuckDB oracle.
+    Three tiers, chosen by corpus size:
 
-    Work is O(n^2 d) either way — GEMM just executes it at memory
-    bandwidth instead of one Catalyst aggregate per pair, and the tiles
-    parallelize across executors (each tile is two block slices, bounded
-    memory)."""
+    - ``block_col`` given: equi-join within caller-provided blocks (an IVF
+      bucket, a label, a shard) — the sub-quadratic scale path.
+    - corpus count > ``ann_threshold``: IVF ANN PREFILTER — a deterministic
+      coarse quantizer (:func:`build_ivf_centroids`, ``nlist`` defaults to
+      ~sqrt(n)) buckets the corpus and the pair join runs within buckets.
+      Sub-quadratic and bounded-memory; APPROXIMATE (cross-bucket pairs
+      are not examined) — exactly the trade every ANN dedup makes at
+      billions of vectors.
+    - otherwise: exact all-pairs as a *blocked integer GEMM* via
+      applyInPandas, with ``n_blocks`` DERIVED from the corpus count so a
+      tile never exceeds ~2*rows_per_block rows regardless of n (a fixed
+      block count would make per-tile memory O(n/const) — unbounded), and
+      never fewer blocks than needed to feed the cluster's parallelism.
+      The quantized values are small enough that float64 matmul is EXACT
+      integer arithmetic (|dot| < 2^53), so results are bit-identical to
+      the expression path and the DuckDB oracle, and invariant to the
+      chosen n_blocks.
+
+    Exact work is O(n^2 d) — GEMM just executes it at memory bandwidth
+    instead of one Catalyst aggregate per pair, and the tiles parallelize
+    across executors (each tile is two block slices, bounded memory)."""
     v = _with_quantized(df, vec_col).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -260,10 +286,31 @@ def cosine_near_dup_pairs(
             )
         )
 
+    n = df.count()  # planning-time count; at cluster scale comes from table stats
+    if n > ann_threshold:
+        # ANN tier: bucket by the IVF coarse quantizer and recurse into the
+        # within-block equi-join path.  Approximate by design.
+        eff_nlist = nlist or max(16, int(n**0.5))
+        centroids = build_ivf_centroids(df, eff_nlist, id_col, vec_col)
+        bucketed = assign_buckets(df, centroids, id_col, vec_col)
+        return cosine_near_dup_pairs(
+            bucketed, threshold, id_col, vec_col, block_col="bucket"
+        )
+
+    import math
+
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    if n_blocks is None:
+        # Memory bound: blocks small enough that a tile (2 blocks) is
+        # ~2*rows_per_block rows.  Parallelism bound: enough tiles
+        # (nb*(nb+1)/2) to occupy the cluster's cores.
+        par = spark.sparkContext.defaultParallelism
+        nb_mem = math.ceil(n / rows_per_block) if n else 1
+        nb_par = math.ceil((math.isqrt(8 * par + 1) - 1) / 2)
+        n_blocks = max(1, nb_mem, nb_par)
     tagged = v.withColumn("bid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
     block_pairs = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
@@ -276,7 +323,7 @@ def cosine_near_dup_pairs(
         block_pairs, (F.col("bid") == F.col("ba")) | (F.col("bid") == F.col("bb"))
     )
 
-    def tile(key, pdf: pd.DataFrame):
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = int(key[0]), int(key[1])
         a_rows = pdf[pdf["bid"] == ba]
         b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows

@@ -43,7 +43,11 @@ def check_schema_mismatch(schemas: list[StructType | None]) -> bool:
     the reference's early-exit.  (reference: src/main.rs:408-430)
     """
     if len(schemas) < 2:
-        # A single unreadable file still counts as a mismatch (:415).
+        # DELIBERATE DEVIATION from the reference, which returns false
+        # unconditionally for <2 files (src/main.rs:409-411): a single
+        # UNREADABLE file is still flagged here, so the advisory mismatch
+        # flag can't claim a broken file is clean.  Harmless either way —
+        # merged_df() re-probes and hard-errors on unreadable schemas.
         return any(s is None for s in schemas)
     if any(s is None for s in schemas):
         return True

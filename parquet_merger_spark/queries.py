@@ -354,7 +354,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-2-gram Jaccard near-dup pairs (threshold 0.8)."""
+    """Exact word-2-gram Jaccard near-dup pairs (threshold 0.8).
+
+    VERIFICATION TIER: the exact ground truth the approximate paths
+    (minhash_lsh) are recall-bounded against; at 100 TB this runs on LSH
+    candidates or audit samples, not the full corpus — the headline
+    near-dup entry is dedup_minhash_lsh."""
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -41,7 +41,22 @@ def scan_folders(folders: list[str]) -> list[ParquetFileEntry]:
     """
     entries: list[ParquetFileEntry] = []
     for folder in dict.fromkeys(folders):  # registration dedups folders (O2)
-        for dirpath, _dirnames, filenames in os.walk(folder, followlinks=True):
+        # followlinks=True matches the reference's WalkDir(follow_links);
+        # WalkDir detects symlink cycles, os.walk does not — track visited
+        # directories by (st_dev, st_ino) and prune re-entries so a cyclic
+        # symlink can't hang discovery.
+        seen_dirs: set[tuple[int, int]] = set()
+        for dirpath, dirnames, filenames in os.walk(folder, followlinks=True):
+            try:
+                st = os.stat(dirpath)
+            except OSError:
+                dirnames[:] = []
+                continue
+            dev_ino = (st.st_dev, st.st_ino)
+            if dev_ino in seen_dirs:
+                dirnames[:] = []  # already walked: stop descending
+                continue
+            seen_dirs.add(dev_ino)
             for name in filenames:
                 if not _is_parquet(name):
                     continue
