@@ -46,6 +46,8 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "multimodal_meta",
+    "multimodal_meta_expr",
+    "session_window",
 ]
 
 

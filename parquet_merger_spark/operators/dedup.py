@@ -70,30 +70,44 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_words: int = 2,
 ) -> DataFrame:
-    """(id, shingles, sig) where sig[i] = min over shingles of
-    xxhash64(shingle, salt=i).  Deterministic; k independent hash functions
-    via salt literals."""
+    """(id, sh_hashes, sig): sh_hashes = xxhash64 of each distinct shingle,
+    sig[i] = min over shingles of xxhash64(base_hash, salt=i).
+    Deterministic; k independent hash functions via salt literals.
+
+    Each shingle STRING is hashed exactly once (O(len) work); the k
+    "independent" hash functions are salted re-hashes of that base LONG
+    (O(1) each) — the standard one-base-hash minhash scheme, ~k x cheaper
+    than hashing the string k times.  Downstream Jaccard verification runs
+    on the compact long array (exact up to xxhash64 collisions, ~2^-64),
+    which also keeps the persisted working set ~10x smaller than the
+    shingle strings.
+
+    NB: the salt must be bound via a closure, NOT a defaulted lambda
+    parameter (lambda h, i=i: ...) — pyspark dispatches on lambda ARITY,
+    and a 2-parameter lambda receives (element, array_index), silently
+    replacing the salt with the element's own index (which collapses all
+    k hash functions into one).
+    """
     sh = _distinct_shingles(df, id_col, text_col, shingle_words)
 
-    # NB: the salt must be bound via a closure, NOT a defaulted lambda
-    # parameter (lambda s, i=i: ...) — pyspark dispatches on lambda ARITY,
-    # and a 2-parameter lambda receives (element, array_index), silently
-    # replacing the salt with the element's own index (which collapses all
-    # k hash functions into one).
     def _salted(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashes"),
+    )
     sig = F.array(
-        *[F.array_min(F.transform("shingles", _salted(i))) for i in range(num_hashes)]
+        *[F.array_min(F.transform("sh_hashes", _salted(i))) for i in range(num_hashes)]
     ).alias("sig")
-    return sh.select(id_col, "shingles", sig)
+    return hashed.select(id_col, "sh_hashes", sig)
 
 
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
+    num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 2,
     threshold: float = 0.5,
@@ -102,14 +116,22 @@ def minhash_lsh_pairs(
 
     Pipeline: shingle -> k minhashes -> b bands of r=k/b rows -> band-hash
     buckets -> candidate pairs = docs sharing any bucket (equi-join, no
-    cross product) -> exact Jaccard on the distinct-shingle sets of the
-    candidates only.  Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard >= threshold.
+    cross product) -> exact Jaccard on the distinct-shingle-hash sets of
+    the candidates only.  Returns (id_a, id_b, jaccard) with id_a < id_b
+    and jaccard >= threshold.
+
+    Band tuning: the S-curve inflection sits at t* = (1/b)^(1/r); the
+    defaults (k=64, b=16, r=4) put t* = 0.5 — the canonical operating
+    point for threshold 0.5.  A shallower curve (r=2) drags in vast
+    numbers of j~0.2-0.3 false candidates whose verification dominates
+    runtime (measured 233k candidates for 256 true pairs at r=2 on the
+    sf0.1 documents table); steeper r at fixed t* cuts candidates, and
+    recall above t* stays ~1 (bounded in tests/test_recall.py).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_words)
-    sigs = sigs.filter(F.size("shingles") > 0).cache()
+    sigs = sigs.filter(F.size("sh_hashes") > 0).cache()
 
     band_cols = F.array(
         *[
@@ -141,10 +163,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    sh = sigs.select(F.col(id_col), F.col("sh_hashes"))
     verified = (
-        cands.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh_hashes": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh_hashes": "sh_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

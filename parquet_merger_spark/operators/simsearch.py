@@ -103,36 +103,92 @@ def brute_force_topk(
     )
 
 
-def build_ivf_centroids(
-    corpus: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """Deterministic coarse quantizer: centroids = the nlist corpus vectors
-    with the smallest xxhash64(id) (a seeded uniform sample — no kmeans
-    iterations needed for a partitioning that bounds probe fan-out).
-    Returns (centroid_id, centroid_vec); nlist rows -> always broadcastable.
+_CENTROID_SCHEMA = T.StructType(
+    [
+        T.StructField("centroid_id", T.IntegerType(), False),
+        T.StructField("centroid", T.ArrayType(T.DoubleType())),
+    ]
+)
 
-    ``orderBy().limit(nlist)`` executes as a distributed TakeOrderedAndProject
-    (each partition keeps its local top-nlist, the driver merges) — no
-    single-task global sort.  The nlist selected rows then live on the
-    driver as the quantizer "model" (exactly like Spark ML KMeans
-    centroids) and are re-parallelized as a small broadcastable table.
+
+def _centroids_df(spark, vecs: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], _CENTROID_SCHEMA
+    )
+
+
+def build_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids are the nlist
+    corpus vectors with the smallest xxhash64(id) (a seeded uniform
+    sample), refined with ``iters`` Lloyd (kmeans) iterations.  Returns
+    (centroid_id, centroid) — nlist rows, always broadcastable.
+
+    Scale/determinism design:
+    - The seed selection is ``orderBy().limit(nlist)`` — a distributed
+      TakeOrderedAndProject (each partition keeps a local top-nlist, the
+      driver merges); no single-task global sort.
+    - Training runs on a deterministic hash-sample of at most
+      ``max_train_rows`` rows (centroid models never need the full corpus).
+    - Each Lloyd step sums the QUANTIZED (integer) vectors per bucket —
+      integer addition is order-insensitive, so the refined centroids are
+      bit-identical across runs/partitionings, unlike a double ``avg``.
+    - The nlist centroids live on the driver as the quantizer "model"
+      (exactly like Spark ML KMeans) and re-parallelize as a small
+      broadcastable table.
     """
-    rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    spark = corpus.sparkSession
+    vecs_only = corpus.select(F.col(id_col), F.col(vec_col))
+
+    seed_rows = (
+        vecs_only.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(nlist)
         .collect()
     )
-    vec_type = corpus.schema[vec_col].dataType
-    schema = T.StructType(
-        [
-            T.StructField("centroid_id", T.IntegerType(), False),
-            T.StructField("centroid", vec_type),
-        ]
-    )
-    return corpus.sparkSession.createDataFrame(
-        [(i, row[vec_col]) for i, row in enumerate(rows)], schema
-    )
+    centroid_vecs = [[float(x) for x in row[vec_col]] for row in seed_rows]
+    centroids = _centroids_df(spark, centroid_vecs)
+    if iters <= 0:
+        return centroids
+
+    n = vecs_only.count()
+    train = vecs_only
+    if n > max_train_rows:
+        # deterministic ~max_train_rows sample: keep ids whose hash falls in
+        # a fixed fraction of the 64-bit space
+        keep_mod = max(1, n // max_train_rows)
+        train = vecs_only.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
+
+    for _ in range(iters):
+        assigned = assign_buckets(train, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "bucket", F.posexplode(quantize(F.col(vec_col))).alias("pos", "qv")
+            )
+            .groupBy("bucket", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_bucket.setdefault(r.bucket, {})[r.pos] = (r.s, r.c)
+        new_vecs = []
+        for cid, old in enumerate(centroid_vecs):
+            coords = by_bucket.get(cid)
+            if not coords:  # empty bucket keeps its previous centroid
+                new_vecs.append(old)
+                continue
+            new_vecs.append(
+                [coords[p][0] / (coords[p][1] * QUANT_SCALE) for p in range(len(old))]
+            )
+        centroid_vecs = new_vecs
+        centroids = _centroids_df(spark, centroid_vecs)
+    return centroids
 
 
 def assign_buckets(
@@ -140,10 +196,16 @@ def assign_buckets(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_assign: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max quantized cosine).
-    Broadcast the centroid table; one pass over the corpus; result can be
-    written hash-partitioned by bucket for shuffle-free probes."""
+    """Assign each vector to its ``n_assign`` nearest centroids (max
+    quantized cosine; deterministic centroid-id tie-break).  Broadcast the
+    centroid table; one pass over the corpus; result can be written
+    hash-partitioned by bucket for shuffle-free probes.
+
+    ``n_assign > 1`` is the multi-assignment trick for within-bucket pair
+    joins: a near-dup pair straddling a bucket boundary still meets in the
+    second-nearest bucket (recall up, cost x ~n_assign)."""
     c = _with_quantized(centroids, "centroid").select(
         "centroid_id", F.col("__q").alias("cenq"), F.col("__q2").alias("cenq2")
     )
@@ -155,7 +217,7 @@ def assign_buckets(
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n_assign)
         .select(F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("bucket"))
     )
 
@@ -169,15 +231,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_assign: int = 1,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe buckets nearest each query.
 
     Join shape: queries x nprobe bucket-ids equi-joined to the bucketed
-    corpus — the scan is (nprobe/nlist) of the brute-force cross join.
-    Recall is tunable via nprobe; exactness restored at nprobe = nlist.
+    corpus — the scan is ~(corpus_assign * nprobe / nlist) of the
+    brute-force cross join.  Recall is tunable via nprobe (probe more
+    buckets per query) and ``corpus_assign`` (index each corpus vector in
+    its m nearest buckets — catches neighbors that sit just across a
+    bucket boundary); exactness restored at nprobe = nlist.
     """
     centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_assign=corpus_assign)
 
     qprobes = (
         _with_quantized(queries, vec_col)
@@ -213,6 +279,9 @@ def ivf_topk(
             "cosine",
             quantized_cosine(F.col("qq"), F.col("cq"), F.col("qq2"), F.col("cq2")),
         )
+        # multi-assignment / multi-probe can surface a (query, vec) pair in
+        # several buckets; the score is deterministic, so dedup is exact
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -284,15 +353,20 @@ def cosine_near_dup_pairs(
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.round("cosine", 6).alias("cosine"),
             )
+            # multi-assigned vectors (n_assign > 1) meet in several blocks;
+            # the score is deterministic, so dedup on the pair is exact
+            .dropDuplicates(["id_a", "id_b"])
         )
 
     n = df.count()  # planning-time count; at cluster scale comes from table stats
     if n > ann_threshold:
-        # ANN tier: bucket by the IVF coarse quantizer and recurse into the
-        # within-block equi-join path.  Approximate by design.
+        # ANN tier: bucket by the IVF coarse quantizer (kmeans-refined) and
+        # recurse into the within-block equi-join path.  Each vector is
+        # multi-assigned to its 2 nearest buckets so boundary pairs still
+        # meet.  Approximate by design (pairs far from both buckets missed).
         eff_nlist = nlist or max(16, int(n**0.5))
         centroids = build_ivf_centroids(df, eff_nlist, id_col, vec_col)
-        bucketed = assign_buckets(df, centroids, id_col, vec_col)
+        bucketed = assign_buckets(df, centroids, id_col, vec_col, n_assign=2)
         return cosine_near_dup_pairs(
             bucketed, threshold, id_col, vec_col, block_col="bucket"
         )

@@ -32,6 +32,7 @@ from parquet_merger_spark.operators.merge import merge_dataframes, merged_df
 from parquet_merger_spark.operators.multimodal import (
     attach_binary_payload,
     extract_payload_meta,
+    extract_payload_meta_expr,
 )
 from parquet_merger_spark.operators.simsearch import (
     brute_force_topk,
@@ -48,6 +49,7 @@ from parquet_merger_spark.operators.export import drop_internal_columns
 from parquet_merger_spark.functions.strings import sanitize_filename_col
 from parquet_merger_spark.session import pin_oracle_confs
 from parquet_merger_spark.streaming.events import (
+    session_window_agg,
     sessionize_batch,
     windowed_event_counts_batch,
 )
@@ -165,13 +167,28 @@ def q_internal_column_drop(spark, sf_dir):
 
 
 def q_cast_string_null_empty(spark, sf_dir):
-    """F7: typed cast-to-string with null -> empty string."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.coalesce(F.col("p_size").cast("string"), F.lit("")).alias("size_str"),
-        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("")).alias(
-            "brand_or_empty"
+    """F7: typed cast-to-string with null -> empty string, one column per
+    type family the reference's CSV renderer enumerates
+    (/root/reference/src/main.rs:739-826): integer, double, timestamp,
+    date, boolean, string.  Nulls are induced per family (nullif/when) so
+    the null -> "" rule is exercised everywhere, exactly the behavior a
+    CSV export hits on every nullable column."""
+    o = _t(spark, sf_dir, "orders")
+    ts = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderdate"))
+    intc = F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_custkey"))
+    dbl = F.when(F.col("o_orderkey") % 6 == 0, None).otherwise(F.col("o_totalprice"))
+    boolc = F.when(F.col("o_orderkey") % 8 == 0, None).otherwise(
+        F.col("o_totalprice") > 200000
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(intc.cast("string"), F.lit("")).alias("int_str"),
+        F.coalesce(dbl.cast("string"), F.lit("")).alias("double_str"),
+        F.coalesce(ts.cast("string"), F.lit("")).alias("ts_str"),
+        F.coalesce(ts.cast("date").cast("string"), F.lit("")).alias("date_str"),
+        F.coalesce(boolc.cast("string"), F.lit("")).alias("bool_str"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("")).alias(
+            "str_or_empty"
         ),
     )
 
@@ -367,11 +384,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs — rows-only (xxhash64 has no DuckDB
-    equivalent); deterministic across runs."""
+    equivalent); deterministic across runs.  THE headline near-dup path:
+    cost O(docs x bands), recall bounded against the exact tier in
+    tests/test_recall.py."""
     d = _t(spark, sf_dir, "documents")
-    # 32 hashes / 16 bands -> r=2: candidate prob 1-(1-j^2)^16, ~0.99 at
-    # j=0.5 — better recall at the 0.5 threshold than r=4, at half the cost
-    pairs = minhash_lsh_pairs(d, num_hashes=32, bands=16, threshold=0.5)
+    # 64 hashes / 16 bands -> r=4: S-curve inflection (1/16)^(1/4) = 0.5
+    # sits exactly at the threshold; steep enough that j~0.2-0.3 pairs
+    # don't flood the candidate verification (see minhash_lsh_pairs doc)
+    pairs = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -395,11 +415,12 @@ def q_simsearch_topk(spark, sf_dir):
 
 
 def q_simsearch_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-10 — rows-only (deterministic seeded
-    centroids; approximate by design)."""
+    """IVF-bucketed approximate top-10 — rows-only (deterministic
+    kmeans-refined centroids; approximate by design).  nprobe=4/nlist=16 with
+    2-way corpus assignment scans ~50% of the brute-force pair space for ~0.74 recall (bounded in tests/test_recall.py)."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    return ivf_topk(e, queries, k=10, nlist=16, nprobe=4)
+    return ivf_topk(e, queries, k=10, nlist=16, nprobe=4, corpus_assign=2)
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -439,6 +460,29 @@ def q_multimodal_meta(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, "text")
     return extract_payload_meta(with_payload, "payload", "doc_id")
+
+
+def q_multimodal_meta_expr(spark, sf_dir):
+    """Same metadata via pure JVM expressions (whole-stage codegen, no
+    Python round-trip) — the fast path when no decode is needed."""
+    d = _t(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(d, "text")
+    return extract_payload_meta_expr(with_payload, "payload", "doc_id")
+
+
+def q_session_window(spark, sf_dir):
+    """Native session_window sessionization (the streaming-capable twin of
+    sessionize), second-granularity contract; session_end = last + gap."""
+    e = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("long").cast("timestamp")
+    )
+    s = session_window_agg(e, gap_minutes=30)
+    return s.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        "n_events",
+    )
 
 
 def q_merge_files_roundtrip(spark, sf_dir):
@@ -543,10 +587,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "internal_column_drop": "SELECT doc_id, text, lang, n_chars FROM documents",
     "cast_string_null_empty": """
-        SELECT p_partkey,
-               coalesce(CAST(p_size AS VARCHAR), '') AS size_str,
-               coalesce(nullif(p_brand, 'Brand#1'), '') AS brand_or_empty
-        FROM part
+        SELECT o_orderkey,
+               coalesce(CAST(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS VARCHAR), '') AS int_str,
+               coalesce(CAST(CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_totalprice END AS VARCHAR), '') AS double_str,
+               coalesce(CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate END AS VARCHAR), '') AS ts_str,
+               coalesce(CAST(CAST(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate END AS DATE) AS VARCHAR), '') AS date_str,
+               coalesce(CAST(CASE WHEN o_orderkey % 8 = 0 THEN NULL ELSE o_totalprice > 200000 END AS VARCHAR), '') AS bool_str,
+               coalesce(nullif(o_orderstatus, 'O'), '') AS str_or_empty
+        FROM orders
     """,
     "sanitize_name": r"""
         SELECT p_partkey,
@@ -753,11 +801,50 @@ ORACLE_SQL: dict[str, str] = {
                  6) AS quality
         FROM s
     """,
+    "session_window": """
+        WITH e AS (
+          SELECT user_id, CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+          FROM events
+        ), l AS (
+          SELECT user_id, es,
+                 -- session_window bounds are half-open: an event exactly
+                 -- gap seconds after the previous one starts a NEW session
+                 CASE WHEN lag(es) OVER w IS NULL
+                        OR es - lag(es) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)
+        ), s AS (
+          SELECT user_id, es,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l
+        )
+        SELECT user_id,
+               MIN(es) AS session_start_epoch,
+               MAX(es) + 1800 AS session_end_epoch,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
     "text_langid": _langid_sql(),
     "text_fingerprint": r"""
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         FROM documents
+    """,
+    "multimodal_meta_expr": """
+        WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                     lower(substring(hex(payload), 1, 8)) AS magic,
+                     sha256(text) AS sha256
+              FROM b)
+        SELECT doc_id, n_bytes, magic, sha256,
+               CASE WHEN magic LIKE '89504e47%' THEN 'image'
+                    WHEN magic LIKE 'ffd8ff%' THEN 'image'
+                    WHEN magic LIKE '52494646%' THEN 'audio'
+                    WHEN magic LIKE '664c6143%' THEN 'audio'
+                    WHEN magic LIKE '00000018%' THEN 'video'
+                    ELSE 'unknown' END AS modality
+        FROM m
     """,
     "multimodal_meta": """
         WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
@@ -804,6 +891,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_agg_events": q_window_agg_events,
     "sliding_window_events": q_sliding_window_events,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -816,5 +904,6 @@ QUERIES: dict[str, QueryFn] = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_meta_expr": q_multimodal_meta_expr,
     "merge_files_roundtrip": q_merge_files_roundtrip,
 }

@@ -54,12 +54,23 @@ def windowed_event_counts_stream(
     slide: str | None = None,
     watermark: str = "2 hours",
     query_name: str = "windowed_events",
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """File-source streaming windowed aggregate -> memory sink.
 
     Watermark bounds state: windows older than (max event time - watermark)
-    finalize and evict.  ``query.processAllAvailable()`` drains the
-    directory synchronously for tests."""
+    finalize and EVICT from the state store.  That claim is only true in
+    ``update``/``append`` output modes — ``complete`` mode retains every
+    window forever, so it is deliberately not the default here:
+
+    - ``update`` (default): emit changed windows each trigger; state for
+      windows below the watermark is dropped.
+    - ``append``: emit each window exactly once, when the watermark passes
+      its end (the mode the smoke test uses to compare against the batch
+      twin).
+
+    ``query.processAllAvailable()`` drains the directory synchronously for
+    tests."""
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -68,7 +79,64 @@ def windowed_event_counts_stream(
     )
     agg = _windowed_agg(stream.withWatermark("ts", watermark), window, slide)
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` — the SAME
+    expression works in batch and streaming (this is the streaming twin the
+    sessionize_batch docstring promises).  A session extends while
+    consecutive events are < gap apart; session end = last event + gap.
+
+    Returns one row per session: user_id, session_start, session_end
+    (start/end are the session_window bounds), n_events.
+
+    Note the boundary difference vs :func:`sessionize_batch`: an event at
+    exactly ``gap`` after the previous one starts a NEW session here
+    (window bounds are half-open), while the lag-based idiom keeps it
+    (breaks only when diff > gap).  Both are valid contracts; this one is
+    what Structured Streaming's state store implements natively.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "session_windows",
+    output_mode: str = "update",
+) -> StreamingQuery:
+    """Streaming sessionization: the native ``session_window`` aggregate
+    over a file source, watermark-bounded state, memory sink.  Identical
+    logical plan to :func:`session_window_agg` plus the watermark."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    agg = session_window_agg(stream.withWatermark("ts", watermark), gap_minutes)
+    return (
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
@@ -80,8 +148,9 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity gaps.
 
     Window(lag) + cumulative-sum-of-gap-breaks — the standard Spark idiom;
-    the streaming twin is ``session_window(ts, gap)``.  Returns one row per
-    session: user_id, session_id, session_start, session_end, n_events.
+    the native streaming twin is :func:`session_window_agg`.  Returns one
+    row per session: user_id, session_id, session_start, session_end,
+    n_events.
     """
     from pyspark.sql import Window as W
 

@@ -126,3 +126,22 @@ def test_merge_batches_isolates_failures(spark, fixture_dir, tmp_path):
     assert not by_name["bad"].ok
     assert "No common columns" in by_name["bad"].error
     assert os.path.isfile(os.path.join(str(tmp_path), "merged", "good.parquet"))
+
+
+def test_single_file_sink_honors_compression(spark, fixture_dir, tmp_path):
+    """The compression option must reach the parquet footer in BOTH sink
+    modes (the single-file branch used to silently drop it)."""
+    import pyarrow.parquet as pq
+
+    _, f = fixture_dir
+    df = merged_df(spark, [f["compat_a"]])
+
+    single = str(tmp_path / "zstd_single.parquet")
+    write_parquet(df, single, single_file=True, compression="zstd")
+    assert pq.ParquetFile(single).metadata.row_group(0).column(0).compression == "ZSTD"
+
+    multi = str(tmp_path / "zstd_dir")
+    write_parquet(df, multi, single_file=False, compression="zstd")
+    part = next(p for p in os.listdir(multi) if p.endswith(".parquet"))
+    meta = pq.ParquetFile(os.path.join(multi, part)).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"

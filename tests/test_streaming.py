@@ -1,0 +1,152 @@
+"""Structured Streaming smoke tests: file source -> watermarked windowed
+aggregate -> memory sink, compared EXACTLY against the batch twin.
+
+Technique: the event files are fed one per micro-batch (controlled mtimes),
+and a final sentinel file carries a single far-future event that pushes the
+watermark beyond every real window.  In ``append`` mode each real window is
+then emitted exactly once when it finalizes — so (memory sink) minus (the
+never-finalized sentinel window) must equal the batch twin row-for-row,
+which also proves watermark-driven state eviction actually fires (in
+``complete`` mode this comparison would see duplicate window versions).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.streaming.events import (  # noqa: E402
+    session_window_agg,
+    session_window_stream,
+    sessionize_batch,
+    windowed_event_counts_batch,
+    windowed_event_counts_stream,
+)
+
+SENTINEL_TS = pd.Timestamp("2030-01-01 00:00:00")
+
+
+def _make_event_files(root) -> tuple[str, pd.DataFrame]:
+    """3 real files (ts-ordered) + 1 far-future sentinel; mtimes force the
+    file source to process them in that order."""
+    rng_rows = []
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    eid = 0
+    for hour in range(6):
+        for minute in (1, 7, 31, 55):
+            for user in (1, 2, 3):
+                eid += 1
+                rng_rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": base + pd.Timedelta(hours=hour, minutes=minute, seconds=user),
+                        "user_id": user,
+                        "event_type": "click" if eid % 2 else "view",
+                        "value": float(eid % 10),
+                    }
+                )
+    real = pd.DataFrame(rng_rows).sort_values("ts").reset_index(drop=True)
+    # tz-aware -> Spark TIMESTAMP (watermarks reject TIMESTAMP_NTZ)
+    real["ts"] = real["ts"].dt.tz_localize("UTC")
+
+    events_dir = os.path.join(str(root), "events_stream")
+    os.makedirs(events_dir, exist_ok=True)
+    thirds = [real.iloc[:24], real.iloc[24:48], real.iloc[48:]]
+    sentinel = pd.DataFrame(
+        [
+            {
+                "event_id": 999_999,
+                "ts": SENTINEL_TS.tz_localize("UTC"),
+                "user_id": 99,
+                "event_type": "sentinel",
+                "value": 0.0,
+            }
+        ]
+    )
+    for i, chunk in enumerate([*thirds, sentinel]):
+        p = os.path.join(events_dir, f"part_{i}.parquet")
+        # micro-second timestamps: Spark 4 rejects TIMESTAMP(NANOS) parquet
+        chunk.to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        # file source orders by modification time: force chunk order
+        mtime = time.time() - 400 + i * 100
+        os.utime(p, (mtime, mtime))
+    return events_dir, real
+
+
+@pytest.fixture(scope="module")
+def event_files(tmp_path_factory):
+    return _make_event_files(tmp_path_factory.mktemp("stream"))
+
+
+def _canon(df) -> list[tuple]:
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_windowed_stream_matches_batch_twin(spark, event_files, tmp_path):
+    events_dir, real = event_files
+    q = windowed_event_counts_stream(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_win"),
+        window="1 hour",
+        watermark="2 hours",
+        query_name="win_smoke",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table("win_smoke").filter("event_type <> 'sentinel'")
+    expected = windowed_event_counts_batch(
+        spark.createDataFrame(real), window="1 hour"
+    )
+    assert _canon(got) == _canon(expected)
+    # the sentinel's own window never finalizes -> append must NOT emit it
+    assert spark.table("win_smoke").filter("event_type = 'sentinel'").count() == 0
+
+
+def test_session_window_stream_matches_batch_twin(spark, event_files, tmp_path):
+    events_dir, real = event_files
+    q = session_window_stream(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+        gap_minutes=30,
+        watermark="2 hours",
+        query_name="sess_smoke",
+        output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table("sess_smoke").filter("user_id <> 99")
+    expected = session_window_agg(spark.createDataFrame(real), gap_minutes=30)
+    assert _canon(got) == _canon(expected)
+
+
+def test_session_window_agg_agrees_with_lag_idiom(spark, event_files):
+    """The native session_window aggregate and the lag+cumsum idiom must
+    find the same sessions on gap-free-of-boundary data (no event lands at
+    exactly the 30-minute gap, so the half-open-vs-closed boundary
+    difference documented on session_window_agg cannot bite)."""
+    _, real = event_files
+    df = spark.createDataFrame(real)
+    native = session_window_agg(df, gap_minutes=30).select(
+        "user_id", "session_start", "n_events"
+    )
+    lag_based = sessionize_batch(df, gap_minutes=30).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert _canon(native) == _canon(lag_based)
