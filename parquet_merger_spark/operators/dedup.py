@@ -287,6 +287,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation.  Returns (doc_id, cluster_id) for
+    every doc that appears in a pair; cluster_id = the smallest doc id in
+    the component (so cluster_id == doc_id identifies the canonical
+    survivor).
+
+    Each round every node takes min(own label, neighbors' labels); labels
+    are monotonically non-increasing, so convergence is detected by an
+    unchanged label SUM (one cheap aggregate per round — no row diff).
+    Rounds needed = graph diameter, which for near-dup graphs (cliques and
+    short chains) is small.  ``localCheckpoint`` truncates the growing
+    lineage each round — at cluster scale use a checkpoint dir / table
+    instead.  Deterministic: pure min over a fixed edge set.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum: int | None = None
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The dedup ACTION: drop every non-canonical near-duplicate.  Keeps
+    each document that is either untouched by any pair or the canonical
+    (smallest-id) member of its cluster — one anti-join against the
+    non-canonical cluster members."""
+    clusters = dup_clusters(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == losers["__loser"], "left_anti"
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:

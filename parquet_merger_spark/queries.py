@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from parquet_merger_spark.operators.dedup import (
+    dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
+    near_dedup_survivors,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -382,6 +384,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup PAIR -> CLUSTER resolution: connected components over the
+    exact Jaccard pairs (t=0.8); cluster_id = smallest member id.  The
+    step every dedup pipeline needs between pair generation and document
+    dropping (pairs alone over-delete transitive groups)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
+    return dup_clusters(pairs)
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup ACTION: documents surviving near-dedup = untouched docs +
+    one canonical (smallest-id) doc per cluster."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
+    return near_dedup_survivors(d, pairs).select("doc_id", "n_chars")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs — rows-only (xxhash64 has no DuckDB
     equivalent); deterministic across runs.  THE headline near-dup path:
@@ -721,6 +741,62 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE g AS ({_GRAMS}),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sz sa ON id_a = sa.doc_id
+          JOIN sz sb ON id_b = sb.doc_id
+          WHERE sh / (sa.n + sb.n - sh) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a
+    """,
+    "dedup_survivors": f"""
+        WITH RECURSIVE g AS ({_GRAMS}),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sz sa ON id_a = sa.doc_id
+          JOIN sz sb ON id_b = sb.doc_id
+          WHERE sh / (sa.n + sb.n - sh) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        losers AS (
+          SELECT a AS doc_id FROM reach GROUP BY a
+          HAVING least(a, min(b)) <> a
+        )
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
     "dedup_embedding_cosine": f"""
         WITH q AS ({_QVIEW}),
         p AS (
@@ -894,6 +970,8 @@ QUERIES: dict[str, QueryFn] = {
     "session_window": q_session_window,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

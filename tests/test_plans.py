@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the scale properties the engine claims
+(pushdown, pruning, broadcast, shuffle-freedom) asserted on the actual
+Catalyst output, so a refactor that silently loses them fails CI.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.operators.dedup import simhash_signatures  # noqa: E402
+from parquet_merger_spark.queries import QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_and_projection_reach_the_parquet_scan(spark):
+    plan = _explain(QUERIES["filter_pushdown"](spark, SF_DIR))
+    assert "GreaterThan(l_quantity,45.0)" in plan, "predicate not pushed to scan"
+    assert "EqualTo(l_returnflag,R)" in plan
+    # column pruning: the scan schema is exactly the referenced columns
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag"):
+        assert col in read
+    assert "l_extendedprice" not in read, "scan reads unreferenced columns"
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = _explain(QUERIES["projection"](spark, SF_DIR))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read and "l_returnflag" in read
+    assert "l_shipdate" not in read and "l_discount" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _explain(QUERIES["nation_revenue"](spark, SF_DIR), "simple")
+    # nation and region carry explicit broadcast hints; at least those two
+    # joins must be BroadcastHashJoin (AQE may broadcast more)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_signatures_are_shuffle_free(spark):
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _explain(simhash_signatures(d, "doc_id", "text"), "simple")
+    assert "Exchange" not in plan, (
+        "SimHash signature build must be row-local (transform+aggregate), "
+        "not an explode+groupBy shuffle"
+    )
+
+
+def test_brute_force_topk_broadcasts_query_side(spark):
+    plan = _explain(QUERIES["simsearch_topk"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
