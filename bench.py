@@ -48,6 +48,9 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_meta_expr",
     "session_window",
+    "asof_join",
+    "sample_stratified",
+    "decontaminate",
 ]
 
 
@@ -59,8 +62,13 @@ def main() -> None:
     spark = get_spark("pm-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/IO path once so q1 doesn't pay session-startup costs.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the JVM/IO path once so q1 doesn't pay session-startup costs,
+    # and the Python-worker/Arrow path so the first pandas-UDF query
+    # doesn't pay interpreter spin-up (both are per-session setup, not
+    # steady-state operator cost).
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.count()
+    warm.mapInPandas(lambda it: it, warm.schema).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -287,6 +287,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    min_shared: int = 5,
+    max_train_df: int | None = 10_000,
+) -> DataFrame:
+    """Eval-set DECONTAMINATION primitive: (test_id, train_id,
+    shared_grams) for every cross-split pair sharing at least
+    ``min_shared`` distinct word n-grams — the standard "n-gram overlap"
+    check run before training to catch benchmark leakage (exact-duplicate
+    checks miss paraphrased/partial copies; n-gram overlap catches them).
+
+    Shape: inverted-index equi-join (never a doc x doc cross product),
+    count per pair, HAVING >= min_shared.  Two scale levers:
+    - grams are joined as xxhash64 LONGS, not strings — same join
+      cardinality, ~10x less shuffle volume (collision odds ~2^-64);
+    - ``max_train_df`` drops grams present in more than that many train
+      docs before the join (boilerplate n-grams are not leakage signal,
+      and a single viral gram with df=d contributes d x |test matches|
+      join rows — the fan-out killer at corpus scale).
+    """
+    tr = _distinct_shingles(train, id_col, text_col, shingle_words).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("g"),
+    )
+    te = _distinct_shingles(test, id_col, text_col, shingle_words).select(
+        F.col(id_col).alias("test_id"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("g"),
+    )
+    if max_train_df is not None:
+        keep = (
+            tr.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_train_df)
+            .select("g")
+        )
+        tr = tr.join(keep, "g")
+    return (
+        te.join(tr, "g")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1,0 +1,67 @@
+"""Deterministic (reproducible) sampling for training-data pipelines.
+
+``DataFrame.sample`` draws from per-partition RNG state: the selected
+rows change with partitioning, retries, and cluster layout — unacceptable
+when a training mixture must be reproducible and auditable.  Hash-gate
+sampling fixes that: a row is kept iff ``hash(id, salt) mod M < frac*M``,
+so membership is a pure function of the row id and the salt —
+partition-count independent, re-run stable, and cheap (one hash per row,
+no shuffle, fully pushed into whole-stage codegen).
+
+Strata support: per-stratum fractions (e.g. downsample English, keep all
+low-resource languages) via a CASE over the stratum column — the standard
+"data mixture" knob in corpus construction.
+
+Disjoint/nested samples: different salts give independent gates; the same
+salt with fractions f1 < f2 gives NESTED samples (the f1 sample is a
+subset of the f2 sample) — useful for scaling-law subsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MOD = 1_000_000
+
+
+def hash_gate(id_col: Column, salt: int = 0) -> Column:
+    """Default gate hash: xxhash64(id, salt) folded into [0, 1e6)."""
+    return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_MOD))
+
+
+def portable_hash_gate(id_col: Column, salt: int = 0) -> Column:
+    """A polynomial gate over bounded integers — identical arithmetic is
+    expressible in any SQL engine (used by the DuckDB differential
+    oracle; intermediates stay < 2^33 so no overflow semantics differ).
+    Weaker mixing than xxhash64: prefer :func:`hash_gate` in production.
+    """
+    return F.pmod((id_col % 999_983) * 7_919 + F.lit(salt), F.lit(_MOD))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float | None = None,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    salt: int = 0,
+    gate: Column | None = None,
+) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows (or per-stratum
+    ``fractions`` keyed by ``strata_col`` values; strata missing from the
+    dict are dropped).  Pass ``gate`` to override the hash (e.g.
+    :func:`portable_hash_gate` for cross-engine tests)."""
+    g = gate if gate is not None else hash_gate(F.col(id_col), salt)
+    if fractions is not None:
+        assert strata_col is not None, "fractions requires strata_col"
+        threshold: Column = F.lit(-1)  # unknown strata drop out
+        for value, frac in fractions.items():
+            threshold = (
+                F.when(F.col(strata_col) == value, F.lit(int(round(frac * _MOD))))
+                .otherwise(threshold)
+            )
+    else:
+        assert fraction is not None, "need fraction or fractions"
+        threshold = F.lit(int(round(fraction * _MOD)))
+    return df.filter(g < threshold)

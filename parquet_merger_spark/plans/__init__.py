@@ -3,13 +3,21 @@ from parquet_merger_spark.plans.schema import (
     find_common_columns,
     schemas_compatible,
 )
-from parquet_merger_spark.plans.planner import MergePlan, plan_batch, smart_batch
+from parquet_merger_spark.plans.planner import (
+    MergePlan,
+    SelectionSet,
+    plan_batch,
+    remove_completed,
+    smart_batch,
+)
 
 __all__ = [
     "schemas_compatible",
     "find_common_columns",
     "check_schema_mismatch",
     "MergePlan",
+    "SelectionSet",
     "plan_batch",
+    "remove_completed",
     "smart_batch",
 ]

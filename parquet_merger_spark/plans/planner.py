@@ -39,6 +39,43 @@ def _stem(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+@dataclass
+class SelectionSet:
+    """O3: the reference's file-selection state (HashSet<usize> of indices,
+    src/main.rs:75) with its select-all / deselect-all-over-the-FILTERED-
+    subset semantics (:1046-1058, :1089-1098).  Driver-side UI state, kept
+    for API parity; selections feed :func:`plan_batch`.
+    """
+
+    selected: set[int] = field(default_factory=set)
+
+    def toggle(self, idx: int) -> None:
+        self.selected.symmetric_difference_update({idx})
+
+    def select_all(self, visible: list[int]) -> None:
+        """Select every index in the currently-visible (filtered) subset —
+        previously-selected hidden indices stay selected (reference
+        behavior: only the shown list is mutated)."""
+        self.selected.update(visible)
+
+    def deselect_all(self, visible: list[int]) -> None:
+        self.selected.difference_update(visible)
+
+    def clear(self) -> None:
+        self.selected.clear()
+
+    def resolve(self, entries: list) -> list:
+        return [entries[i] for i in sorted(self.selected)]
+
+
+def remove_completed(plans: list[MergePlan], results: list) -> list[MergePlan]:
+    """R3: drop successfully-merged batches from the plan list (reference
+    removes by index in reverse order to keep indices stable,
+    src/main.rs:380-385 — equivalent here to filtering on the paired
+    result's success flag).  Failed batches stay for retry."""
+    return [p for p, r in zip(plans, results) if not r.ok]
+
+
 def plan_batch(
     spark: SparkSession, paths: list[str], batch_number: int = 0
 ) -> MergePlan:

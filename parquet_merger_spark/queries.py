@@ -22,13 +22,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from parquet_merger_spark.operators.asof import asof_join
 from parquet_merger_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     near_dedup_survivors,
+    ngram_contamination,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+)
+from parquet_merger_spark.operators.sampling import (
+    deterministic_sample,
+    portable_hash_gate,
 )
 from parquet_merger_spark.operators.merge import merge_dataframes, merged_df
 from parquet_merger_spark.operators.multimodal import (
@@ -362,6 +368,70 @@ def q_sessionize(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Extension operators: dedup / similarity / text / multimodal
 # --------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each order gains the customer's latest event at
+    or before the order date (epoch-second granularity for cross-engine
+    exactness; right side deduped to one row per (user, second))."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # NTZ -> TIMESTAMP (session tz is pinned UTC) -> epoch seconds
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+    )
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").cast("long").alias("event_epoch"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("o_custkey", "event_epoch").orderBy(F.desc("event_id"))
+    e_uniq = e.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    joined = asof_join(
+        o,
+        e_uniq,
+        on="o_custkey",
+        left_ts="order_epoch",
+        right_ts="event_epoch",
+        right_cols=["event_id", "event_epoch", "value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_epoch",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_epoch").alias("last_event_epoch"),
+        F.round("value", 2).alias("last_event_value"),
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Reproducible stratified sampling: per-language keep fractions (the
+    corpus-mixture knob), hash-gated so membership is partition- and
+    run-independent.  Uses the portable gate so DuckDB verifies the exact
+    member set, not just counts."""
+    d = _t(spark, sf_dir, "documents")
+    sampled = deterministic_sample(
+        d,
+        id_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.1, "fr": 0.5, "de": 0.5, "es": 0.5, "zh": 0.25},
+        gate=portable_hash_gate(F.col("doc_id"), salt=7),
+    )
+    return sampled.select("doc_id", "lang")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval decontamination report: cross-split pairs sharing >= 5
+    distinct word 3-grams (sources src0-src9 act as the train split)."""
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin([f"src{i}" for i in range(10)])
+    return ngram_contamination(
+        d.filter(is_train), d.filter(~is_train), shingle_words=3, min_shared=5
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -719,6 +789,66 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_id
     """,
+    "asof_join": """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+          FROM orders
+        ), e0 AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS event_epoch,
+                 event_id, value
+          FROM events
+        ), ed AS (
+          SELECT user_id, event_epoch, event_id, value FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_epoch ORDER BY event_id DESC) AS rn
+            FROM e0
+          ) WHERE rn = 1
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.order_epoch,
+               e.event_id AS last_event_id,
+               e.event_epoch AS last_event_epoch,
+               round(e.value, 2) AS last_event_value
+        FROM o ASOF LEFT JOIN ed e
+          ON o.o_custkey = e.user_id AND e.event_epoch <= o.order_epoch
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang FROM documents
+        WHERE ((doc_id % 999983) * 7919 + 7) % 1000000 <
+              CASE lang WHEN 'en' THEN 100000
+                        WHEN 'fr' THEN 500000
+                        WHEN 'de' THEN 500000
+                        WHEN 'es' THEN 500000
+                        WHEN 'zh' THEN 250000
+                        ELSE -1 END
+    """,
+    "decontaminate": """
+        WITH tr AS (
+          SELECT DISTINCT doc_id AS train_id,
+                 unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+                             THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                  i -> string_split(text, ' ')[i] || ' ' ||
+                                       string_split(text, ' ')[i+1] || ' ' ||
+                                       string_split(text, ' ')[i+2])
+                             ELSE [] END) AS gram
+          FROM documents
+          WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+        ), te AS (
+          SELECT DISTINCT doc_id AS test_id,
+                 unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+                             THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                  i -> string_split(text, ' ')[i] || ' ' ||
+                                       string_split(text, ' ')[i+1] || ' ' ||
+                                       string_split(text, ' ')[i+2])
+                             ELSE [] END) AS gram
+          FROM documents
+          WHERE source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+        )
+        SELECT test_id, train_id, CAST(count(*) AS BIGINT) AS shared_grams
+        FROM te JOIN tr USING (gram)
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    """,
     "dedup_exact": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM (
           SELECT o_orderkey, o_custkey, o_totalprice,
@@ -968,6 +1098,9 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_window_events": q_sliding_window_events,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
+    "asof_join": q_asof_join,
+    "sample_stratified": q_sample_stratified,
+    "decontaminate": q_decontaminate,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,

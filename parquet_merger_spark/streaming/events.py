@@ -144,6 +144,38 @@ def session_window_stream(
     )
 
 
+def streaming_distinct_events(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    query_name: str = "distinct_events",
+) -> StreamingQuery:
+    """Streaming dedup: drop re-deliveries of the same event (at-least-once
+    sources re-emit) using ``dropDuplicatesWithinWatermark`` — state holds
+    only keys younger than the watermark, so memory is bounded by
+    (event rate x watermark horizon), not the full history.  Exactly the
+    operator an ingestion pipeline puts in front of every downstream
+    aggregate."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity gaps.
 

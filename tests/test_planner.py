@@ -82,3 +82,37 @@ def test_plan_batch_flags_mismatch(spark, tmp_path):
     b = _write(tmp_path / "x_2.parquet", {"k": pd.Series([2], dtype="int32")})
     plan = plan_batch(spark, [a, b])
     assert plan.schema_mismatch
+
+
+def test_selection_set_filtered_semantics():
+    """O3: select/deselect-all act only on the VISIBLE (filtered) subset;
+    hidden selections survive (reference src/main.rs:1046-1058)."""
+    from parquet_merger_spark.plans.planner import SelectionSet
+
+    s = SelectionSet()
+    s.toggle(0)
+    s.toggle(7)          # will be hidden by the filter below
+    s.select_all([1, 2, 3])
+    assert s.selected == {0, 1, 2, 3, 7}
+    s.deselect_all([0, 1, 2, 3])  # 7 not visible -> stays selected
+    assert s.selected == {7}
+    s.toggle(7)
+    assert s.selected == set()
+    s.select_all([4, 5])
+    s.clear()
+    assert s.selected == set()
+
+
+def test_remove_completed_keeps_failures():
+    """R3: successful batches leave the plan list, failures stay."""
+    from parquet_merger_spark.operators.merge import BatchResult
+    from parquet_merger_spark.plans.planner import MergePlan, remove_completed
+
+    plans = [MergePlan(name=n) for n in ("a", "b", "c")]
+    results = [
+        BatchResult(name="a", output_path="/x/a", rows=10),
+        BatchResult(name="b", output_path=None, rows=None, error="boom"),
+        BatchResult(name="c", output_path="/x/c", rows=5),
+    ]
+    remaining = remove_completed(plans, results)
+    assert [p.name for p in remaining] == ["b"]

@@ -9,7 +9,7 @@ deterministic (xxhash64 seeds, integer-sum kmeans), so the measured recall
 is a constant of (algorithm, parameters, dataset), not a flaky sample.
 
 Measured values at sf0.01 (documented so regressions are visible):
-- minhash_lsh (32 hashes / 16 bands, t=0.5): recall 1.00  -> floor 0.90
+- minhash_lsh (64 hashes / 16 bands, t=0.5): recall 1.00  -> floor 0.90
 - ivf_topk (nlist=16, nprobe=4, corpus_assign=2): recall 0.74 -> floor 0.60
 - ivf_topk (nprobe = nlist, corpus_assign=1): exactness restored -> == brute force
 - cosine near-dup ANN tier (sqrt-n centroids, 2-assign): recall 0.75 -> floor 0.60
@@ -129,3 +129,28 @@ def test_gemm_blocking_invariance(embeddings):
     }
     assert default == many_blocks
     assert len(default) > 0
+
+
+def test_deterministic_sample_is_stable_and_nested(documents):
+    """Hash-gate sampling: reproducible across runs, independent of
+    repartitioning, and nested across fractions at the same salt."""
+    from parquet_merger_spark.operators.sampling import deterministic_sample
+
+    s20 = {r.doc_id for r in deterministic_sample(documents, 0.2).select("doc_id").collect()}
+    s20_again = {
+        r.doc_id
+        for r in deterministic_sample(documents.repartition(13), 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert s20 == s20_again, "sample must not depend on partitioning"
+    s50 = {r.doc_id for r in deterministic_sample(documents, 0.5).select("doc_id").collect()}
+    assert s20 <= s50, "same-salt samples must be nested"
+    s20_other_salt = {
+        r.doc_id
+        for r in deterministic_sample(documents, 0.2, salt=99).select("doc_id").collect()
+    }
+    assert s20 != s20_other_salt
+    # fraction lands in a sane band (xxhash64 is uniform)
+    n = documents.count()
+    assert 0.1 * n < len(s20) < 0.3 * n

@@ -150,3 +150,49 @@ def test_session_window_agg_agrees_with_lag_idiom(spark, event_files):
         "user_id", "session_start", "n_events"
     )
     assert _canon(native) == _canon(lag_based)
+
+
+def test_streaming_distinct_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered events (at-least-once
+    source semantics) are emitted exactly once."""
+    from parquet_merger_spark.streaming.events import streaming_distinct_events
+
+    events_dir = str(tmp_path / "dup_events")
+    os.makedirs(events_dir, exist_ok=True)
+    base = pd.Timestamp("2024-03-01 00:00:00", tz="UTC")
+    f1 = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(100)],
+            "user_id": [i % 5 for i in range(100)],
+        }
+    )
+    # second file re-delivers the last 50 events and adds 50 new ones
+    f2 = pd.DataFrame(
+        {
+            "event_id": list(range(50, 150)),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(50, 150)],
+            "user_id": [i % 5 for i in range(50, 150)],
+        }
+    )
+    for i, chunk in enumerate([f1, f2]):
+        p = os.path.join(events_dir, f"f{i}.parquet")
+        chunk.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        mtime = time.time() - 100 + i * 50
+        os.utime(p, (mtime, mtime))
+
+    q = streaming_distinct_events(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_dd"),
+        watermark="3 hours",
+        query_name="dd_smoke",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.table("dd_smoke")
+    assert got.count() == 150  # 200 delivered, 50 were re-deliveries
+    assert got.select("event_id").distinct().count() == 150
