@@ -176,6 +176,63 @@ def streaming_distinct_events(
     )
 
 
+def user_running_totals_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_totals",
+) -> StreamingQuery:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``:
+    per-user lifetime running totals (event count + value sum), emitted on
+    every update.  This is the shape built-in windowed aggregates can't
+    express — arbitrary per-key state mutated by arbitrary Python logic
+    (the same harness carries online featurization, CUSUM drift detectors,
+    per-entity model state...).
+
+    State is one (count, sum) pair per user — O(distinct keys), Arrow-
+    batched per group per micro-batch.  Emissions are monotone in
+    n_events, so the latest row per user is identifiable downstream
+    without ordering metadata.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    totals = stream.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity gaps.
 

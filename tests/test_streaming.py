@@ -196,3 +196,45 @@ def test_streaming_distinct_drops_redeliveries(spark, tmp_path):
     got = spark.table("dd_smoke")
     assert got.count() == 150  # 200 delivered, 50 were re-deliveries
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_custom_stateful_running_totals(spark, event_files, tmp_path):
+    """applyInPandasWithState: per-user lifetime totals accumulate across
+    micro-batches; the final emission per user equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.streaming.events import user_running_totals_stream
+
+    events_dir, real = event_files
+    q = user_running_totals_stream(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_totals"),
+        query_name="totals_smoke",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # update mode emits one row per (user, micro-batch); n_events is
+    # monotone, so the max-n_events row per user is the final state
+    emitted = spark.table("totals_smoke").filter("user_id <> 99").toPandas()
+    final = (
+        emitted.sort_values(["user_id", "n_events"]).groupby("user_id").tail(1)
+    )
+
+    expected = {
+        (r.user_id, r.n_events): r.total_value
+        for r in spark.createDataFrame(real)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    got = {
+        (int(r.user_id), int(r.n_events)): r.total_value
+        for r in final.itertuples()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6
