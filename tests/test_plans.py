@@ -61,3 +61,35 @@ def test_simhash_signatures_are_shuffle_free(spark):
 def test_brute_force_topk_broadcasts_query_side(spark):
     plan = _explain(QUERIES["simsearch_topk"](spark, SF_DIR), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key join with NO Exchange on either
+    side (the write-time shuffle replaces every query-time shuffle)."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    try:
+        # disable broadcast so the planner must pick sort-merge — the
+        # bucketed layout should then satisfy both sides' distribution
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = _explain(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not re-shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
