@@ -1,3 +1,15 @@
+from parquet_merger_spark.operators.asof import asof_join
+from parquet_merger_spark.operators.bucketing import bucketed_join, write_bucketed
+from parquet_merger_spark.operators.dedup import (
+    dup_clusters,
+    exact_dedup,
+    minhash_lsh_pairs,
+    near_dedup_survivors,
+    ngram_contamination,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from parquet_merger_spark.operators.export import drop_internal_columns, export_csv
 from parquet_merger_spark.operators.merge import (
     BatchResult,
     merge_batches,
@@ -5,11 +17,59 @@ from parquet_merger_spark.operators.merge import (
     merged_df,
     write_parquet,
 )
+from parquet_merger_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_payload_meta,
+    extract_payload_meta_expr,
+)
+from parquet_merger_spark.operators.sampling import (
+    deterministic_sample,
+    hash_gate,
+    portable_hash_gate,
+)
+from parquet_merger_spark.operators.simsearch import (
+    brute_force_topk,
+    build_ivf_centroids,
+    cosine_near_dup_pairs,
+    ivf_topk,
+)
+from parquet_merger_spark.operators.textstats import (
+    fingerprint,
+    language_scores,
+    quality_score,
+    with_text_stats,
+)
 
 __all__ = [
-    "merged_df",
-    "merge_dataframes",
-    "merge_batches",
-    "write_parquet",
+    "asof_join",
+    "attach_binary_payload",
     "BatchResult",
+    "brute_force_topk",
+    "bucketed_join",
+    "build_ivf_centroids",
+    "cosine_near_dup_pairs",
+    "deterministic_sample",
+    "drop_internal_columns",
+    "dup_clusters",
+    "exact_dedup",
+    "export_csv",
+    "extract_payload_meta",
+    "extract_payload_meta_expr",
+    "fingerprint",
+    "hash_gate",
+    "ivf_topk",
+    "language_scores",
+    "merge_batches",
+    "merge_dataframes",
+    "merged_df",
+    "minhash_lsh_pairs",
+    "near_dedup_survivors",
+    "ngram_contamination",
+    "ngram_jaccard_pairs",
+    "portable_hash_gate",
+    "quality_score",
+    "simhash_near_dup_pairs",
+    "with_text_stats",
+    "write_bucketed",
+    "write_parquet",
 ]

@@ -93,3 +93,31 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_merge_scan_nodes_scale_with_schemas_not_files(spark, tmp_path):
+    """merged_df groups files by schema signature: 20 input files with 2
+    distinct schemas plan exactly 2 parquet scans (the reference reads
+    file-by-file; a per-file plan would die at 100k files)."""
+    import pandas as pd
+
+    from parquet_merger_spark.operators.merge import merged_df
+
+    paths = []
+    for i in range(20):
+        p = str(tmp_path / f"f{i}.parquet")
+        if i % 2:
+            pdf = pd.DataFrame({"k": pd.Series([i], dtype="int64"),
+                                "v": pd.Series([1.0], dtype="float64")})
+        else:  # same columns, extra one -> different schema signature
+            pdf = pd.DataFrame({"k": pd.Series([i], dtype="int64"),
+                                "v": pd.Series([2.0], dtype="float64"),
+                                "extra": ["x"]})
+        pdf.to_parquet(p, index=False)
+        paths.append(p)
+
+    df = merged_df(spark, paths)
+    plan = _explain(df, "simple")
+    assert plan.count("Scan parquet") == 2
+    assert df.count() == 20
+    assert df.columns == ["k", "v"]
