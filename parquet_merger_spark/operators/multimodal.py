@@ -137,6 +137,41 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def payload_byte_histogram(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature extraction over binary payloads: a 256-bin byte histogram
+    per payload, L1-normalized — a REAL media-free feature vector (byte
+    distributions separate text/image/audio codecs surprisingly well) and
+    the stand-in for an embedding model in this container.  Output
+    (id, features: array<double>) plugs directly into
+    :mod:`operators.simsearch` (cosine top-k / near-dup over payloads).
+
+    mapInPandas + numpy bincount: Arrow-batched, shuffle-free, one pass.
+    The real learned-feature extractor drops into the same iterator.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                h = np.bincount(arr, minlength=256).astype(np.float64)
+                total = h.sum()
+                feats.append((h / total if total else h).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(hist_batches, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n: int,

@@ -1,0 +1,57 @@
+"""Skew-safe top-k per group.
+
+The plain idiom — ``row_number() OVER (PARTITION BY g ORDER BY v)`` then
+``rank <= k`` — creates ONE window partition per group: with few or
+skewed groups (5 event types, one viral user), a handful of tasks sort
+almost all the data.  Catalyst's WindowGroupLimit pushdown caps the rows
+each partition keeps, but not the partition count.
+
+:func:`topk_per_group_salted` restores parallelism with the standard
+two-phase trick: phase 1 computes a LOCAL top-k inside (group, salt)
+sub-partitions — ``salt = hash(id) % n_salts`` spreads each group over
+n_salts tasks; phase 2 re-ranks only the n_salts*k survivors per group.
+Identical output to the plain window (both phases keep every row that
+could be in the global top-k), verified by an equality test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Plain windowed top-k (fine when groups are many and balanced)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def topk_per_group_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    salt_col: Column,
+    n_salts: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase top-k: local top-k per (group, salt), then global re-rank
+    of the survivors.  ``salt_col`` must be a deterministic function of the
+    row (e.g. ``F.xxhash64("id")``) so results are stable.  Output is
+    row-for-row identical to :func:`topk_per_group`."""
+    salted = df.withColumn("__salt", F.pmod(salt_col, F.lit(n_salts)))
+    w_local = Window.partitionBy(*group_cols, "__salt").orderBy(*order_by)
+    survivors = (
+        salted.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr", "__salt")
+    )
+    return topk_per_group(survivors, group_cols, order_by, k, rank_col)

@@ -145,3 +145,46 @@ def test_single_file_sink_honors_compression(spark, fixture_dir, tmp_path):
     part = next(p for p in os.listdir(multi) if p.endswith(".parquet"))
     meta = pq.ParquetFile(os.path.join(multi, part)).metadata
     assert meta.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_csv_roundtrip_all_type_families(spark, tmp_path):
+    """The CSV sink through the reference's full type surface (F7):
+    int/bigint/double/timestamp/date/boolean/string, with nulls -> empty.
+    Re-read with the written schema reproduces every value."""
+    import datetime
+
+    from pyspark.sql import Row, functions as F
+    from pyspark.sql import types as T
+
+    rows = [
+        Row(i=1, big=2**40, d=1.5, ts=datetime.datetime(2024, 5, 1, 12, 30, 45),
+            dt=datetime.date(2024, 5, 1), b=True, s='quote"comma, and\nnewline'),
+        Row(i=None, big=None, d=None, ts=None, dt=None, b=None, s=None),
+        Row(i=-7, big=-1, d=0.125, ts=datetime.datetime(1999, 12, 31, 23, 59, 59),
+            dt=datetime.date(1970, 1, 1), b=False, s=""),
+    ]
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("big", T.LongType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("dt", T.DateType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("s", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "typed.csv")
+    export_csv(df, out, single_file=True)
+
+    back = (
+        spark.read.schema(schema)
+        .options(header="true", escape='"', multiLine="true",
+                 timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSS", dateFormat="yyyy-MM-dd")
+        .csv(out)
+    )
+    orig = {tuple(str(v) for v in r) for r in df.collect()}
+    rt = {tuple(str(v) for v in r) for r in back.collect()}
+    # CSV cannot distinguish null string from empty string (both write "");
+    # normalize that one documented lossy case
+    fix = lambda t: tuple(("" if (i == 6 and v == "None") else v) for i, v in enumerate(t))
+    assert {fix(t) for t in orig} == {fix(t) for t in rt}

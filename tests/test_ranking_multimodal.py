@@ -1,0 +1,90 @@
+"""Tests: skew-safe top-k equivalence; byte-histogram feature extraction."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.operators.multimodal import (  # noqa: E402
+    attach_binary_payload,
+    payload_byte_histogram,
+)
+from parquet_merger_spark.operators.ranking import (  # noqa: E402
+    topk_per_group,
+    topk_per_group_salted,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    from parquet_merger_spark.session import pin_oracle_confs
+
+    pin_oracle_confs(spark)  # events carries TIMESTAMP(NANOS)
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    order = [F.desc("value"), F.col("event_id")]
+    plain = topk_per_group(e, ["user_id"], order, k=5)
+    salted = topk_per_group_salted(
+        e, ["user_id"], order, k=5, salt_col=F.xxhash64("event_id"), n_salts=8
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r.user_id, r.event_id, r.rank) for r in df.collect()
+    )
+    assert canon(plain) == canon(salted)
+    assert len(canon(plain)) > 0
+
+
+def test_salted_topk_handles_k_larger_than_salt_slices(spark):
+    """Every (group, salt) slice keeps k rows, so even a group whose rows
+    all land in one salt slice still yields its full top-k."""
+    rows = [(i, 1, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, g int, v double")
+    order = [F.desc("v"), F.col("id")]
+    plain = topk_per_group(df, ["g"], order, k=10)
+    salted = topk_per_group_salted(
+        df, ["g"], order, k=10, salt_col=F.xxhash64("id"), n_salts=4
+    )
+    assert sorted(r.id for r in plain.collect()) == sorted(
+        r.id for r in salted.collect()
+    )
+
+
+def test_byte_histogram_matches_numpy(spark):
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(20)
+    with_payload = attach_binary_payload(d, "text")
+    feats = {
+        r.doc_id: r.features
+        for r in payload_byte_histogram(with_payload).collect()
+    }
+    rows = with_payload.select("doc_id", "text").collect()
+    assert len(feats) == len(rows)
+    for r in rows:
+        raw = r.text.encode("utf-8")
+        h = np.bincount(np.frombuffer(raw, dtype=np.uint8), minlength=256)
+        expected = h / h.sum()
+        got = np.array(feats[r.doc_id])
+        assert got.shape == (256,)
+        assert np.allclose(got, expected)
+        assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_byte_histogram_feeds_similarity_search(spark):
+    """The multimodal feature path composes with simsearch: byte-histogram
+    vectors through brute-force cosine top-k."""
+    from parquet_merger_spark.operators.simsearch import brute_force_topk
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(50)
+    feats = payload_byte_histogram(attach_binary_payload(d, "text")).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    queries = feats.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
+    top = brute_force_topk(feats, queries, k=3, vec_col="features")
+    assert top.count() == 2 * 3
