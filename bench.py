@@ -51,6 +51,9 @@ HEADLINE = [
     "asof_join",
     "sample_stratified",
     "decontaminate",
+    "event_percentiles",
+    "rollup_revenue",
+    "text_tfidf",
 ]
 
 

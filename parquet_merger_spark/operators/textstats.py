@@ -135,6 +135,43 @@ def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf with LINEAR idf
+    (``score = tf * N / df``) — chosen over log-idf deliberately: the
+    score is one exact-integer ratio, so it is bit-identical across
+    engines (log() last-ulp differences would poison hash comparison).
+
+    Shape: explode -> (doc, term) counts -> term document frequency ->
+    score -> windowed top-k with full tie-break (score desc, term asc).
+    Two shuffles (term counts, df join) — both on narrow key columns.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(docfreq, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.lit(n_docs) / F.col("df"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-collapsed,
     lowercased text — the canonical exact-dup key after normalization."""

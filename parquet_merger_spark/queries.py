@@ -51,6 +51,7 @@ from parquet_merger_spark.operators.textstats import (
     fingerprint,
     language_scores,
     quality_score,
+    tfidf_top_terms,
     with_text_stats,
 )
 from parquet_merger_spark.operators.export import drop_internal_columns
@@ -434,6 +435,44 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_event_percentiles(spark, sf_dir):
+    """Exact percentiles (p50/p90/p99) of event value per type — linear
+    interpolation, deterministic (both engines implement R type-7)."""
+    e = _events(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (year, priority) -> subtotals + grand total —
+    the grouping-sets family the reference lacks entirely."""
+    o = _t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.rollup("yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("yr", "o_orderpriority", "n_orders", "revenue")
+    )
+
+
+def q_text_tfidf(spark, sf_dir):
+    """Top-5 tf-idf terms per document (linear idf: exact integer ratio,
+    bit-stable across engines; see tfidf_top_terms)."""
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: earliest order per customer survives."""
     o = _t(spark, sf_dir, "orders")
@@ -789,6 +828,43 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_id
     """,
+    "event_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "rollup_revenue": """
+        SELECT year(o_orderdate) AS yr, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+    """,
+    "text_tfidf": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ),
+        docfreq AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY 1
+        ),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, round(tf * n_docs / df, 6) AS tfidf
+          FROM tf JOIN docfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
     "asof_join": """
         WITH o AS (
           SELECT o_orderkey, o_custkey,
@@ -1098,6 +1174,9 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_window_events": q_sliding_window_events,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
+    "event_percentiles": q_event_percentiles,
+    "rollup_revenue": q_rollup_revenue,
+    "text_tfidf": q_text_tfidf,
     "asof_join": q_asof_join,
     "sample_stratified": q_sample_stratified,
     "decontaminate": q_decontaminate,
