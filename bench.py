@@ -54,6 +54,8 @@ HEADLINE = [
     "event_percentiles",
     "rollup_revenue",
     "text_tfidf",
+    "user_event_profile",
+    "daily_order_stats",
 ]
 
 

@@ -435,6 +435,33 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_user_event_profile(spark, sf_dir):
+    """Array-aggregation family: per-user sorted distinct event types,
+    exported as CSV-joined string (cross-engine-stable representation of
+    an array value) + distinct count."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+def q_daily_order_stats(spark, sf_dir):
+    """Datetime function family: date_trunc to day + ISO day-of-week,
+    grouped counts and revenue."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+    return (
+        o.withColumn("day_epoch", day.cast("long"))
+        .withColumn("iso_dow", F.dayofweek(day))
+        .groupBy("day_epoch", "iso_dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def q_event_percentiles(spark, sf_dir):
     """Exact percentiles (p50/p90/p99) of event value per type — linear
     interpolation, deterministic (both engines implement R type-7)."""
@@ -828,6 +855,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_id
     """,
+    "user_event_profile": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id
+    """,
+    "daily_order_stats": """
+        SELECT CAST(FLOOR(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
+               CAST(dayofweek(date_trunc('day', o_orderdate)) + 1 AS INT) AS iso_dow,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    """,
     "event_percentiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1174,6 +1214,8 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_window_events": q_sliding_window_events,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
+    "user_event_profile": q_user_event_profile,
+    "daily_order_stats": q_daily_order_stats,
     "event_percentiles": q_event_percentiles,
     "rollup_revenue": q_rollup_revenue,
     "text_tfidf": q_text_tfidf,

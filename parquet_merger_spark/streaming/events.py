@@ -176,6 +176,36 @@ def streaming_distinct_events(
     )
 
 
+def stream_to_parquet(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> StreamingQuery:
+    """Production-shaped streaming pipeline: file source -> optional
+    row-level transform -> PARQUET sink with checkpointed exactly-once
+    semantics (the memory sinks elsewhere are test instruments; this is
+    the sink a real ingestion job runs).  Restarting from the same
+    checkpoint never duplicates or drops a batch — Spark's file-sink
+    commit log records exactly which files each batch wrote."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def user_running_totals_stream(
     spark: SparkSession,
     events_dir: str,

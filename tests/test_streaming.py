@@ -238,3 +238,37 @@ def test_custom_stateful_running_totals(spark, event_files, tmp_path):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-6
+
+
+def test_stream_to_parquet_exactly_once(spark, event_files, tmp_path):
+    """File-to-parquet streaming pipeline: every input row lands exactly
+    once, and restarting from the same checkpoint adds nothing."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.streaming.events import stream_to_parquet
+
+    events_dir, real = event_files
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt_parquet")
+
+    def enrich(df):
+        return df.withColumn("value_2x", F.col("value") * 2)
+
+    q = stream_to_parquet(spark, events_dir, out, ckpt, transform=enrich)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == len(real) + 1  # + sentinel row
+    assert "value_2x" in got.columns
+    first = {(r.event_id, r.value_2x) for r in got.collect()}
+
+    # restart from the same checkpoint: no new data -> no new rows
+    q2 = stream_to_parquet(spark, events_dir, out, ckpt, transform=enrich)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = {(r.event_id, r.value_2x) for r in spark.read.parquet(out).collect()}
+    assert again == first
