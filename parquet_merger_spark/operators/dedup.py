@@ -213,18 +213,32 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    # The shingle arrays feed candidate generation AND both sides of the
+    # The whole pipeline runs on HASHED shingles (xxhash64 longs): each
+    # shingle string is hashed once; the document-frequency groupBy, the
+    # rarity join, the per-doc ranking window, the candidate join, and the
+    # verification intersect/union all shuffle narrow longs instead of
+    # strings (~10x less shuffle volume).  Exactness is unaffected: the
+    # prefix filter only needs A consistent global rarity order — (df,
+    # hash) is as valid as (df, gram) — and set intersections over
+    # distinct-hash sets equal string-set intersections up to xxhash64
+    # collisions (~2^-64).
+    #
+    # The hashed arrays feed candidate generation AND both sides of the
     # verification join — persist so the text-parsing pipeline doesn't
     # re-run 4x.
     sh = (
         _distinct_shingles(df, id_col, text_col, shingle_words)
         .filter(F.size("shingles") > 0)
-        .withColumn("n", F.size("shingles"))
+        .select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashes"),
+            F.size("shingles").alias("n"),
+        )
         .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
-    inv = sh.select(F.col(id_col), "n", F.explode("shingles").alias("gram"))
+    inv = sh.select(F.col(id_col), "n", F.explode("sh_hashes").alias("gram"))
 
-    # Global document frequency per shingle -> rarity order (df, gram).
+    # Global document frequency per shingle-hash -> rarity order (df, gram).
     gram_df = inv.groupBy("gram").agg(F.count("*").alias("df"))
     ranked = inv.join(gram_df, "gram").withColumn(
         "rn",
@@ -271,12 +285,12 @@ def ngram_jaccard_pairs(
         .distinct()
     )
 
-    sets = sh.select(F.col(id_col), "shingles")
+    sets = sh.select(F.col(id_col), "sh_hashes")
     return (
         cands.join(
-            sets.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a"
+            sets.withColumnsRenamed({id_col: "id_a", "sh_hashes": "sh_a"}), "id_a"
         )
-        .join(sets.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "sh_hashes": "sh_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -20,6 +20,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_from: Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: when a handful of hot keys concentrate the
+    left side into a few shuffle partitions, salt the left rows into
+    ``n_salts`` sub-keys (deterministically, from ``salt_from`` — e.g.
+    ``F.xxhash64("row_id")``) and replicate the RIGHT side once per salt,
+    so each hot key spreads over n_salts tasks.  Identical output to the
+    plain join (every left row still meets every matching right row,
+    exactly once).
+
+    Use when the skew is known up front and AQE's runtime skew-join split
+    isn't available (e.g. a statically-planned pipeline); cost = right
+    side x n_salts, so keep the right side the smaller one."""
+    l_salted = left.withColumn("__salt", F.pmod(salt_from, F.lit(n_salts)))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_salted, [*on, "__salt"], how).drop("__salt")
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -88,3 +88,24 @@ def test_byte_histogram_feeds_similarity_search(spark):
     queries = feats.filter(F.col("vec_id") < 2).withColumnRenamed("vec_id", "query_id")
     top = brute_force_topk(feats, queries, k=3, vec_col="features")
     assert top.count() == 2 * 3
+
+
+def test_salted_join_equals_plain_join(spark):
+    from parquet_merger_spark.operators.ranking import salted_join
+    from parquet_merger_spark.session import pin_oracle_confs
+
+    pin_oracle_confs(spark)
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    # skewed dimension: one row per user
+    dim = e.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    plain = e.join(dim, ["user_id"])
+    salted = salted_join(
+        e, dim, ["user_id"], salt_from=F.xxhash64("event_id"), n_salts=8
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r.event_id, r.user_id, r.user_events) for r in df.collect()
+    )
+    assert canon(plain) == canon(salted)
+    assert plain.count() == e.count()
