@@ -56,6 +56,8 @@ HEADLINE = [
     "text_tfidf",
     "user_event_profile",
     "daily_order_stats",
+    "chunk_documents",
+    "pack_sequences",
 ]
 
 

@@ -435,6 +435,31 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 64-token chunks with 8-token overlap."""
+    from parquet_merger_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Per-language sequence packing into 2048-token bins (offset-based
+    contract; shard = lang so packing parallelizes per mixture stratum)."""
+    from parquet_merger_spark.operators.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        with_tokens, budget_tokens=2048, shard_col="lang"
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "bin_id")
+
+
 def q_user_event_profile(spark, sf_dir):
     """Array-aggregation family: per-user sorted distinct event types,
     exported as CSV-joined string (cross-engine-stable representation of
@@ -855,6 +880,33 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, session_id
     """,
+    "chunk_documents": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n, unnest(range(1, greatest(n, 1) + 1, 56)) AS start
+          FROM t
+        )
+        SELECT s.doc_id,
+               CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY start) AS INT)
+                 AS chunk_idx,
+               array_to_string(list_slice(t.toks, start, least(start + 63, s.n)), ' ')
+                 AS chunk_text,
+               CAST(least(s.n - start + 1, 64) AS BIGINT) AS n_chunk_tokens
+        FROM s JOIN t ON s.doc_id = t.doc_id
+    """,
+    "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / 2048) AS BIGINT) AS bin_id
+        FROM t
+    """,
     "user_event_profile": """
         SELECT user_id,
                string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
@@ -1214,6 +1266,8 @@ QUERIES: dict[str, QueryFn] = {
     "sliding_window_events": q_sliding_window_events,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
     "user_event_profile": q_user_event_profile,
     "daily_order_stats": q_daily_order_stats,
     "event_percentiles": q_event_percentiles,

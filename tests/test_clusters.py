@@ -41,3 +41,34 @@ def test_survivors_keep_canonical_and_untouched(spark):
     )
     # clusters {2,3,4} -> keep 2; {6,7} -> keep 6; 1 and 5 untouched
     assert kept == [1, 2, 5, 6]
+
+
+def test_chunk_documents_boundaries(spark):
+    from parquet_merger_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_chunk_tokens))
+    # doc 1: starts at tokens 1,4,7,10 (step 3) -> 4 chunks, last is short
+    assert [c[1] for c in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [c[2] for c in sorted(by_doc[1])] == [4, 4, 4, 1]
+    assert sorted(by_doc[2]) == [(1, "only three words", 3)]
+    # empty text -> split(" ") gives [""] -> one 1-token chunk (documented)
+    assert sorted(by_doc[3]) == [(1, "", 1)]
+
+
+def test_pack_sequences_bin_offsets(spark):
+    from parquet_merger_spark.operators.chunking import pack_sequences
+
+    rows = [(i, "x", 600) for i in range(1, 8)]  # 7 docs x 600 tokens
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = {r.doc_id: r.bin_id for r in pack_sequences(df, 1000, shard_col="lang").collect()}
+    # start offsets 0,600,1200,...,3600 -> bins 0,0,1,1,2,3,3
+    assert packed == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 3}
