@@ -110,6 +110,7 @@ def write_parquet(
     out_path: str,
     single_file: bool = False,
     compression: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Parquet sink; returns the row count observed during the write.
 
@@ -117,7 +118,13 @@ def write_parquet(
     file at ``out_path``) via coalesce(1) + rename — correct only at
     single-node scale.  The default keeps Spark's parallel, partitioned
     directory output, which is the 100 TB path.
+
+    ``partition_by`` hive-partitions the output (``col=value/``
+    directories): readers filtering on those columns scan only matching
+    directories (partition pruning — plan-asserted in tests/test_plans.py).
+    Mutually exclusive with ``single_file``.
     """
+    assert not (single_file and partition_by), "partitioned output is multi-file"
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
@@ -125,6 +132,8 @@ def write_parquet(
         w = frame.write.mode("overwrite")
         if compression:
             w = w.option("compression", compression)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
         return w
 
     if single_file:

@@ -121,3 +121,21 @@ def test_merge_scan_nodes_scale_with_schemas_not_files(spark, tmp_path):
     assert plan.count("Scan parquet") == 2
     assert df.count() == 20
     assert df.columns == ["k", "v"]
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
+    """write_parquet(partition_by=...) -> a filtered read scans only the
+    matching partition directories (PartitionFilters in the scan node,
+    and the pruned column is absent from PushedFilters/data scan)."""
+    from parquet_merger_spark.operators.merge import write_parquet
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    out = str(tmp_path / "orders_by_priority")
+    rows = write_parquet(o, out, partition_by=["o_orderpriority"])
+    assert rows == o.count()
+
+    back = spark.read.parquet(out).filter("o_orderpriority = '1-URGENT'")
+    plan = _explain(back)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderpriority" in pf_line, "filter did not become a partition filter"
+    assert back.count() == o.filter("o_orderpriority = '1-URGENT'").count()
