@@ -669,7 +669,9 @@ def q_session_window(spark, sf_dir):
 def q_merge_files_roundtrip(spark, sf_dir):
     """The core merge operator itself through the driver: write two
     overlapping projections of nation as parquet, merge with intersection
-    semantics, return the merged frame — rows-only (sink round-trip)."""
+    semantics, return the merged frame.  Oracle-checked: the temp files
+    are deterministic projections of nation, so DuckDB recomputes the
+    expected intersection-union directly from the source table."""
     import tempfile
 
     n = _t(spark, sf_dir, "nation")
@@ -1203,6 +1205,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         FROM documents
+    """,
+    "merge_files_roundtrip": """
+        SELECT n_nationkey, n_name FROM nation
+        UNION ALL
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
     """,
     "multimodal_meta_expr": """
         WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
