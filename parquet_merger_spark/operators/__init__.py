@@ -17,10 +17,17 @@ from parquet_merger_spark.operators.merge import (
     merged_df,
     write_parquet,
 )
+from parquet_merger_spark.operators.chunking import chunk_documents, pack_sequences
 from parquet_merger_spark.operators.multimodal import (
     attach_binary_payload,
     extract_payload_meta,
     extract_payload_meta_expr,
+    payload_byte_histogram,
+)
+from parquet_merger_spark.operators.ranking import (
+    salted_join,
+    topk_per_group,
+    topk_per_group_salted,
 )
 from parquet_merger_spark.operators.sampling import (
     deterministic_sample,
@@ -47,6 +54,12 @@ __all__ = [
     "brute_force_topk",
     "bucketed_join",
     "build_ivf_centroids",
+    "chunk_documents",
+    "pack_sequences",
+    "payload_byte_histogram",
+    "salted_join",
+    "topk_per_group",
+    "topk_per_group_salted",
     "cosine_near_dup_pairs",
     "deterministic_sample",
     "drop_internal_columns",

@@ -47,6 +47,14 @@ def asof_join(
     must be unique per (on, right_ts) — deduplicate first (e.g.
     ``exact_dedup``) or the carried row is the max-ts one with an
     unspecified tie among equals.
+
+    The right payload travels as ONE STRUCT, for two correctness reasons:
+    a struct whose fields are all NULL is still a non-null struct, so a
+    matched right row with genuinely-NULL values is carried (ignorenulls
+    must only skip the union's null-fill rows, never a real match); and
+    every output column comes from the SAME right row (carrying columns
+    independently could stitch values from different rows whenever one
+    column is NULL in the nearest match).
     """
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
@@ -55,7 +63,7 @@ def asof_join(
         right.select(
             F.col(on),
             F.col(right_ts).alias("__t"),
-            *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+            F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
         )
         .withColumn("__side", F.lit(0))
     )
@@ -69,11 +77,10 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried: list[Column] = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols
-    ]
+    carried = F.last("__r", ignorenulls=True).over(w)
+    out_cols: list[Column] = [carried[c].alias(c) for c in right_cols]
     return (
-        combined.select(*left.columns, "__side", *carried)
+        combined.select(*left.columns, "__side", *out_cols)
         .filter(F.col("__side") == 1)
         .drop("__side")
     )

@@ -32,12 +32,21 @@ def chunk_documents(
     chunks of ``chunk_tokens`` tokens, consecutive chunks sharing
     ``overlap`` tokens; the final chunk may be shorter.  1-based chunk
     indices; empty docs produce one empty chunk (token contract matches
-    ``split(' ')``)."""
+    ``split(' ')``).
+
+    Chunk starts stop at the FIRST start whose chunk reaches the document
+    end — a start beyond that would emit a chunk fully contained in its
+    predecessor (pure duplicate training text)."""
     assert 0 <= overlap < chunk_tokens
     step = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    # last useful start s* = first series element >= n - chunk_tokens + 1;
+    # bounding the sequence by n - chunk_tokens + step includes s* and
+    # excludes s* + step (which would duplicate the tail)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - chunk_tokens + step, F.lit(1)), F.lit(step)
+    )
     chunks = F.transform(
         starts,
         lambda s: F.struct(

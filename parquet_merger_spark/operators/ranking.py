@@ -38,7 +38,15 @@ def salted_join(
 
     Use when the skew is known up front and AQE's runtime skew-join split
     isn't available (e.g. a statically-planned pipeline); cost = right
-    side x n_salts, so keep the right side the smaller one."""
+    side x n_salts, so keep the right side the smaller one.
+
+    Only left-preserving join types are allowed: in a right/full outer
+    join an unmatched right key would survive once PER SALT COPY
+    (n_salts duplicate null-padded rows), so those are rejected."""
+    assert how in ("inner", "left", "left_outer", "leftouter", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"), (
+        f"how={how!r} would duplicate unmatched right rows across salt copies"
+    )
     l_salted = left.withColumn("__salt", F.pmod(salt_from, F.lit(n_salts)))
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -72,7 +80,10 @@ def topk_per_group_salted(
     """Two-phase top-k: local top-k per (group, salt), then global re-rank
     of the survivors.  ``salt_col`` must be a deterministic function of the
     row (e.g. ``F.xxhash64("id")``) so results are stable.  Output is
-    row-for-row identical to :func:`topk_per_group`."""
+    row-for-row identical to :func:`topk_per_group` PROVIDED ``order_by``
+    is a TOTAL order within each group (end with a unique tiebreak column)
+    — under ties, row_number picks arbitrarily per slice and the two
+    phases could keep a different (equally-ranked) row set."""
     salted = df.withColumn("__salt", F.pmod(salt_col, F.lit(n_salts)))
     w_local = Window.partitionBy(*group_cols, "__salt").orderBy(*order_by)
     survivors = (

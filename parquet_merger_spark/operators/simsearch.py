@@ -159,9 +159,9 @@ def build_ivf_centroids(
     n = vecs_only.count()
     train = vecs_only
     if n > max_train_rows:
-        # deterministic ~max_train_rows sample: keep ids whose hash falls in
-        # a fixed fraction of the 64-bit space
-        keep_mod = max(1, n // max_train_rows)
+        # deterministic sample of AT MOST ~max_train_rows rows (ceiling
+        # division: flooring would let the sample run up to 2x the cap)
+        keep_mod = max(1, -(-n // max_train_rows))
         train = vecs_only.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
 
     for _ in range(iters):

@@ -72,7 +72,15 @@ def remove_completed(plans: list[MergePlan], results: list) -> list[MergePlan]:
     """R3: drop successfully-merged batches from the plan list (reference
     removes by index in reverse order to keep indices stable,
     src/main.rs:380-385 — equivalent here to filtering on the paired
-    result's success flag).  Failed batches stay for retry."""
+    result's success flag).  Failed batches stay for retry.
+
+    ``results`` must align 1:1 with ``plans`` (the contract
+    ``merge_batches`` provides); a length mismatch raises rather than
+    silently dropping unpaired plans from the retry list."""
+    if len(plans) != len(results):
+        raise ValueError(
+            f"plans ({len(plans)}) and results ({len(results)}) must pair 1:1"
+        )
     return [p for p, r in zip(plans, results) if not r.ok]
 
 

@@ -478,7 +478,9 @@ def q_daily_order_stats(spark, sf_dir):
     day = F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
     return (
         o.withColumn("day_epoch", day.cast("long"))
-        .withColumn("iso_dow", F.dayofweek(day))
+        # weekday() is 0=Monday..6=Sunday; +1 gives true ISO-8601 dow
+        # (dayofweek() would be 1=Sunday — not ISO despite the old label)
+        .withColumn("iso_dow", F.weekday(day) + 1)
         .groupBy("day_epoch", "iso_dow")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -887,7 +889,9 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
         ),
         s AS (
-          SELECT doc_id, n, unnest(range(1, greatest(n, 1) + 1, 56)) AS start
+          -- starts stop at the first chunk reaching the doc end
+          -- (greatest(n - 64 + 56, 1) mirrors chunk_documents)
+          SELECT doc_id, n, unnest(range(1, greatest(n - 8, 1) + 1, 56)) AS start
           FROM t
         )
         SELECT s.doc_id,
@@ -917,7 +921,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "daily_order_stats": """
         SELECT CAST(FLOOR(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
-               CAST(dayofweek(date_trunc('day', o_orderdate)) + 1 AS INT) AS iso_dow,
+               CAST(isodow(date_trunc('day', o_orderdate)) AS INT) AS iso_dow,
                CAST(count(*) AS BIGINT) AS n_orders,
                round(sum(o_totalprice), 2) AS revenue
         FROM orders GROUP BY 1, 2

@@ -41,3 +41,44 @@ def test_asof_keys_do_not_leak_across_groups(spark):
     )
     out = asof_join(left, right, on="k", left_ts="t", right_ts="t", right_cols=["payload"])
     assert {(r.k, r.payload) for r in out.collect()} == {(1, "for-k1"), (2, "for-k2")}
+
+
+def test_asof_carries_null_payload_of_true_match(spark):
+    """A matched right row whose payload is NULL must be carried as NULL —
+    not skipped in favor of an older non-null row — and all output columns
+    must come from the SAME right row."""
+    left = _df(spark, [(1, 25)], "k long, t long")
+    right = _df(
+        spark,
+        [(1, 10, 5.0, 1), (1, 20, None, 2)],
+        "k long, t long, price double, qty long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols=["price", "qty"]
+    ).collect()
+    assert len(out) == 1
+    # the ts=20 row is the match: price NULL, qty 2 (never price=5/qty=2)
+    assert out[0].price is None and out[0].qty == 2
+
+
+def test_chunk_no_redundant_tail_when_chunk_covers_doc(spark):
+    """A doc exactly chunk_tokens long yields ONE chunk even with overlap
+    (the would-be second start emits pure duplicate text)."""
+    from parquet_merger_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(64)))], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 64
+
+
+def test_salted_join_rejects_right_preserving_how(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.ranking import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(AssertionError):
+        salted_join(df, df, ["k"], salt_from=F.xxhash64("v"), how="full")

@@ -54,11 +54,12 @@ def test_chunk_documents_boundaries(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_chunk_tokens))
-    # doc 1: starts at tokens 1,4,7,10 (step 3) -> 4 chunks, last is short
+    # doc 1 (10 tokens, step 3): starts 1,4,7 — chunk at 7 reaches the doc
+    # end, so no redundant tail chunk at 10
     assert [c[1] for c in sorted(by_doc[1])] == [
-        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
     ]
-    assert [c[2] for c in sorted(by_doc[1])] == [4, 4, 4, 1]
+    assert [c[2] for c in sorted(by_doc[1])] == [4, 4, 4]
     assert sorted(by_doc[2]) == [(1, "only three words", 3)]
     # empty text -> split(" ") gives [""] -> one 1-token chunk (documented)
     assert sorted(by_doc[3]) == [(1, "", 1)]
