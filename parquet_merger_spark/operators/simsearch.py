@@ -222,6 +222,33 @@ def assign_buckets(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_assign: int = 1,
+) -> None:
+    """Persist an IVF index: ``<path>/centroids`` (nlist rows) and
+    ``<path>/vectors`` hive-PARTITIONED BY bucket.  Build once, probe
+    many: a probing query filters ``bucket IN (...)`` and the scan prunes
+    to the matching partition directories — at 100 TB each probe touches
+    nprobe/nlist of the files, no shuffle, no index rebuild."""
+    centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_assign=corpus_assign)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/vectors")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, bucketed_vectors) from :func:`write_ivf_index` output."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/vectors"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -232,6 +259,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     corpus_assign: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe buckets nearest each query.
 
@@ -241,9 +269,16 @@ def ivf_topk(
     buckets per query) and ``corpus_assign`` (index each corpus vector in
     its m nearest buckets — catches neighbors that sit just across a
     bucket boundary); exactness restored at nprobe = nlist.
+
+    Pass ``index`` (from :func:`load_ivf_index`) to probe a prebuilt
+    persisted index instead of re-deriving centroids and buckets from the
+    corpus — the production shape (``corpus`` is then ignored).
     """
-    centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_assign=corpus_assign)
+    if index is not None:
+        centroids, bucketed = index
+    else:
+        centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
+        bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_assign=corpus_assign)
 
     qprobes = (
         _with_quantized(queries, vec_col)

@@ -154,3 +154,40 @@ def test_deterministic_sample_is_stable_and_nested(documents):
     # fraction lands in a sane band (xxhash64 is uniform)
     n = documents.count()
     assert 0.1 * n < len(s20) < 0.3 * n
+
+
+def test_persisted_ivf_index_roundtrip(spark, embeddings, tmp_path):
+    """write_ivf_index -> load_ivf_index -> ivf_topk(index=...) returns
+    exactly what the direct (in-memory) computation returns, and the
+    probe read is partition-pruned on bucket."""
+    from parquet_merger_spark.operators.simsearch import (
+        ivf_topk,
+        load_ivf_index,
+        write_ivf_index,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    direct = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(
+            embeddings, q, k=10, nlist=16, nprobe=4, corpus_assign=2
+        ).collect()
+    }
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(embeddings, path, nlist=16, corpus_assign=2)
+    index = load_ivf_index(spark, path)
+    from_index = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(
+            embeddings, q, k=10, nlist=16, nprobe=4, index=index
+        ).collect()
+    }
+    assert from_index == direct
+
+    # bucket filters on the persisted layout prune partitions
+    probe = index[1].filter("bucket IN (0, 1)")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = probe._jdf.queryExecution().explainString(jmode)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "bucket" in pf
