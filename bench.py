@@ -58,6 +58,9 @@ HEADLINE = [
     "daily_order_stats",
     "chunk_documents",
     "pack_sequences",
+    "semi_join_customers",
+    "anti_join_customers",
+    "left_join_null_fill",
 ]
 
 

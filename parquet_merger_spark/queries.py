@@ -304,6 +304,48 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_semi_join_customers(spark, sf_dir):
+    """LEFT SEMI join: customers having at least one high-value order
+    (existence test — no row multiplication, no order columns leak)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """LEFT ANTI join: customers with no orders at all (the complement
+    existence test)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def q_left_join_null_fill(spark, sf_dir):
+    """LEFT OUTER join + COALESCE: per-customer order counts with 0 (not
+    NULL) for customers who never ordered."""
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+            F.coalesce("total", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Window ranking: top 3 events by value per type (total order)."""
     e = _events(spark, sf_dir)
@@ -836,6 +878,25 @@ ORACLE_SQL: dict[str, str] = {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
     """,
+    "semi_join_customers": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "left_join_null_fill": """
+        SELECT c_custkey,
+               CAST(coalesce(a.cnt, 0) AS BIGINT) AS n_orders,
+               coalesce(a.total, 0.0) AS total_spent
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+                 round(sum(o_totalprice), 2) AS total
+          FROM orders GROUP BY o_custkey
+        ) a ON c_custkey = a.o_custkey
+    """,
     "topk_per_group": """
         SELECT event_type, event_id, value, CAST(rank AS INT) AS rank FROM (
           SELECT event_type, event_id, value,
@@ -1271,6 +1332,9 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "nation_revenue": q_nation_revenue,
+    "semi_join_customers": q_semi_join_customers,
+    "anti_join_customers": q_anti_join_customers,
+    "left_join_null_fill": q_left_join_null_fill,
     "topk_per_group": q_topk_per_group,
     "json_extract": q_json_extract,
     "window_agg_events": q_window_agg_events,
