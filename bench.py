@@ -61,6 +61,7 @@ HEADLINE = [
     "semi_join_customers",
     "anti_join_customers",
     "left_join_null_fill",
+    "trailing_window_avg",
 ]
 
 

@@ -304,6 +304,26 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_trailing_window_avg(spark, sf_dir):
+    """RANGE-frame window: per-user trailing 1-hour average event value
+    (frame = all events within 3600s before each event, event-time based
+    — a rows-frame would be wrong under irregular event spacing)."""
+    e = _events(spark, sf_dir)
+    es = e.withColumn("epoch", F.col("ts").cast("long"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return es.select(
+        "event_id",
+        "user_id",
+        "epoch",
+        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -878,6 +898,19 @@ ORACLE_SQL: dict[str, str] = {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
     """,
+    "trailing_window_avg": """
+        WITH e AS (
+          SELECT event_id, user_id, value,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch
+          FROM events
+        )
+        SELECT event_id, user_id, epoch,
+               round(avg(value) OVER w, 6) AS trailing_avg,
+               CAST(count(*) OVER w AS BIGINT) AS n_in_window
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "semi_join_customers": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -1332,6 +1365,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "nation_revenue": q_nation_revenue,
+    "trailing_window_avg": q_trailing_window_avg,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
