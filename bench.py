@@ -62,6 +62,13 @@ HEADLINE = [
     "anti_join_customers",
     "left_join_null_fill",
     "trailing_window_avg",
+    "text_repetition",
+    "pii_redact",
+    "source_cap",
+    "embed_normalize",
+    "pivot_event_counts",
+    "intersect_custkeys",
+    "except_custkeys",
 ]
 
 

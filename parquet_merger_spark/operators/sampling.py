@@ -39,6 +39,40 @@ def portable_hash_gate(id_col: Column, salt: int = 0) -> Column:
     return F.pmod((id_col % 999_983) * 7_919 + F.lit(salt), F.lit(_MOD))
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    gate: Column | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group (per-domain / per-source caps —
+    the standard defense against one crawl domain dominating a training
+    mixture).  Selection is DETERMINISTIC: rows are ranked by a hash gate
+    (default :func:`hash_gate`) with ``id_col`` as the total-order
+    tiebreak, so the kept set is independent of partitioning and re-runs.
+
+    Executes via the skew-safe two-phase top-k
+    (:func:`~parquet_merger_spark.operators.ranking.topk_per_group_salted`):
+    a viral domain with 1e9 rows is ranked in ``n_salts`` parallel slices
+    of local-top-``cap`` before the global re-rank touches only
+    ``n_salts * cap`` survivors per group — no single task ever sorts a
+    whole hot domain.  Appends ``rank`` (1..cap within the group).
+    """
+    from parquet_merger_spark.operators.ranking import topk_per_group_salted
+
+    g = gate if gate is not None else hash_gate(F.col(id_col))
+    return topk_per_group_salted(
+        df,
+        [group_col],
+        [g.asc(), F.col(id_col).asc()],
+        cap,
+        salt_col=F.xxhash64(F.col(id_col), F.lit(1)),
+        n_salts=n_salts,
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float | None = None,

@@ -61,6 +61,55 @@ def quantized_cosine(qa: Column, qb: Column, norm_a: Column, norm_b: Column) -> 
     return quantized_dot(qa, qb) / (F.sqrt(norm_a) * F.sqrt(norm_b))
 
 
+def normalize_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 127,
+) -> DataFrame:
+    """L2-normalize and int8-grid quantize an embedding column — the
+    standard storage/ANN-prep transform (unit vectors make cosine a plain
+    dot product; int8 cuts the index 4x vs float32).
+
+    Returns the quantized vector EXPLODED to ``(id, pos, q_unit, norm_q)``
+    rows: ``q_unit = floor(q_i * scale_bits / ||q||)`` in [-scale_bits,
+    scale_bits], ``norm_q = floor(||q|| * 1e6)`` (the pre-normalization
+    magnitude, kept so the original can be approximately reconstructed).
+
+    Cross-engine determinism: elements land on the integer QUANT_SCALE
+    grid first, so the self-dot is an exact integer; ``sqrt`` of the same
+    integer is the identical IEEE double in any engine, and ``floor`` of
+    identical doubles is exact — no round-half ambiguity anywhere.
+    Row-local (transform/aggregate + posexplode): zero shuffle at any
+    corpus size.  Zero vectors map to q_unit=0, norm_q=0 (guarded
+    division).
+    """
+    q = quantize(F.col(vec_col))
+    d = df.withColumn("__q", q).withColumn(
+        "__q2", quantized_dot(F.col("__q"), F.col("__q"))
+    )
+    norm = F.sqrt(F.col("__q2").cast("double"))
+    q_unit = F.transform(
+        F.col("__q"),
+        lambda x: F.when(
+            F.col("__q2") > 0,
+            F.floor(x.cast("double") * scale_bits / norm),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    norm_q = (
+        F.when(F.col("__q2") > 0, F.floor(norm * 1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return d.select(
+        F.col(id_col),
+        F.posexplode(q_unit).alias("pos", "q_unit"),
+        norm_q.alias("norm_q"),
+    )
+
+
 def _with_quantized(df: DataFrame, vec_col: str) -> DataFrame:
     q = quantize(F.col(vec_col))
     return df.withColumn("__q", q).withColumn(

@@ -172,6 +172,135 @@ def tfidf_top_terms(
     )
 
 
+def _with_mode_count(df: DataFrame, arr_col: str, out_col: str) -> DataFrame:
+    """Append the frequency of the most common element (mode count) of
+    array column ``arr_col`` via sorted run lengths: sort, mark run-start
+    positions, diff consecutive starts, take the max.  O(n log n)
+    row-local; null for an empty array.
+
+    Each intermediate is materialized as its OWN column (own projection):
+    Spark expression trees are trees, not DAGs — inlining ``array_sort``
+    into the filter lambda would re-sort the array once per element
+    (measured: 8x slower than even the quadratic scan).  CollapseProject
+    keeps multi-referenced non-cheap aliases in separate projects, so
+    each step is evaluated exactly once per row."""
+    s, st, bd = f"__{out_col}_s", f"__{out_col}_st", f"__{out_col}_bd"
+    d = df.withColumn(s, F.array_sort(F.col(arr_col)))
+    d = d.withColumn(
+        st,
+        # the size>0 guard matters twice over: sequence(1, 0) would be the
+        # DESCENDING [1, 0], and element_at(s, 0) is an ANSI error
+        F.when(
+            F.size(F.col(s)) > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size(F.col(s))),
+                lambda i: (i == 1)
+                | (F.element_at(F.col(s), i) != F.element_at(F.col(s), i - 1)),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    d = d.withColumn(bd, F.concat(F.col(st), F.array(F.size(F.col(s)) + 1)))
+    ns = F.size(F.col(st))
+    runs = F.zip_with(
+        F.slice(F.col(bd), 2, ns), F.slice(F.col(bd), 1, ns), lambda a, b: a - b
+    )
+    return d.withColumn(
+        out_col, F.when(F.size(F.col(s)) > 0, F.array_max(runs))
+    ).drop(s, st, bd)
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, computed entirely
+    ROW-LOCALLY (higher-order functions, zero shuffle — the pass is
+    embarrassingly parallel at any corpus size):
+
+    - ``dup_token_frac``  — fraction of tokens that are repeats of an
+      earlier token (1 - distinct/total); high values flag boilerplate.
+    - ``top_token_frac``  — frequency of the most common token / total.
+    - ``top_bigram_frac`` — frequency of the most common word bigram /
+      total bigrams (0.0 when the doc has < 2 tokens).
+
+    The mode frequency is computed by SORTED RUN LENGTHS — sort the
+    array, find run-start positions, diff consecutive starts, take the
+    max — O(n log n) per document and one interpreter pass per element.
+    (The naive ``transform(distinct, d -> size(filter(toks, = d)))`` is
+    O(distinct x n) INTERPRETED lambda evals — measured 40x slower at
+    sf0.01 — higher-order lambdas never enter whole-stage codegen, so
+    the constant factor is the whole game.)  The DuckDB oracle keeps the
+    naive quadratic spec, which makes the differential test a genuine
+    two-algorithm cross-check of the same contract.
+
+    Ratios are rounded to 6dp so the DuckDB differential oracle hashes
+    identically (both engines divide the same exact integers).
+    """
+    d = df.withColumn("__toks", tokens(F.col(text_col)))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    d = d.withColumn(
+        "__bigrams",
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    d = _with_mode_count(d, "__toks", "__top_tok")
+    d = _with_mode_count(d, "__bigrams", "__top_big")
+    nb = F.size(F.col("__bigrams"))
+    distinct = F.size(F.array_distinct(toks))
+    return (
+        d.withColumn("n_tokens", n.cast("long"))
+        .withColumn("n_distinct_tokens", distinct.cast("long"))
+        .withColumn(
+            "dup_token_frac",
+            F.when(n > 0, F.round(F.lit(1.0) - distinct / n, 6)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_token_frac",
+            F.when(n > 0, F.round(F.col("__top_tok") / n, 6)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(nb > 0, F.round(F.col("__top_big") / nb, 6)).otherwise(F.lit(0.0)),
+        )
+        .drop("__toks", "__bigrams", "__top_tok", "__top_big")
+    )
+
+
+# PII patterns: deliberately restricted to syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically — no lookaround, no backrefs,
+# only \b / \d / literal classes and bounded quantifiers.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers from ``text_col`` — the
+    standard pre-training privacy pass.  Row-local regex work (zero
+    shuffle; regexp_replace is a JVM codegen expression).
+
+    Counts are measured on the ORIGINAL text (all three patterns), then
+    replacements apply in a fixed order (email -> ip -> phone) so e.g.
+    ``user@1.2.3.4`` is one email, not an email plus an IP.  Appends
+    ``n_emails / n_ipv4 / n_phones / text_redacted``.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL)).cast("long"))
+        .withColumn("n_ipv4", F.regexp_count(t, F.lit(PII_IPV4)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PHONE)).cast("long"))
+        .withColumn("text_redacted", redacted)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the whitespace-collapsed,
     lowercased text — the canonical exact-dup key after normalization."""

@@ -33,6 +33,7 @@ from parquet_merger_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from parquet_merger_spark.operators.sampling import (
+    cap_per_group,
     deterministic_sample,
     portable_hash_gate,
 )
@@ -46,12 +47,15 @@ from parquet_merger_spark.operators.simsearch import (
     brute_force_topk,
     cosine_near_dup_pairs,
     ivf_topk,
+    normalize_quantize,
 )
 from parquet_merger_spark.operators.textstats import (
     fingerprint,
     language_scores,
     quality_score,
+    redact_pii,
     tfidf_top_terms,
+    with_repetition_stats,
     with_text_stats,
 )
 from parquet_merger_spark.operators.export import drop_internal_columns
@@ -730,6 +734,82 @@ def q_session_window(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-token / top-token /
+    top-bigram fractions) — row-local, shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        "top_bigram_frac",
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass (emails / IPv4 / phone patterns): match counts on the
+    original text plus the redacted text.  The synthetic corpus is
+    PII-free, so the oracle certifies the no-op path end-to-end; crafted
+    positive cases are unit-tested (tests/test_textstats_ext.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return redact_pii(d).select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones", "text_redacted"
+    )
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (at most 10 docs per source, hash-ordered
+    deterministic selection) via the skew-safe two-phase top-k."""
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(
+        d,
+        "source",
+        cap=10,
+        id_col="doc_id",
+        gate=portable_hash_gate(F.col("doc_id")),
+    ).select("source", "doc_id", "rank")
+
+
+def q_embed_normalize(spark, sf_dir):
+    """L2-normalize + int8-grid quantization of the embedding column,
+    exploded to (vec_id, pos, q_unit, norm_q) scalar rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return normalize_quantize(e, "vec_id", "embedding")
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot: one row per user, one column per event type (fixed value
+    list so the output schema is static), missing combinations = 0."""
+    e = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    p = e.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return p.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def q_intersect_custkeys(spark, sf_dir):
+    """INTERSECT (distinct set semantics): customers who ordered in BOTH
+    1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("timestamp"))
+    a = o.filter(year == 1995).select("o_custkey")
+    b = o.filter(year == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+def q_except_custkeys(spark, sf_dir):
+    """EXCEPT (distinct set semantics): customers who ordered in 1995 but
+    not in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("timestamp"))
+    a = o.filter(year == 1995).select("o_custkey")
+    b = o.filter(year == 1996).select("o_custkey")
+    return a.subtract(b)
+
+
 def q_merge_files_roundtrip(spark, sf_dir):
     """The core merge operator itself through the driver: write two
     overlapping projections of nation as parquet, merge with intersection
@@ -1343,6 +1423,84 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 'unknown' END AS modality
         FROM m
     """,
+    "text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        b AS (SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS dt,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1])
+                          ELSE [] END AS bg
+              FROM t)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(len(dt) AS BIGINT) AS n_distinct_tokens,
+               CASE WHEN n > 0
+                    THEN round(1.0 - CAST(len(dt) AS DOUBLE) / n, 6)
+                    ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN n > 0
+                    THEN round(CAST(list_max(list_transform(dt,
+                           d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE) / n, 6)
+                    ELSE 0.0 END AS top_token_frac,
+               CASE WHEN len(bg) > 0
+                    THEN round(CAST(list_max(list_transform(list_distinct(bg),
+                           d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg), 6)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM b
+    """,
+    "pii_redact": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                 '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_redacted
+        FROM documents
+    """,
+    "source_cap": """
+        SELECT source, doc_id, CAST(rn AS INT) AS rank FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ((doc_id % 999983) * 7919) % 1000000, doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= 10
+    """,
+    "embed_normalize": f"""
+        SELECT vec_id,
+               CAST(unnest(range(0, len(qe))) AS INT) AS pos,
+               unnest(list_transform(range(1, len(qe) + 1),
+                 i -> CASE WHEN q2 > 0
+                           THEN CAST(floor(CAST(qe[i] AS DOUBLE) * 127
+                                           / sqrt(CAST(q2 AS DOUBLE))) AS BIGINT)
+                           ELSE CAST(0 AS BIGINT) END)) AS q_unit,
+               CASE WHEN q2 > 0
+                    THEN CAST(floor(sqrt(CAST(q2 AS DOUBLE)) * 1000000) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS norm_q
+        FROM ({_QVIEW})
+    """,
+    "pivot_event_counts": """
+        SELECT user_id,
+               CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+               CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+               CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+               CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "intersect_custkeys": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "except_custkeys": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
 }
 
 
@@ -1400,5 +1558,12 @@ QUERIES: dict[str, QueryFn] = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_meta_expr": q_multimodal_meta_expr,
+    "text_repetition": q_text_repetition,
+    "pii_redact": q_pii_redact,
+    "source_cap": q_source_cap,
+    "embed_normalize": q_embed_normalize,
+    "pivot_event_counts": q_pivot_event_counts,
+    "intersect_custkeys": q_intersect_custkeys,
+    "except_custkeys": q_except_custkeys,
     "merge_files_roundtrip": q_merge_files_roundtrip,
 }

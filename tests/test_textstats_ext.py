@@ -1,0 +1,168 @@
+"""Unit tests for the round-2 extension operators: PII redaction (the
+oracle corpus is PII-free, so positive matches are exercised here),
+repetition quality signals, per-source caps, and embedding
+normalize+quantize."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.operators.sampling import cap_per_group, hash_gate  # noqa: E402
+from parquet_merger_spark.operators.simsearch import normalize_quantize  # noqa: E402
+from parquet_merger_spark.operators.textstats import (  # noqa: E402
+    redact_pii,
+    with_repetition_stats,
+)
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_redact_pii_positive_cases(spark):
+    rows = [
+        (1, "contact me at alice.smith+spam@example.co.uk for details"),
+        (2, "server at 192.168.1.100 and backup 10.0.0.1 are down"),
+        (3, "call 555-123-4567 or 800-555-1212 now"),
+        (4, "mixed: bob@test.org from 127.0.0.1 dialed 555-000-9999"),
+        (5, "clean text with no pii at all"),
+        (6, "not-a-phone 12-345-6789 and half.an@email"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["text_redacted"]
+    assert "alice" not in out[1]["text_redacted"]
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["text_redacted"] == "server at <IP> and backup <IP> are down"
+    assert out[3]["n_phones"] == 2
+    assert out[3]["text_redacted"] == "call <PHONE> or <PHONE> now"
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (1, 1, 1)
+    assert out[4]["text_redacted"] == "mixed: <EMAIL> from <IP> dialed <PHONE>"
+    assert out[5]["text_redacted"] == out[5]["text"]
+    assert (out[5]["n_emails"], out[5]["n_ipv4"], out[5]["n_phones"]) == (0, 0, 0)
+    # 12-345-6789 fails the 3-3-4 shape; half.an@email has no TLD dot
+    assert (out[6]["n_emails"], out[6]["n_phones"]) == (0, 0)
+
+
+def test_redact_pii_email_with_ip_host_counts_once(spark):
+    df = spark.createDataFrame([(1, "user@1.2.3.4 logged in")], ["doc_id", "text"])
+    r = redact_pii(df).collect()[0]
+    # counted independently on the original text (email pattern needs an
+    # alpha TLD so user@1.2.3.4 is NOT an email; the IP still matches)
+    assert r["n_emails"] == 0 and r["n_ipv4"] == 1
+    assert r["text_redacted"] == "user@<IP> logged in"
+
+
+# ---------------------------------------------------------- repetition
+
+
+def test_repetition_stats_hand_computed(spark):
+    #              tokens: a b a b a  -> n=5, distinct=2
+    # bigrams: "a b","b a","a b","b a" -> n=4, top("a b")=2
+    df = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    r = with_repetition_stats(df).collect()[0]
+    assert r["n_tokens"] == 5
+    assert r["n_distinct_tokens"] == 2
+    assert r["dup_token_frac"] == pytest.approx(1 - 2 / 5)
+    assert r["top_token_frac"] == pytest.approx(3 / 5)
+    assert r["top_bigram_frac"] == pytest.approx(2 / 4)
+
+
+def test_repetition_stats_single_token_doc(spark):
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    r = with_repetition_stats(df).collect()[0]
+    assert r["n_tokens"] == 1 and r["n_distinct_tokens"] == 1
+    assert r["dup_token_frac"] == 0.0
+    assert r["top_token_frac"] == 1.0
+    assert r["top_bigram_frac"] == 0.0  # no bigrams
+
+
+def test_repetition_all_same_token(spark):
+    df = spark.createDataFrame([(1, "x x x x")], ["doc_id", "text"])
+    r = with_repetition_stats(df).collect()[0]
+    assert r["dup_token_frac"] == pytest.approx(0.75)
+    assert r["top_token_frac"] == 1.0
+    assert r["top_bigram_frac"] == 1.0
+
+
+# ------------------------------------------------------------- capping
+
+
+def test_cap_per_group_matches_plain_window(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    gate = hash_gate(F.col("doc_id"))
+    capped = cap_per_group(docs, "source", cap=7, id_col="doc_id")
+
+    w = Window.partitionBy("source").orderBy(gate.asc(), F.col("doc_id").asc())
+    plain = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+    )
+    got = sorted(capped.select("source", "doc_id", "rank").collect())
+    want = sorted(plain.select("source", "doc_id", "rank").collect())
+    assert got == want
+
+    per_group = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per_group)
+
+
+def test_cap_per_group_partitioning_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(
+        cap_per_group(docs, "source", 5).select("source", "doc_id").collect()
+    )
+    b = sorted(
+        cap_per_group(docs.repartition(17), "source", 5)
+        .select("source", "doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+# --------------------------------------------------- normalize+quantize
+
+
+def test_normalize_quantize_unit_norm_and_bounds(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(50)
+    rows = normalize_quantize(emb, "vec_id", "embedding").collect()
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    src = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert set(by_vec) == set(src)
+    for vid, parts in by_vec.items():
+        assert len(parts) == 64  # one row per dimension
+        assert all(-127 <= p["q_unit"] <= 127 for p in parts)
+        # unit-norm up to int8-grid truncation: sum (q/127)^2 ~ 1
+        # (floor rounds negatives toward -inf, so magnitudes can each be
+        # up to 1/127 over — allow the quadratic overshoot)
+        s = sum((p["q_unit"] / 127.0) ** 2 for p in parts)
+        assert 0.8 <= s <= 1.05
+        # norm_q reproduces the float32 L2 norm to quantization precision
+        true_norm = math.sqrt(sum(x * x for x in src[vid]))
+        assert by_vec[vid][0]["norm_q"] / 1e6 / 10_000 == pytest.approx(
+            true_norm, rel=1e-3
+        )
+
+
+def test_normalize_quantize_zero_vector_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = normalize_quantize(df, "vec_id", "embedding").collect()
+    zero = [r for r in rows if r["vec_id"] == 1]
+    assert all(r["q_unit"] == 0 and r["norm_q"] == 0 for r in zero)
+    nz = {r["pos"]: r["q_unit"] for r in rows if r["vec_id"] == 2}
+    # 3-4-5 triangle: unit = (0.6, 0.8, 0) -> floor(q*127/norm)
+    assert nz[0] == math.floor(30000 * 127 / 50000)
+    assert nz[1] == math.floor(40000 * 127 / 50000)
+    assert nz[2] == 0
