@@ -209,8 +209,10 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # explode_outer: dodges InferFiltersFromGenerate re-evaluating the
+    # band-hash array inside a filter (band arrays are never empty).
     buckets = sigs.select(
-        F.col(id_col), F.explode(band_cols).alias("bb")
+        F.col(id_col), F.explode_outer(band_cols).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
     left = buckets.alias("l")
@@ -404,13 +406,19 @@ def ngram_contamination(
       and a single viral gram with df=d contributes d x |test matches|
       join rows — the fan-out killer at corpus scale).
     """
-    tr = _distinct_shingles(train, id_col, text_col, shingle_words).select(
+    # explode_OUTER on purpose: plain explode triggers
+    # InferFiltersFromGenerate, whose size(arr)>0 filter gets
+    # predicate-pushed below the projection and INLINES the whole
+    # twice-nested gram build into the Filter (measured 18x slower at
+    # sf0.1).  Outer generates infer no filter; the null g emitted for
+    # gram-less docs can never match the equi-join.
+    tr = _distinct_shingle_hashes(train, id_col, text_col, shingle_words).select(
         F.col(id_col).alias("train_id"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("g"),
+        F.explode_outer("sh_hashes").alias("g"),
     )
-    te = _distinct_shingles(test, id_col, text_col, shingle_words).select(
+    te = _distinct_shingle_hashes(test, id_col, text_col, shingle_words).select(
         F.col(id_col).alias("test_id"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("g"),
+        F.explode_outer("sh_hashes").alias("g"),
     )
     if max_train_df is not None:
         keep = (
@@ -580,7 +588,8 @@ def simhash_near_dup_pairs(
     chunks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
+        # explode_outer: no inferred size()>0 filter (array never empty)
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(

@@ -182,9 +182,12 @@ def frame_sample_plan(
     ``every_n``-th frame — pure JVM sequence/explode, no decode.  The
     decode of selected frames would join this plan against the payloads
     and run in mapInPandas."""
+    # explode_outer: plain explode makes InferFiltersFromGenerate build the
+    # frame sequence a second time inside a pushed-down filter; the
+    # sequence starting at 0 is never empty, so outer changes nothing.
     return df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )

@@ -152,7 +152,13 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    # explode_outer: plain explode triggers InferFiltersFromGenerate,
+    # whose size()>0 predicate re-runs the tokenizer inside a pushed-down
+    # filter (2x the parse).  A null term from outer can't survive the
+    # tf-docfreq equi-join, so the output is identical.
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
+    )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = (
         toks.select(id_col, "term")
