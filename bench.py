@@ -86,7 +86,11 @@ def main() -> None:
     # steady-state operator cost).
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.count()
-    warm.mapInPandas(lambda it: it, warm.schema).count()
+    # one partition per core: daemon forks ALL python workers up front,
+    # not just the one the single-partition table would touch
+    spark.range(0, cpus, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
