@@ -64,6 +64,7 @@ HEADLINE = [
     "trailing_window_avg",
     "text_repetition",
     "pii_redact",
+    "curate_corpus",
     "source_cap",
     "embed_normalize",
     "pivot_event_counts",

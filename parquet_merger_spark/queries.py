@@ -759,6 +759,16 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Composed pre-training curation pass: quality + language +
+    repetition gates, PII-redacted survivors — one scan, zero shuffles
+    (the whole pass is a single narrow stage at any corpus size)."""
+    from parquet_merger_spark.operators.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(d)
+
+
 def q_source_cap(spark, sf_dir):
     """Per-source document cap (at most 10 docs per source, hash-ordered
     deterministic selection) via the skew-safe two-phase top-k."""
@@ -1461,6 +1471,85 @@ ORACLE_SQL: dict[str, str] = {
                  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_redacted
         FROM documents
     """,
+    # Composed curation: CTE-join of the per-signal oracle specs
+    # (text_quality + text_langid + text_repetition + pii_redact) with
+    # the same gates as operators/curation.py — a differential check of
+    # the COMPOSITION, not just each part.
+    "curate_corpus": r"""
+        WITH q AS (
+          SELECT doc_id,
+                 round(0.4 * least(n_tokens_q / 100.0, 1.0)
+                     + 0.3 * least((CASE WHEN n_tokens_q > 0 THEN stop_hits / n_tokens_q ELSE 0.0 END) * 5.0, 1.0)
+                     + 0.3 * greatest(0.0, 1.0 - (CASE WHEN n_chars > 0 THEN (n_chars - clean_len) / n_chars ELSE 0.0 END) * 10.0),
+                   6) AS quality
+          FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   END AS n_tokens_q,
+                   CAST(len(list_filter(string_split(text, ' '),
+                          t -> list_contains(['the','a','and','of','is','to','in'], t))) AS BIGINT)
+                     AS stop_hits,
+                   CAST(length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS BIGINT)
+                     AS clean_len
+            FROM documents
+          )
+        ),
+        l AS (
+          SELECT doc_id,
+                 CASE WHEN GREATEST(hits_en, hits_fr, hits_de, hits_es) = 0 THEN 'und'
+                      WHEN hits_en = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'en'
+                      WHEN hits_fr = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'fr'
+                      WHEN hits_de = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'de'
+                      WHEN hits_es = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'es'
+                 END AS predicted_lang
+          FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> list_contains(['the', 'a', 'and', 'of', 'is'], t))) AS hits_en,
+                   len(list_filter(string_split(text, ' '), t -> list_contains(['le', 'la', 'et', 'un', 'est'], t))) AS hits_fr,
+                   len(list_filter(string_split(text, ' '), t -> list_contains(['der', 'die', 'und', 'ein', 'ist'], t))) AS hits_de,
+                   len(list_filter(string_split(text, ' '), t -> list_contains(['el', 'la', 'y', 'un', 'es'], t))) AS hits_es
+            FROM documents
+          )
+        ),
+        r AS (
+          SELECT doc_id,
+                 CAST(n AS BIGINT) AS n_tokens,
+                 CASE WHEN n > 0
+                      THEN round(1.0 - CAST(len(dt) AS DOUBLE) / n, 6)
+                      ELSE 0.0 END AS dup_token_frac,
+                 CASE WHEN len(bg) > 0
+                      THEN round(CAST(list_max(list_transform(list_distinct(bg),
+                             d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg), 6)
+                      ELSE 0.0 END AS top_bigram_frac
+          FROM (
+            SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS dt,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END AS bg
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+          )
+        ),
+        p AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text_redacted
+          FROM documents
+        )
+        SELECT q.doc_id, l.predicted_lang, q.quality,
+               r.dup_token_frac, r.top_bigram_frac, r.n_tokens,
+               p.text_redacted
+        FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) JOIN p USING (doc_id)
+        WHERE q.quality >= 0.55
+          AND l.predicted_lang = 'en'
+          AND r.dup_token_frac <= 0.6
+          AND r.top_bigram_frac <= 0.1
+          AND r.n_tokens >= 20
+    """,
     "source_cap": """
         SELECT source, doc_id, CAST(rn AS INT) AS rank FROM (
           SELECT source, doc_id,
@@ -1560,6 +1649,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta_expr": q_multimodal_meta_expr,
     "text_repetition": q_text_repetition,
     "pii_redact": q_pii_redact,
+    "curate_corpus": q_curate_corpus,
     "source_cap": q_source_cap,
     "embed_normalize": q_embed_normalize,
     "pivot_event_counts": q_pivot_event_counts,
