@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "simsearch_topk",
     "simsearch_ivf",
+    "knn_graph",
     "text_token_stats",
     "text_quality",
     "text_fingerprint",

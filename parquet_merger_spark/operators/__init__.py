@@ -40,6 +40,7 @@ from parquet_merger_spark.operators.simsearch import (
     build_ivf_centroids,
     cosine_near_dup_pairs,
     ivf_topk,
+    knn_graph,
 )
 from parquet_merger_spark.operators.textstats import (
     fingerprint,

@@ -511,3 +511,137 @@ def cosine_near_dup_pairs(
 
     out_schema = "id_a long, id_b long, cosine double"
     return rep.groupBy("ba", "bb").applyInPandas(tile, out_schema)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    rows_per_block: int = 4096,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH: for every vector, its top-k most similar
+    other vectors by cosine — the primitive behind SemDeDup-style semantic
+    dedup, embedding-cluster curation, and graph-based diversity sampling.
+    Returns (id, neighbor_id, cosine, rank) with rank 1..k, deterministic
+    full tie-break (cosine desc, neighbor_id asc).
+
+    Tiers (mirrors :func:`cosine_near_dup_pairs`):
+
+    - ``block_col`` given (an IVF bucket, a shard): approximate kNN
+      restricted to within-block neighbors — the scale path; sub-quadratic,
+      each block's pair space is bounded.  Multi-assigned rows (a vector in
+      several blocks) are deduped on (id, neighbor) before ranking, so
+      probing 2 buckets can only improve recall, never distort ranks.
+    - otherwise: EXACT kNN as the same blocked integer GEMM used by
+      :func:`cosine_near_dup_pairs` — each tile emits only its per-row
+      top-k candidates, selected by the SAME total order as the final
+      window (unrounded cosine desc, id asc — selection is monotone, so
+      the union of per-tile top-k provably contains the global top-k).
+      The global window then sees k*n_blocks candidates per row instead
+      of n: shuffle volume O(n*k*n_blocks), never O(n^2).
+
+    Cross-engine determinism: dots are exact integers on the QUANT_SCALE
+    grid (< 2^53, so float64 matmul is exact); cosine = int / (sqrt(int)
+    * sqrt(int)) is the identical IEEE double in numpy, the JVM, and
+    DuckDB; ranking compares those identical doubles, ties broken by id.
+    """
+    v = _with_quantized(df, vec_col).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.col("__q").alias("q"),
+        F.col("__q2").alias("q2"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+
+    if block_col:
+        a, b = v.alias("a"), v.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id"),
+                F.col(f"b.{id_col}").alias("neighbor_id"),
+                quantized_cosine(
+                    F.col("a.q"), F.col("b.q"), F.col("a.q2"), F.col("b.q2")
+                ).alias("cosine"),
+            )
+            .dropDuplicates(["id", "neighbor_id"])
+        )
+        ranked = scored.withColumn("rank", F.row_number().over(w))
+        return ranked.filter(F.col("rank") <= k).select(
+            "id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+        )
+
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()  # planning-time count; at cluster scale from table stats
+    if n_blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        nb_mem = math.ceil(n / rows_per_block) if n else 1
+        nb_par = math.ceil((math.isqrt(8 * par + 1) - 1) / 2)
+        n_blocks = max(1, nb_mem, nb_par)
+    tagged = v.withColumn("bid", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "ba int, bb int",
+    )
+    rep = tagged.join(
+        block_pairs, (F.col("bid") == F.col("ba")) | (F.col("bid") == F.col("bb"))
+    )
+
+    def _tile_topk(ids_out, ids_in, cos):
+        """Per-row top-k of a tile's score matrix under (cos desc, id asc)."""
+        rows = []
+        kk = min(k, cos.shape[1])
+        if kk == 0:
+            return rows
+        # lexsort: last key is primary -> sort by (-cos, id) per row
+        order = np.lexsort((np.broadcast_to(ids_in, cos.shape), -cos), axis=1)
+        take = order[:, :kk]
+        for r in range(cos.shape[0]):
+            for c in take[r]:
+                # -inf marks the masked self-pair; never emit it (it would
+                # otherwise leak when a block holds fewer than k+1 rows)
+                if np.isfinite(cos[r, c]):
+                    rows.append((ids_out[r], ids_in[c], cos[r, c]))
+        return rows
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(key[0]), int(key[1])
+        a_rows = pdf[pdf["bid"] == ba]
+        b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows
+        if a_rows.empty or b_rows.empty:
+            return pd.DataFrame({"id": [], "neighbor_id": [], "cosine": []})
+        qa = np.stack(a_rows["q"].to_numpy()).astype(np.float64)
+        qb = np.stack(b_rows["q"].to_numpy()).astype(np.float64)
+        dots = qa @ qb.T  # exact: |entries| < 2^53
+        denom = np.sqrt(a_rows["q2"].to_numpy(dtype=np.float64))[:, None] * np.sqrt(
+            b_rows["q2"].to_numpy(dtype=np.float64)
+        )[None, :]
+        cos = dots / denom
+        ia = a_rows[id_col].to_numpy()
+        ib = b_rows[id_col].to_numpy()
+        if ba == bb:
+            np.fill_diagonal(cos, -np.inf)  # no self-neighbors
+        out = _tile_topk(ia, ib, cos)
+        if ba != bb:
+            out += _tile_topk(ib, ia, cos.T)
+        return pd.DataFrame(out, columns=["id", "neighbor_id", "cosine"])
+
+    cands = rep.groupBy("ba", "bb").applyInPandas(
+        tile, "id long, neighbor_id long, cosine double"
+    )
+    ranked = cands.withColumn("rank", F.row_number().over(w))
+    return ranked.filter(F.col("rank") <= k).select(
+        "id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )

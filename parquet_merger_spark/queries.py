@@ -663,6 +663,16 @@ def q_simsearch_topk(spark, sf_dir):
     return brute_force_topk(e, queries, k=10)
 
 
+def q_knn_graph(spark, sf_dir):
+    """Exact kNN graph (k=5) over the embeddings table via the blocked
+    integer GEMM with per-tile top-k candidate pruning — the SemDeDup /
+    diversity-sampling primitive.  Shuffle O(n*k*n_blocks), never O(n^2)."""
+    from parquet_merger_spark.operators.simsearch import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_graph(e, k=5)
+
+
 def q_simsearch_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-10 — rows-only (deterministic
     kmeans-refined centroids; approximate by design).  nprobe=4/nlist=16 with
@@ -1314,6 +1324,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT query_id, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 10
     """,
+    "knn_graph": f"""
+        WITH q AS ({_QVIEW}),
+        scored AS (
+          SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                              p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT)
+                   / (sqrt(a.q2) * sqrt(b.q2)) AS cosine
+          FROM q a CROSS JOIN q b WHERE a.vec_id <> b.vec_id
+        ), r AS (
+          SELECT id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """,
     "text_token_stats": rf"""
         WITH s AS (
           SELECT doc_id, text,
@@ -1640,6 +1666,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "simsearch_topk": q_simsearch_topk,
+    "knn_graph": q_knn_graph,
     "simsearch_ivf": q_simsearch_ivf,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,

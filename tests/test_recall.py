@@ -191,3 +191,48 @@ def test_persisted_ivf_index_roundtrip(spark, embeddings, tmp_path):
     plan = probe._jdf.queryExecution().explainString(jmode)
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "bucket" in pf
+
+
+def test_knn_graph_blocking_invariance_and_contract(embeddings):
+    """knn_graph exact tier: identical for any block count (per-tile top-k
+    selection uses the same total order as the final window, so candidate
+    pruning is lossless), self never a neighbor, exactly k ranks per id."""
+    from parquet_merger_spark.operators.simsearch import knn_graph
+
+    default = {
+        (r.id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_graph(embeddings, k=5).collect()
+    }
+    many_blocks = {
+        (r.id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_graph(embeddings, k=5, rows_per_block=64).collect()
+    }
+    assert default == many_blocks
+    ids = {i for (i, _, _, _) in default}
+    assert all(i != nb for (i, nb, _, _) in default), "self-neighbor leaked"
+    n = embeddings.count()
+    assert len(default) == len(ids) * min(5, n - 1)
+
+
+def test_knn_graph_block_tier_is_within_block(embeddings):
+    """With block_col, neighbors come only from the same block and the
+    within-block ranking matches an exact knn_graph run on that block."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.simsearch import knn_graph
+
+    blocked = embeddings.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(3)))
+    out = knn_graph(blocked, k=3, block_col="blk").collect()
+    blk_of = {r.vec_id: r.vec_id % 3 for r in embeddings.collect()}
+    assert all(blk_of[r.id] == blk_of[r.neighbor_id] for r in out)
+    one_block = blocked.filter(F.col("blk") == 0).drop("blk")
+    exact = {
+        (r.id, r.neighbor_id, r.cosine, r.rank)
+        for r in knn_graph(one_block, k=3).collect()
+    }
+    within = {
+        (r.id, r.neighbor_id, r.cosine, r.rank)
+        for r in out
+        if blk_of[r.id] == 0
+    }
+    assert within == exact
