@@ -830,6 +830,44 @@ def q_except_custkeys(spark, sf_dir):
     return a.subtract(b)
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV sink+source round-trip through the engine's own exporter:
+    write 200 typed orders rows (long/string/double/timestamp) via
+    export_csv, read them back with an explicit schema and the same
+    timestamp format, return the re-read frame.  Oracle = plain SELECT
+    from the parquet table — hash equality certifies the text round-trip
+    is LOSSLESS for every type family the reference renders (its CSV
+    path stringifies all ~20 Arrow types, src/main.rs:739-826).
+
+    Scale note: the write is Spark's parallel directory output (one file
+    per task, no coalesce) and the read is a distributed CSV scan with a
+    user schema — both sides scale with executors; schema inference is
+    deliberately OFF (an inference pass re-reads the whole input)."""
+    import tempfile
+
+    from parquet_merger_spark.operators.export import export_csv
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_csv_roundtrip")
+    export_csv(o, out)
+    back = spark.read.csv(
+        out,
+        header=True,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp",
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSS",
+    )
+    # epoch long for the driver compare (timestamp text formats differ
+    # across engines); the parse above already exercised the type
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("long").alias("order_epoch"),
+    )
+
+
 def q_merge_files_roundtrip(spark, sf_dir):
     """The core merge operator itself through the driver: write two
     overlapping projections of nation as parquet, merge with intersection
@@ -1425,6 +1463,14 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
     """,
+    # The Spark side went through a CSV write + typed re-read; hash
+    # equality against the untouched parquet source certifies the text
+    # round-trip is lossless per type family.
+    "csv_roundtrip": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+        FROM orders WHERE o_orderkey < 800
+    """,
     "multimodal_meta_expr": """
         WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
         m AS (SELECT doc_id,
@@ -1683,4 +1729,5 @@ QUERIES: dict[str, QueryFn] = {
     "intersect_custkeys": q_intersect_custkeys,
     "except_custkeys": q_except_custkeys,
     "merge_files_roundtrip": q_merge_files_roundtrip,
+    "csv_roundtrip": q_csv_roundtrip,
 }
