@@ -53,6 +53,7 @@ HEADLINE = [
     "sample_stratified",
     "decontaminate",
     "event_percentiles",
+    "sketch_stats",
     "rollup_revenue",
     "text_tfidf",
     "user_event_profile",

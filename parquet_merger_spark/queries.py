@@ -572,6 +572,26 @@ def q_event_percentiles(spark, sf_dir):
     )
 
 
+def q_sketch_stats(spark, sf_dir):
+    """Sketch-based aggregates per event type: HyperLogLog++ distinct
+    users (rsd=0.01) and T-Digest-style approximate percentiles —
+    the single-pass, fixed-memory path for 100 TB cardinality/quantile
+    questions (exact distinct shuffles every key; a sketch is O(kb) per
+    group and merges associatively across partitions, so the combine is
+    map-side).  Rows-only: sketch internals differ across engines by
+    design; tests/test_recall.py bounds both against the exact answers
+    (HLL within its 1% rsd envelope, approx percentile within rank
+    tolerance)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10_000)), 6
+        ).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregation (year, priority) -> subtotals + grand total —
     the grouping-sets family the reference lacks entirely."""
@@ -1713,6 +1733,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "simsearch_topk": q_simsearch_topk,
     "knn_graph": q_knn_graph,
+    "sketch_stats": q_sketch_stats,
     "simsearch_ivf": q_simsearch_ivf,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,

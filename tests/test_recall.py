@@ -236,3 +236,34 @@ def test_knn_graph_block_tier_is_within_block(embeddings):
         if blk_of[r.id] == 0
     }
     assert within == exact
+
+
+def test_sketch_stats_error_bounds(spark):
+    """The sketch aggregates (rows-only in CORRECTNESS) are bounded here
+    against the exact answers: HLL++ distinct within 3x its configured
+    1% rsd; approx p50 within 1% of the exact percentile."""
+    from parquet_merger_spark.queries import QUERIES
+
+    from pyspark.sql import functions as F
+
+    sketch = {r.event_type: r for r in QUERIES["sketch_stats"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(sketch) == set(exact) and len(sketch) > 0
+    for et, s in sketch.items():
+        x = exact[et]
+        assert abs(s.approx_users - x.users) <= max(3, 0.03 * x.users), (
+            f"{et}: HLL {s.approx_users} vs exact {x.users}"
+        )
+        spread = abs(x.p50) + 1e-9
+        assert abs(s.p50_approx - x.p50) <= 0.01 * spread + 1e-6, (
+            f"{et}: approx p50 {s.p50_approx} vs exact {x.p50}"
+        )
