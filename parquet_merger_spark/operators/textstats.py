@@ -13,6 +13,7 @@ across engines so differential oracles compare exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -178,47 +179,10 @@ def tfidf_top_terms(
     )
 
 
-def _with_mode_count(df: DataFrame, arr_col: str, out_col: str) -> DataFrame:
-    """Append the frequency of the most common element (mode count) of
-    array column ``arr_col`` via sorted run lengths: sort, mark run-start
-    positions, diff consecutive starts, take the max.  O(n log n)
-    row-local; null for an empty array.
-
-    Each intermediate is materialized as its OWN column (own projection):
-    Spark expression trees are trees, not DAGs — inlining ``array_sort``
-    into the filter lambda would re-sort the array once per element
-    (measured: 8x slower than even the quadratic scan).  CollapseProject
-    keeps multi-referenced non-cheap aliases in separate projects, so
-    each step is evaluated exactly once per row."""
-    s, st, bd = f"__{out_col}_s", f"__{out_col}_st", f"__{out_col}_bd"
-    d = df.withColumn(s, F.array_sort(F.col(arr_col)))
-    d = d.withColumn(
-        st,
-        # the size>0 guard matters twice over: sequence(1, 0) would be the
-        # DESCENDING [1, 0], and element_at(s, 0) is an ANSI error
-        F.when(
-            F.size(F.col(s)) > 0,
-            F.filter(
-                F.sequence(F.lit(1), F.size(F.col(s))),
-                lambda i: (i == 1)
-                | (F.element_at(F.col(s), i) != F.element_at(F.col(s), i - 1)),
-            ),
-        ).otherwise(F.array().cast("array<int>")),
-    )
-    d = d.withColumn(bd, F.concat(F.col(st), F.array(F.size(F.col(s)) + 1)))
-    ns = F.size(F.col(st))
-    runs = F.zip_with(
-        F.slice(F.col(bd), 2, ns), F.slice(F.col(bd), 1, ns), lambda a, b: a - b
-    )
-    return d.withColumn(
-        out_col, F.when(F.size(F.col(s)) > 0, F.array_max(runs))
-    ).drop(s, st, bd)
-
-
 def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Gopher-style repetition quality signals, computed entirely
-    ROW-LOCALLY (higher-order functions, zero shuffle — the pass is
-    embarrassingly parallel at any corpus size):
+    """Gopher-style repetition quality signals, computed ROW-LOCALLY
+    (zero shuffle — the pass is embarrassingly parallel at any corpus
+    size):
 
     - ``dup_token_frac``  — fraction of tokens that are repeats of an
       earlier token (1 - distinct/total); high values flag boilerplate.
@@ -226,54 +190,67 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_bigram_frac`` — frequency of the most common word bigram /
       total bigrams (0.0 when the doc has < 2 tokens).
 
-    The mode frequency is computed by SORTED RUN LENGTHS — sort the
-    array, find run-start positions, diff consecutive starts, take the
-    max — O(n log n) per document and one interpreter pass per element.
-    (The naive ``transform(distinct, d -> size(filter(toks, = d)))`` is
-    O(distinct x n) INTERPRETED lambda evals — measured 40x slower at
-    sf0.01 — higher-order lambdas never enter whole-stage codegen, so
-    the constant factor is the whole game.)  The DuckDB oracle keeps the
-    naive quadratic spec, which makes the differential test a genuine
-    two-algorithm cross-check of the same contract.
+    The integer counts (n, distinct, mode frequencies) come from ONE
+    Arrow-batched Pandas UDF (Counter over ``str.split(' ')`` — the
+    identical literal-space tokenizer contract).  This is the sanctioned
+    Python path, and here it is load-bearing for PLAN SAFETY, not just
+    speed: the previous higher-order-function formulation (sorted run
+    lengths over filter/slice/zip_with lambdas) was a ~7KB expression
+    tree that Catalyst would textually INLINE into any downstream filter
+    on these columns — predicate pushdown substitutes alias definitions,
+    and the multi-referenced intermediates expand combinatorially
+    (measured: a 5-gate filter over the composed curation pass went to
+    276s at sf0.1 vs ~3s for the projection alone).  A PythonUDF output
+    is a hard pushdown boundary (ArrowEvalPython cannot be inlined into
+    a predicate), so downstream filters stop above it by construction.
 
-    Ratios are rounded to 6dp so the DuckDB differential oracle hashes
-    identically (both engines divide the same exact integers).
+    The fractions are derived JVM-side from the exact integer counts
+    with the same ``round(x, 6)`` as before, so values stay bit-identical
+    to the naive-quadratic DuckDB oracle spec (a genuine two-algorithm
+    cross-check of the same contract).
     """
-    d = df.withColumn("__toks", tokens(F.col(text_col)))
-    toks = F.col("__toks")
-    n = F.size(toks)
-    d = d.withColumn(
-        "__bigrams",
-        F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-    d = _with_mode_count(d, "__toks", "__top_tok")
-    d = _with_mode_count(d, "__bigrams", "__top_big")
-    nb = F.size(F.col("__bigrams"))
-    distinct = F.size(F.array_distinct(toks))
+    from collections import Counter
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _rep_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(" ") if t is not None else []
+            n = len(toks)
+            tok_counts = Counter(toks)
+            big_counts = Counter(zip(toks, toks[1:])) if n >= 2 else {}
+            out.append(
+                [
+                    n,
+                    len(tok_counts),
+                    max(tok_counts.values()) if tok_counts else 0,
+                    max(big_counts.values()) if big_counts else 0,
+                ]
+            )
+        return pd.Series(out)
+
+    d = df.withColumn("__rep", _rep_counts(F.col(text_col)))
+    n = F.col("__rep")[0]
+    distinct = F.col("__rep")[1]
+    nb = F.greatest(n - 1, F.lit(0))
     return (
-        d.withColumn("n_tokens", n.cast("long"))
-        .withColumn("n_distinct_tokens", distinct.cast("long"))
+        d.withColumn("n_tokens", n)
+        .withColumn("n_distinct_tokens", distinct)
         .withColumn(
             "dup_token_frac",
             F.when(n > 0, F.round(F.lit(1.0) - distinct / n, 6)).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "top_token_frac",
-            F.when(n > 0, F.round(F.col("__top_tok") / n, 6)).otherwise(F.lit(0.0)),
+            F.when(n > 0, F.round(F.col("__rep")[2] / n, 6)).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "top_bigram_frac",
-            F.when(nb > 0, F.round(F.col("__top_big") / nb, 6)).otherwise(F.lit(0.0)),
+            F.when(nb > 0, F.round(F.col("__rep")[3] / nb, 6)).otherwise(F.lit(0.0)),
         )
-        .drop("__toks", "__bigrams", "__top_tok", "__top_big")
+        .drop("__rep")
     )
 
 
