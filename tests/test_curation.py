@@ -63,3 +63,21 @@ def test_curation_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan, (
         "curation must stay a single narrow stage (row-local signals only)"
     )
+
+
+def test_curation_filter_not_inlined_into_scan(spark):
+    """Canary for the Catalyst predicate-pushdown blowup: the gate filter
+    must stop at the ArrowEvalPython boundary (repetition counts), not be
+    textually inlined into a scan-level predicate.  When the repetition
+    signals were pure expression trees, pushdown expanded the composed
+    filter combinatorially (~23KB predicate, 100x slower at sf0.1)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate_corpus(df)
+    jmode = out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = out._jdf.queryExecution().explainString(jmode)
+    assert "ArrowEvalPython" in plan, "repetition counts must be a UDF barrier"
+    assert len(plan) < 20_000, (
+        f"physical plan ballooned to {len(plan)} chars - expression inlining is back"
+    )
