@@ -118,23 +118,136 @@ def extract_payload_meta_expr(
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode image payloads to (height, width, channels) + pixel tensor.
+def _fake_image_decoder(raw: bytes, thumb_side: int):
+    """DETERMINISTIC FAKE image decode (this container has no PIL/opencv):
+    dimensions derive from the leading payload bytes and the 'thumbnail'
+    is the byte stream resampled onto the thumb grid and scaled to [0,1].
+    Content-dependent and bit-stable, so the full mapInPandas decode
+    pipeline (batching, schema, partitioning) is exercised end-to-end;
+    swap in a real decoder via the ``decoder=`` parameter."""
+    import numpy as np
 
-    STUB: no image library in this container.  The Spark plumbing
-    (signature, schema) is the contract; plug PIL/opencv into the
-    mapInPandas iterator to activate."""
-    raise NotImplementedError(
-        "image decode requires an image library (PIL/opencv) not present in "
-        "this environment; use extract_payload_meta for the metadata path"
+    h = 1 + (raw[0] if len(raw) > 0 else 0)
+    w = 1 + (raw[1] if len(raw) > 1 else 0)
+    src = np.frombuffer(raw, dtype=np.uint8) if raw else np.zeros(1, dtype=np.uint8)
+    thumb = np.resize(src, thumb_side * thumb_side * 3).astype(np.float32) / 255.0
+    return h, w, 3, thumb
+
+
+def _try_pil_decoder(thumb_side: int):
+    """Real decoder when PIL is importable (import-try gate; None here)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    import io
+
+    import numpy as np
+
+    def decode(raw: bytes, _side=thumb_side):
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        h, w = img.height, img.width
+        small = img.resize((_side, _side))
+        thumb = np.asarray(small, dtype=np.float32).reshape(-1) / 255.0
+        return h, w, 3, thumb
+
+    return decode
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
+    thumb_side: int = 4,
+) -> DataFrame:
+    """Decode image payloads to (id, height, width, channels, thumb) —
+    thumb is the flattened ``thumb_side^2 x 3`` float32 thumbnail in
+    [0,1], the standard input for embedding/featurization stages.
+
+    The decode slot is Arrow-batched ``mapInPandas`` — the production
+    shape for media work: bounded per-batch memory, arbitrary input
+    partitioning, Python libs isolated to the worker.  ``decoder(raw,
+    thumb_side) -> (h, w, c, flat_float32)`` is pluggable; the default is
+    PIL when importable, else the clearly-marked deterministic fake
+    (:func:`_fake_image_decoder`) so pipelines stay runnable and testable
+    in media-lib-free environments (like this container)."""
+    import pandas as pd
+
+    dec = decoder or _try_pil_decoder(thumb_side) or _fake_image_decoder
+    out_schema = (
+        f"{id_col} long, height int, width int, channels int, thumb array<float>"
     )
 
+    def decode_batches(batches):
+        for pdf in batches:
+            hs, ws, cs, ts = [], [], [], []
+            for raw in pdf[payload_col]:
+                h, w, c, t = dec(bytes(raw), thumb_side)
+                hs.append(h)
+                ws.append(w)
+                cs.append(c)
+                ts.append(list(t))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "height": hs,
+                    "width": ws,
+                    "channels": cs,
+                    "thumb": ts,
+                }
+            )
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — as :func:`decode_image`, for audio (libsndfile/ffmpeg)."""
-    raise NotImplementedError(
-        "audio decode requires an audio library not present in this environment"
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decoder=None,
+    max_samples: int = 64,
+) -> DataFrame:
+    """Decode audio payloads to (id, sample_rate, n_samples, waveform) —
+    waveform is the first ``max_samples`` samples scaled to [-1, 1].
+    Same pluggable-decoder / mapInPandas shape as :func:`decode_image`;
+    the default deterministic fake treats payload bytes as 8-bit PCM
+    (sample_rate 16000), so the plumbing runs end-to-end without
+    libsndfile/ffmpeg."""
+    import numpy as np
+    import pandas as pd
+
+    def fake(raw: bytes, _n=max_samples):
+        src = np.frombuffer(raw[:_n], dtype=np.uint8).astype(np.float32)
+        wave = (src - 128.0) / 128.0
+        return 16_000, len(raw), wave
+
+    dec = decoder or fake
+    out_schema = (
+        f"{id_col} long, sample_rate int, n_samples long, waveform array<float>"
     )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            srs, ns, ws = [], [], []
+            for raw in pdf[payload_col]:
+                sr, n, w = dec(bytes(raw))
+                srs.append(sr)
+                ns.append(n)
+                ws.append(list(w))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": srs,
+                    "n_samples": ns,
+                    "waveform": ws,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, out_schema)
 
 
 def payload_byte_histogram(

@@ -109,3 +109,58 @@ def test_salted_join_equals_plain_join(spark):
     )
     assert canon(plain) == canon(salted)
     assert plain.count() == e.count()
+
+
+def test_decode_image_fake_pipeline_end_to_end(spark):
+    """The mapInPandas decode slot runs end-to-end with the deterministic
+    fake decoder: stable schema, content-dependent dims, fixed-size thumb
+    in [0,1], bit-identical across runs and repartitioning."""
+    from parquet_merger_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(50)
+    payloads = attach_binary_payload(docs, "text")
+    out = decode_image(payloads, thumb_side=4).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.channels == 3 and r.height >= 1 and r.width >= 1
+        assert len(r.thumb) == 4 * 4 * 3
+        assert all(0.0 <= v <= 1.0 for v in r.thumb)
+    again = decode_image(payloads.repartition(7), thumb_side=4).collect()
+    assert {(r.doc_id, tuple(r.thumb)) for r in out} == {
+        (r.doc_id, tuple(r.thumb)) for r in again
+    }, "decode must be deterministic and partitioning-independent"
+
+
+def test_decode_audio_fake_pipeline_end_to_end(spark):
+    from parquet_merger_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_audio,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(20)
+    out = decode_audio(attach_binary_payload(docs, "text"), max_samples=32).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.sample_rate == 16_000
+        assert r.n_samples > 0
+        assert 0 < len(r.waveform) <= 32
+        assert all(-1.0 <= v <= 1.0 for v in r.waveform)
+
+
+def test_decode_image_custom_decoder_plugs_in(spark):
+    """The decoder parameter is the real-library slot: a custom callable
+    must fully control the output."""
+    from parquet_merger_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image,
+    )
+
+    def fixed(raw, thumb_side):
+        return 7, 9, 1, [0.5] * (thumb_side * thumb_side * 3)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(5)
+    out = decode_image(attach_binary_payload(docs, "text"), decoder=fixed).collect()
+    assert all(r.height == 7 and r.width == 9 and r.channels == 1 for r in out)
