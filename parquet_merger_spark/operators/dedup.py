@@ -2,9 +2,12 @@
 
 Beyond the reference surface (it has no data-value dedup; its only distinct
 is on registered folders, src/main.rs:118): exact, MinHash-LSH, SimHash,
-and n-gram-Jaccard near-dup — each expressed with JVM-side built-ins
-(``pyspark.sql.functions``) so the hot path stays inside whole-stage
-codegen; no Python UDFs anywhere.
+and n-gram-Jaccard near-dup.  Scans, joins, and shuffles are JVM-side
+built-ins (``pyspark.sql.functions``); the per-document signature math
+(minhash minima, simhash bit votes) runs in Arrow-batched numpy Pandas
+UDFs — higher-order expression lambdas never enter whole-stage codegen,
+and the vectorized path measured ~10x faster at sf0.1 (still row-local:
+zero shuffle, arbitrarily partitionable).
 
 Scale design (100 TB):
 - exact dedup: hash-partitioned window/groupBy on the key — one shuffle,

@@ -1,10 +1,12 @@
 """Text-analysis operators: token counting, quality scoring, language ID,
 document fingerprinting.
 
-All pure JVM-side expressions (split/filter/transform/md5) — these run per
-document over arbitrarily many partitions with no shuffle at all, which is
-exactly what a 100 TB text-cleaning pass needs: embarrassingly parallel,
-whole-stage-codegen'd, columns pruned to (id, text) at the scan.
+Mostly pure JVM-side expressions (split/filter/transform/md5); the
+repetition mode-counts are one Arrow-batched Pandas UDF (see
+``with_repetition_stats`` for why that is load-bearing for plan safety).
+Everything runs per document over arbitrarily many partitions with no
+shuffle at all, which is exactly what a 100 TB text-cleaning pass needs:
+embarrassingly parallel, columns pruned to (id, text) at the scan.
 
 Tokenization is a deliberate, documented contract: split on single spaces
 (the corpus is space-normalized) — keep the tokenizer trivial and identical
