@@ -149,9 +149,15 @@ def tfidf_top_terms(
     score is one exact-integer ratio, so it is bit-identical across
     engines (log() last-ulp differences would poison hash comparison).
 
-    Shape: explode -> (doc, term) counts -> term document frequency ->
-    score -> windowed top-k with full tie-break (score desc, term asc).
-    Two shuffles (term counts, df join) — both on narrow key columns.
+    Shape: explode -> (doc, term) counts -> term document frequency
+    DERIVED FROM the tf aggregate (tf's key set IS the distinct
+    (doc, term) pairs, so docfreq = tf.groupBy(term).count()) -> score ->
+    windowed top-k with full tie-break (score desc, term asc).  N is a
+    broadcast 1-row aggregate, not an eager ``.count()`` — the whole
+    thing is one lazy plan, no driver-blocking job at build time.  The
+    two tf consumers share an identical subtree; at cluster scale
+    persist tf explicitly (narrow (id, term, n) rows) if the optimizer
+    does not reuse the exchange.
     """
     from pyspark.sql import Window
 
@@ -163,15 +169,12 @@ def tfidf_top_terms(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = (
-        toks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(docfreq, "term").withColumn(
-        "tfidf", F.round(F.col("tf") * F.lit(n_docs) / F.col("df"), 6)
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("__n") / F.col("df"), 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
     return (
