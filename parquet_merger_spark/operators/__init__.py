@@ -10,6 +10,7 @@ from parquet_merger_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from parquet_merger_spark.operators.curation import curate_corpus
+from parquet_merger_spark.operators.incremental import upsert_by_key
 from parquet_merger_spark.operators.export import drop_internal_columns, export_csv
 from parquet_merger_spark.operators.merge import (
     BatchResult,

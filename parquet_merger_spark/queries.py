@@ -888,6 +888,43 @@ def q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_upsert_orders(spark, sf_dir):
+    """Keyed upsert: a synthetic refresh batch (10% of orders re-priced
+    +10%, plus new high-key rows) merged into the base — rows not in the
+    batch pass through untouched.  One shuffle on the key; AQE broadcasts
+    the (small) update key set."""
+    from parquet_merger_spark.operators.incremental import upsert_by_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # +1.5 not *1.1: double addition is the identical IEEE result in any
+    # engine, while round(x*1.1, 2) diverges on half-cent boundaries
+    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
+    )
+    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    updates = repriced.unionByName(fresh)
+    return upsert_by_key(o, updates, ["o_orderkey"])
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + typed source round-trip: write 500 documents
+    rows as JSONL (Spark's parallel directory write), read back with an
+    explicit schema (inference OFF — an inference pass re-reads the whole
+    input), hash-compare against the untouched parquet source."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_jsonl_roundtrip")
+    d.write.mode("overwrite").json(out)
+    return spark.read.json(
+        out, schema="doc_id long, text string, lang string, n_chars long"
+    )
+
+
 def q_merge_files_roundtrip(spark, sf_dir):
     """The core merge operator itself through the driver: write two
     overlapping projections of nation as parquet, merge with intersection
@@ -1483,6 +1520,28 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
     """,
+    "upsert_orders": """
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        updates AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice + 1.5 AS o_totalprice
+          FROM base WHERE o_orderkey % 10 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+          FROM base WHERE o_orderkey % 97 = 0
+        )
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    """,
+    # The Spark side went through a JSONL write + typed re-read; hash
+    # equality against the untouched parquet source certifies the round-trip.
+    "jsonl_roundtrip": """
+        SELECT doc_id, text, lang, n_chars FROM documents
+    """,
     # The Spark side went through a CSV write + typed re-read; hash
     # equality against the untouched parquet source certifies the text
     # round-trip is lossless per type family.
@@ -1751,4 +1810,6 @@ QUERIES: dict[str, QueryFn] = {
     "except_custkeys": q_except_custkeys,
     "merge_files_roundtrip": q_merge_files_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "upsert_orders": q_upsert_orders,
 }
