@@ -272,3 +272,44 @@ def test_stream_to_parquet_exactly_once(spark, event_files, tmp_path):
         q2.stop()
     again = {(r.event_id, r.value_2x) for r in spark.read.parquet(out).collect()}
     assert again == first
+
+
+def test_curation_runs_unchanged_on_a_stream(spark, tmp_path):
+    """The composed curation pass is row-local end-to-end, so the SAME
+    function applies to a readStream frame with no code changes — the
+    'stateless transformations stream for free' property, proven by
+    comparing the streamed output to the batch twin on identical files."""
+    from parquet_merger_spark.operators.curation import curate_corpus
+
+    docs_dir = str(tmp_path / "docs_stream")
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(200)
+        .coalesce(1)
+    )
+    batch.write.mode("overwrite").parquet(docs_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(docs_dir)
+    q = (
+        curate_corpus(stream)
+        .writeStream.format("memory")
+        .queryName("curate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.doc_id, r.quality, r.text_redacted)
+        for r in spark.table("curate_smoke").collect()
+    }
+    expected = {
+        (r.doc_id, r.quality, r.text_redacted)
+        for r in curate_corpus(spark.read.parquet(docs_dir)).collect()
+    }
+    assert got == expected and len(got) > 0
