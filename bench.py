@@ -51,6 +51,7 @@ HEADLINE = [
     "session_window",
     "asof_join",
     "sample_stratified",
+    "mixture_sample",
     "decontaminate",
     "event_percentiles",
     "sketch_stats",

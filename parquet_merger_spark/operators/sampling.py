@@ -99,3 +99,65 @@ def deterministic_sample(
         assert fraction is not None, "need fraction or fractions"
         threshold = F.lit(int(round(fraction * _MOD)))
     return df.filter(g < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    weight_parts: dict[str, int],
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    gate: Column | None = None,
+) -> DataFrame:
+    """Budget-driven MIXTURE sampling — the corpus-mixing step of
+    training-set construction: given a global token ``budget_tokens`` and
+    target mixture ``weight_parts`` (integer parts, e.g. ``{"en": 50,
+    "fr": 25, "de": 25}``), derive each stratum's keep-fraction from its
+    actual token mass and hash-gate rows to it:
+
+        frac_s = min(1, budget * w_s / (sum(w) * tokens_s))
+
+    Strata absent from ``weight_parts`` are dropped (weight 0).
+
+    Fully LAZY and distributed: per-stratum token totals come from a tiny
+    aggregate (|strata| rows) that joins back BROADCAST — no driver
+    collect, no second pass over the data; the gate itself is shuffle-free.
+    Thresholds are ``floor`` of a division of EXACT integers (weights are
+    integer parts): long/long promotes to the same IEEE double in Spark
+    and DuckDB, so the kept set is bit-reproducible cross-engine and the
+    oracle recomputes membership exactly.  ``budget_tokens * sum(weights)
+    * 1e6`` must stay below 2^63 (checked) so the numerator is exact.
+
+    Expected kept tokens per stratum ~= budget * w_s / sum(w) when the
+    stratum is rich enough, else the whole stratum (frac capped at 1) —
+    the standard behavior for low-resource languages in mixture specs.
+    """
+    parts_total = sum(weight_parts.values())
+    assert parts_total > 0, "weights must sum positive"
+    assert budget_tokens * parts_total * _MOD < 2**63, "budget too large"
+    g = gate if gate is not None else hash_gate(F.col(id_col), salt)
+
+    totals = df.groupBy(strata_col).agg(F.sum(token_col).alias("__stratum_tokens"))
+
+    # weight 0, NOT null, for unlisted strata: Spark's least() SKIPS
+    # nulls, so a null-weight threshold would become least(MOD, null) =
+    # MOD — silently keeping the whole stratum instead of dropping it
+    w: Column = F.lit(0).cast("long")
+    for value, parts in weight_parts.items():
+        w = F.when(F.col(strata_col) == value, F.lit(int(parts))).otherwise(w)
+
+    threshold = F.least(
+        F.lit(_MOD).cast("long"),
+        F.floor(
+            F.lit(budget_tokens * _MOD)
+            * w
+            / (F.lit(parts_total) * F.col("__stratum_tokens"))
+        ),
+    )
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(g < threshold)
+        .drop("__stratum_tokens")
+    )

@@ -491,6 +491,25 @@ def q_sample_stratified(spark, sf_dir):
     return sampled.select("doc_id", "lang")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Budget-driven corpus mixing: 20k-token budget at en/fr/de/es =
+    50/20/15/15 parts; per-language keep fractions derive from actual
+    token mass (capped at 1 for low-resource strata).  Portable gate so
+    DuckDB verifies the exact member set."""
+    from parquet_merger_spark.operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    kept = mixture_sample(
+        d,
+        budget_tokens=20_000,
+        weight_parts={"en": 50, "fr": 20, "de": 15, "es": 15},
+        gate=portable_hash_gate(F.col("doc_id"), salt=11),
+    )
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/eval decontamination report: cross-split pairs sharing >= 5
     distinct word 3-grams (sources src0-src9 act as the train split)."""
@@ -1520,6 +1539,26 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0
     """,
+    "mixture_sample": """
+        WITH d AS (
+          SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        totals AS (
+          SELECT lang, SUM(n_tokens) AS stratum_tokens FROM d GROUP BY lang
+        ),
+        thresholds AS (
+          SELECT lang, LEAST(1000000, FLOOR(
+            (CAST(20000 AS BIGINT) * 1000000 * CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 20
+                                         WHEN 'de' THEN 15 WHEN 'es' THEN 15 END)
+            / (100.0 * stratum_tokens))) AS threshold
+          FROM totals
+          WHERE lang IN ('en', 'fr', 'de', 'es')
+        )
+        SELECT d.doc_id, d.lang, d.n_tokens
+        FROM d JOIN thresholds USING (lang)
+        WHERE ((d.doc_id % 999983) * 7919 + 11) % 1000000 < threshold
+    """,
     "upsert_orders": """
         WITH base AS (
           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
@@ -1782,6 +1821,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_tfidf": q_text_tfidf,
     "asof_join": q_asof_join,
     "sample_stratified": q_sample_stratified,
+    "mixture_sample": q_mixture_sample,
     "decontaminate": q_decontaminate,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -267,3 +267,36 @@ def test_sketch_stats_error_bounds(spark):
         assert abs(s.p50_approx - x.p50) <= 0.01 * spread + 1e-6, (
             f"{et}: approx p50 {s.p50_approx} vs exact {x.p50}"
         )
+
+
+def test_mixture_sample_budget_and_caps(spark, documents):
+    """Mixture sampling: unlisted strata drop entirely; a weight large
+    enough to exceed a stratum's mass keeps the WHOLE stratum (frac
+    capped at 1); kept token mass for a rich stratum lands near
+    budget * w_s / sum(w)."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.sampling import mixture_sample
+
+    d = documents.withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    totals = {r.lang: r.t for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    kept = mixture_sample(
+        d, budget_tokens=8_000, weight_parts={"en": 50, "de": 50}
+    )
+    got = {r.lang: r.t for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    assert set(got) <= {"en", "de"}, "unlisted strata must drop"
+    # de target = 4000 tokens > de stratum mass? if so whole stratum kept
+    de_target = 8_000 * 50 // 100
+    if totals["de"] <= de_target:
+        assert got["de"] == totals["de"], "under-budget stratum keeps everything"
+    # en is rich: kept mass should be within 40% of target (hash-gate
+    # variance on a few hundred docs)
+    en_target = 8_000 * 50 / 100
+    assert 0.6 * en_target <= got["en"] <= 1.4 * en_target
+    # reproducible across partitioning
+    again = mixture_sample(
+        d.repartition(17), budget_tokens=8_000, weight_parts={"en": 50, "de": 50}
+    )
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in again.collect()}
