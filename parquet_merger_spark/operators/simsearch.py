@@ -240,6 +240,54 @@ def build_ivf_centroids(
     return centroids
 
 
+# Above this many literal longs (nlist * dim) the codegen'd centroid
+# array gets unwieldy; fall back to the broadcast-join assignment.
+_LITERAL_CENTROID_BUDGET = 65_536
+
+
+def _collect_quantized_centroids(centroids: DataFrame) -> list:
+    """(centroid_id, qvec, q2) rows with quantization done IN SPARK so the
+    driver-side literals are bit-identical to what the join path computes
+    (Spark ``round`` is HALF_UP; Python ``round`` is HALF_EVEN — quantizing
+    in Python here would silently flip boundary elements)."""
+    return (
+        _with_quantized(centroids, "centroid")
+        .select("centroid_id", "__q", "__q2")
+        .collect()
+    )
+
+
+def _nearest_centroids_expr(cen_rows: list, qcol: Column, q2col: Column, n: int) -> Column:
+    """Array of the ``n`` nearest centroid structs (sim, cid) for one row's
+    quantized vector — pure expression, zero shuffle.  ``cen_rows`` come
+    from :func:`_collect_quantized_centroids` and are folded into a literal
+    array, so the whole argmax runs inside whole-stage codegen.
+
+    Tie-break matches the join path: sim desc, centroid_id asc (encoded as
+    -cid so one descending sort_array orders both).  Null sims (zero-norm
+    vectors) coalesce to -2.0, below any real cosine."""
+    cen_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.array(*[F.lit(int(x)) for x in r["__q"]]).alias("cq"),
+                F.lit(int(r["__q2"])).alias("cq2"),
+            )
+            for r in cen_rows
+        ]
+    )
+    sims = F.transform(
+        cen_lit,
+        lambda c: F.struct(
+            F.coalesce(
+                quantized_cosine(qcol, c["cq"], q2col, c["cq2"]), F.lit(-2.0)
+            ).alias("sim"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    return F.slice(F.sort_array(sims, asc=False), 1, n)
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -248,13 +296,33 @@ def assign_buckets(
     n_assign: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``n_assign`` nearest centroids (max
-    quantized cosine; deterministic centroid-id tie-break).  Broadcast the
-    centroid table; one pass over the corpus; result can be written
-    hash-partitioned by bucket for shuffle-free probes.
+    quantized cosine; deterministic centroid-id tie-break).
+
+    Scale design: the centroid table is nlist rows — a MODEL, not data —
+    so it collapses into a literal array and assignment becomes a pure
+    row-local expression: no shuffle, no window, no join, embarrassingly
+    parallel at any corpus size.  (A 100 TB corpus assignment is then one
+    narrow map stage.)  Only above ``_LITERAL_CENTROID_BUDGET`` literal
+    elements does it fall back to a broadcast join + per-id window.
 
     ``n_assign > 1`` is the multi-assignment trick for within-bucket pair
     joins: a near-dup pair straddling a bucket boundary still meets in the
     second-nearest bucket (recall up, cost x ~n_assign)."""
+    cen_rows = _collect_quantized_centroids(centroids)
+    dim = len(cen_rows[0]["__q"]) if cen_rows else 0
+    if cen_rows and len(cen_rows) * dim <= _LITERAL_CENTROID_BUDGET:
+        v = _with_quantized(corpus, vec_col)
+        best = _nearest_centroids_expr(
+            cen_rows, F.col("__q"), F.col("__q2"), n_assign
+        )
+        return (
+            v.select(F.col(id_col), F.col(vec_col), F.explode(best).alias("__b"))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                (-F.col("__b.negcid")).cast("int").alias("bucket"),
+            )
+        )
     c = _with_quantized(centroids, "centroid").select(
         "centroid_id", F.col("__q").alias("cenq"), F.col("__q2").alias("cenq2")
     )
@@ -329,26 +397,50 @@ def ivf_topk(
         centroids = build_ivf_centroids(corpus, nlist, id_col, vec_col)
         bucketed = assign_buckets(corpus, centroids, id_col, vec_col, n_assign=corpus_assign)
 
-    qprobes = (
-        _with_quantized(queries, vec_col)
-        .crossJoin(
-            F.broadcast(
-                _with_quantized(centroids, "centroid").select(
-                    "centroid_id", F.col("__q").alias("cenq"), F.col("__q2").alias("cenq2")
+    # Probe selection is the same row-local nearest-centroid expression as
+    # assign_buckets: no shuffle, no window — the only shuffle in the whole
+    # probe is the bucket equi-join below.
+    cen_rows = _collect_quantized_centroids(centroids)
+    dim = len(cen_rows[0]["__q"]) if cen_rows else 0
+    if cen_rows and len(cen_rows) * dim <= _LITERAL_CENTROID_BUDGET:
+        qv = _with_quantized(queries, vec_col)
+        nearest = _nearest_centroids_expr(
+            cen_rows, F.col("__q"), F.col("__q2"), nprobe
+        )
+        probes = qv.select(
+            F.col(query_id_col), F.col(vec_col), F.explode(nearest).alias("__b")
+        ).select(
+            F.col(query_id_col),
+            F.col(vec_col),
+            (-F.col("__b.negcid")).cast("int").alias("bucket"),
+        )
+    else:
+        qprobes = (
+            _with_quantized(queries, vec_col)
+            .crossJoin(
+                F.broadcast(
+                    _with_quantized(centroids, "centroid").select(
+                        "centroid_id",
+                        F.col("__q").alias("cenq"),
+                        F.col("__q2").alias("cenq2"),
+                    )
                 )
             )
+            .withColumn(
+                "sim",
+                quantized_cosine(
+                    F.col("__q"), F.col("cenq"), F.col("__q2"), F.col("cenq2")
+                ),
+            )
         )
-        .withColumn(
-            "sim",
-            quantized_cosine(F.col("__q"), F.col("cenq"), F.col("__q2"), F.col("cenq2")),
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.desc("sim"), F.col("centroid_id")
         )
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col("centroid_id"))
-    probes = (
-        qprobes.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(query_id_col, F.col(vec_col), F.col("centroid_id").alias("bucket"))
-    )
+        probes = (
+            qprobes.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select(query_id_col, F.col(vec_col), F.col("centroid_id").alias("bucket"))
+        )
 
     cq = _with_quantized(bucketed, vec_col).select(
         F.col(id_col), "bucket", F.col("__q").alias("cq"), F.col("__q2").alias("cq2")
