@@ -573,7 +573,7 @@ def cosine_near_dup_pairs(
         block_pairs, (F.col("bid") == F.col("ba")) | (F.col("bid") == F.col("bb"))
     )
 
-    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def tile(key, pdf):  # unannotated: Spark infers the variant by arity
         ba, bb = int(key[0]), int(key[1])
         a_rows = pdf[pdf["bid"] == ba]
         b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows
@@ -708,7 +708,7 @@ def knn_graph(
                     rows.append((ids_out[r], ids_in[c], cos[r, c]))
         return rows
 
-    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def tile(key, pdf):  # unannotated: Spark infers the variant by arity
         ba, bb = int(key[0]), int(key[1])
         a_rows = pdf[pdf["bid"] == ba]
         b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows
