@@ -56,6 +56,7 @@ HEADLINE = [
     "event_percentiles",
     "sketch_stats",
     "rollup_revenue",
+    "global_row_ids",
     "text_tfidf",
     "user_event_profile",
     "daily_order_stats",

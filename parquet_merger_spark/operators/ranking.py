@@ -20,6 +20,74 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_row_ids(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_cols: list[str],
+    n_buckets: int = 256,
+    row_id_col: str = "row_id",
+) -> DataFrame:
+    """Global 1-based row ids in ``(key_col, *tiebreak_cols)`` ascending
+    order — identical to ``row_number() OVER (ORDER BY key, tiebreaks)``
+    — WITHOUT the global window, whose no-partitionBy sort funnels the
+    entire dataset through one task (the exact pathology VERDICT flagged
+    in the old IVF centroid build).
+
+    Two-phase plan, every stage distributed:
+
+    1. Split the key range into ``n_buckets`` contiguous buckets at
+       sampled quantile boundaries (``approxQuantile`` — one cheap
+       aggregate job; boundaries become literals, so bucket assignment
+       is row-local).  Equal keys always share a bucket (strict ``<``
+       against boundaries), so cross-bucket order is total.
+    2. Rank within each bucket (window PARTITIONED by bucket — parallel),
+       then add per-bucket offsets: bucket counts are ≤ n_buckets rows,
+       collected to the driver and folded into a literal map — same
+       model-not-data move as the IVF centroid literals.
+
+    The result is EXACT for any bucketing (offsets + within-bucket rank
+    reconstruct the total order); ``n_buckets`` only controls balance.
+    Size it ~(rows / 10M) at scale so each bucket sort fits an executor.
+    Null keys sort first (Spark ASC default; mirror with NULLS FIRST in
+    SQL oracles).  ``key_col`` must be numeric (quantile sampling);
+    tiebreaks are arbitrary orderable columns and must complete a total
+    order for the ids to be deterministic.
+
+    Costs two passes over ``df`` (quantile sample + count, then rank) —
+    persist upstream if the input is expensive to recompute."""
+    err = max(1e-4, 0.25 / n_buckets)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(key_col, probs, err))) if probs else []
+
+    key = F.col(key_col)
+    if bounds:
+        blit = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(blit, lambda b: b < key))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    counts = sorted(
+        (r["__bucket"], r["n"])
+        for r in bucketed.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, running = {}, 0
+    for b, n in counts:
+        offsets[b] = running
+        running += n
+    pairs = [x for b, off in offsets.items() for x in (F.lit(b), F.lit(off))]
+    offset_for = (
+        F.element_at(F.create_map(*pairs), F.col("__bucket")) if pairs else F.lit(0)
+    )
+
+    w = Window.partitionBy("__bucket").orderBy(key, *[F.col(c) for c in tiebreak_cols])
+    return (
+        bucketed.withColumn("__lr", F.row_number().over(w))
+        .withColumn(row_id_col, (offset_for + F.col("__lr")).cast("long"))
+        .drop("__bucket", "__lr")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -38,6 +38,7 @@ from parquet_merger_spark.operators.sampling import (
     portable_hash_gate,
 )
 from parquet_merger_spark.operators.merge import merge_dataframes, merged_df
+from parquet_merger_spark.operators.ranking import assign_row_ids
 from parquet_merger_spark.operators.multimodal import (
     attach_binary_payload,
     extract_payload_meta,
@@ -962,6 +963,17 @@ def q_merge_files_roundtrip(spark, sf_dir):
     return merged_df(spark, [p_a, p_b])
 
 
+def q_global_row_ids(spark, sf_dir):
+    """Window-free global row numbering (`operators.ranking.assign_row_ids`):
+    quantile-bucket the key, rank within buckets, add literal per-bucket
+    offsets.  Exact twin of ``row_number() OVER (ORDER BY ...)`` with no
+    single-task global sort anywhere in the plan."""
+    orders = _t(spark, sf_dir, "orders")
+    return assign_row_ids(orders, "o_totalprice", ["o_orderkey"], n_buckets=32).select(
+        "o_orderkey", "o_totalprice", "row_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — one per SQL-expressible query above
 # --------------------------------------------------------------------------
@@ -1780,6 +1792,12 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
+    "global_row_ids": """
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) AS BIGINT)
+                   AS row_id
+        FROM orders
+    """,
 }
 
 
@@ -1803,6 +1821,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_revenue_orders": q_top_revenue_orders,
     "nation_revenue": q_nation_revenue,
     "trailing_window_avg": q_trailing_window_avg,
+    "global_row_ids": q_global_row_ids,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,

@@ -164,3 +164,34 @@ def test_decode_image_custom_decoder_plugs_in(spark):
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(5)
     out = decode_image(attach_binary_payload(docs, "text"), decoder=fixed).collect()
     assert all(r.height == 7 and r.width == 9 and r.channels == 1 for r in out)
+
+
+def test_assign_row_ids_matches_global_window_with_ties_and_nulls(spark):
+    from pyspark.sql import Window
+
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    rows = [(i, float(i % 7)) for i in range(500)] + [(1000, None), (1001, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = assign_row_ids(df, "v", ["id"], n_buckets=8)
+    w = Window.orderBy(F.asc_nulls_first("v"), "id")
+    want = df.withColumn("row_id", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_assign_row_ids_plan_has_no_single_partition_exchange(spark):
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    df = spark.range(10_000).withColumn("v", (F.col("id") % 97).cast("double"))
+    got = assign_row_ids(df, "v", ["id"], n_buckets=16)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(__bucket" in plan
+
+
+def test_assign_row_ids_single_bucket_and_constant_key(spark):
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(20)], "id long, v double")
+    got = assign_row_ids(df, "v", ["id"], n_buckets=1)
+    assert [r.row_id for r in got.orderBy("id").collect()] == list(range(1, 21))
