@@ -963,6 +963,72 @@ def q_merge_files_roundtrip(spark, sf_dir):
     return merged_df(spark, [p_a, p_b])
 
 
+def q_file_stats(spark, sf_dir):
+    """Footer-statistics catalog (`sources.stats.parquet_footer_stats`):
+    write orders hash-partitioned into bucket dirs (with injected nulls
+    so null-counting is exercised), then build the per-file stats table
+    from FOOTERS ONLY — no data pages — distributed over executors.
+    The oracle recomputes the same stats from the raw data: hash equality
+    certifies footer metadata == data reality."""
+    import glob as _glob
+    import tempfile
+
+    from parquet_merger_spark.sources.stats import parquet_footer_stats
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, None)
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+            (F.col("o_orderkey") % 8).alias("bucket"),
+        )
+    )
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_file_stats")
+    o.write.partitionBy("bucket").mode("overwrite").parquet(out)
+    paths = sorted(_glob.glob(os.path.join(out, "bucket=*", "*.parquet")))
+    stats = parquet_footer_stats(spark, paths, "price")
+    return (
+        stats.withColumn(
+            "bucket", F.regexp_extract("file", r"bucket=(\d+)", 1).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_nulls").alias("n_nulls"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def q_skipping_scan(spark, sf_dir):
+    """File-level data skipping (`sources.stats.skipping_scan`): orders
+    written range-partitioned on the key so footer envelopes are
+    disjoint, then a BETWEEN scan that prunes non-overlapping files from
+    the manifest before reading.  Result is provably identical to the
+    unpruned filter (the oracle computes exactly that); the pruning
+    itself (2 of 8 files read) is asserted in tests/test_stats.py."""
+    import tempfile
+
+    from parquet_merger_spark.sources.stats import skipping_scan
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_skipping_scan")
+    (
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    df, _kept = skipping_scan(spark, paths, "o_orderkey", 2000, 4500)
+    return df
+
+
 def q_global_row_ids(spark, sf_dir):
     """Window-free global row numbering (`operators.ranking.assign_row_ids`):
     quantile-bucket the key, rank within buckets, add literal per-bucket
@@ -1798,6 +1864,18 @@ ORACLE_SQL: dict[str, str] = {
                    AS row_id
         FROM orders
     """,
+    "file_stats": """
+        SELECT o_orderkey % 8 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               min(CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END) AS vmin,
+               max(CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END) AS vmax
+        FROM orders GROUP BY 1
+    """,
+    "skipping_scan": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey BETWEEN 2000 AND 4500
+    """,
 }
 
 
@@ -1822,6 +1900,8 @@ QUERIES: dict[str, QueryFn] = {
     "nation_revenue": q_nation_revenue,
     "trailing_window_avg": q_trailing_window_avg,
     "global_row_ids": q_global_row_ids,
+    "file_stats": q_file_stats,
+    "skipping_scan": q_skipping_scan,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
