@@ -1,0 +1,83 @@
+"""Small-file compaction: rewrite many undersized parquet files into few
+target-sized ones.
+
+The 100 TB problem this solves: streaming ingests, per-task sinks, and
+incremental upserts leave tables as millions of KB-scale files.  Every
+query then pays per-file costs (footer reads, task scheduling, object
+store GETs) that dwarf the data itself — the canonical fix is a periodic
+compaction pass (Delta OPTIMIZE, Iceberg rewrite_data_files).  This is
+also the purest "merge" in the reference's sense — same rows, fewer
+files — generalized from its one-file-at-a-time loop
+(/root/reference/src/main.rs:582-599 + coalesced single output :601) to
+a distributed rewrite with a byte-size target instead of a hardcoded
+single file.
+
+Sizing comes from the MANIFEST (file sizes via os.stat — metadata, not
+data): ``n_out = ceil(total_bytes / target_bytes)``, then one
+distributed read → repartition(n_out) → parallel write.  Two modes:
+
+* ``shuffle=True`` (default): round-robin repartition — one shuffle,
+  but output files are evenly sized regardless of input skew.  Right
+  when compaction runs rarely and read-side balance matters.
+* ``shuffle=False``: ``coalesce(n_out)`` — zero shuffle (tasks just
+  concatenate co-located inputs), output sizes follow input locality.
+  Right for huge compactions where the shuffle would dominate.
+
+Compaction never changes content: the result is the same row multiset
+(checked by the round-trip test and the oracle-backed driver query).
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionResult:
+    out_dir: str
+    n_input_files: int
+    n_output_files: int
+    input_bytes: int
+    output_bytes: int
+
+
+def plan_compaction(paths: list[str], target_bytes: int) -> int:
+    """Number of output files for ``paths``: ceil(total_bytes / target).
+
+    Pure manifest math (os.stat sizes).  At object-store scale the same
+    sizes come from the listing, so this stays a metadata operation."""
+    total = sum(os.stat(p).st_size for p in paths)
+    return max(1, math.ceil(total / target_bytes))
+
+
+def compact_files(
+    spark: SparkSession,
+    paths: list[str],
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = True,
+    compression: str | None = None,
+) -> CompactionResult:
+    """Rewrite ``paths`` into ``ceil(total_bytes/target_bytes)`` files
+    under ``out_dir``.  One distributed scan, one (optional) shuffle,
+    one parallel write — no driver-side data movement."""
+    n_out = plan_compaction(paths, target_bytes)
+    df = spark.read.parquet(*paths)
+    df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(out_dir)
+    out_files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    return CompactionResult(
+        out_dir=out_dir,
+        n_input_files=len(paths),
+        n_output_files=len(out_files),
+        input_bytes=sum(os.stat(p).st_size for p in paths),
+        output_bytes=sum(os.stat(p).st_size for p in out_files),
+    )

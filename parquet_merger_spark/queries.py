@@ -963,6 +963,30 @@ def q_merge_files_roundtrip(spark, sf_dir):
     return merged_df(spark, [p_a, p_b])
 
 
+def q_compact_small_files(spark, sf_dir):
+    """Small-file compaction (`operators.compaction.compact_files`):
+    shatter documents into 32 tiny files (the streaming-ingest pathology),
+    compact them to a byte-size target derived from the manifest, return
+    the re-read result.  Oracle = the untouched source table: hash
+    equality proves compaction preserves the exact row multiset.  File
+    counts/sizes are asserted in tests/test_stats.py."""
+    import glob as _glob
+    import tempfile
+
+    from parquet_merger_spark.operators.compaction import compact_files
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    base = os.path.join(tempfile.gettempdir(), "pm_spark_compaction")
+    shattered = os.path.join(base, "shattered")
+    d.repartition(32).write.mode("overwrite").parquet(shattered)
+    paths = sorted(_glob.glob(os.path.join(shattered, "*.parquet")))
+    total = sum(os.stat(p).st_size for p in paths)
+    res = compact_files(
+        spark, paths, os.path.join(base, "compacted"), target_bytes=max(1, total // 4)
+    )
+    return spark.read.parquet(res.out_dir)
+
+
 def q_file_stats(spark, sf_dir):
     """Footer-statistics catalog (`sources.stats.parquet_footer_stats`):
     write orders hash-partitioned into bucket dirs (with injected nulls
@@ -1876,6 +1900,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderkey BETWEEN 2000 AND 4500
     """,
+    "compact_small_files": "SELECT doc_id, text, lang, n_chars FROM documents",
 }
 
 
@@ -1902,6 +1927,7 @@ QUERIES: dict[str, QueryFn] = {
     "global_row_ids": q_global_row_ids,
     "file_stats": q_file_stats,
     "skipping_scan": q_skipping_scan,
+    "compact_small_files": q_compact_small_files,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,

@@ -80,3 +80,43 @@ def test_file_without_stats_is_conservatively_kept(spark, tmp_path):
     assert p_nostats in kept and p_stats not in kept
     df, kept2 = skipping_scan(spark, [p_stats, p_nostats], "k", 150, 250)
     assert sorted(r["k"] for r in df.collect()) == [200]
+
+
+def test_compaction_reduces_files_and_preserves_content(spark, tmp_path):
+    from parquet_merger_spark.operators.compaction import compact_files, plan_compaction
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    shattered = str(tmp_path / "shattered")
+    d.repartition(16).write.mode("overwrite").parquet(shattered)
+    paths = sorted(glob.glob(shattered + "/*.parquet"))
+    assert len(paths) == 16
+    total = sum(os.stat(p).st_size for p in paths)
+    target = max(1, total // 3)
+    assert plan_compaction(paths, target) in (3, 4)
+    res = compact_files(spark, paths, str(tmp_path / "out"), target_bytes=target)
+    assert res.n_output_files == plan_compaction(paths, target)
+    back = spark.read.parquet(res.out_dir)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_compaction_coalesce_mode_no_shuffle(spark, tmp_path):
+    from parquet_merger_spark.operators.compaction import compact_files
+
+    d = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    shattered = str(tmp_path / "shards")
+    d.repartition(12).write.mode("overwrite").parquet(shattered)
+    paths = sorted(glob.glob(shattered + "/*.parquet"))
+    total = sum(os.stat(p).st_size for p in paths)
+    # plan should contain no Exchange: coalesce merges co-located splits
+    df = spark.read.parquet(*paths).coalesce(2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    res = compact_files(
+        spark, paths, str(tmp_path / "out2"), target_bytes=max(1, total // 2),
+        shuffle=False,
+    )
+    back = spark.read.parquet(res.out_dir)
+    assert back.count() == 10_000
+    assert res.n_output_files <= len(paths)
