@@ -105,6 +105,38 @@ def merge_dataframes(dfs: list[DataFrame]) -> DataFrame:
     return reduce(DataFrame.union, [df.select(*common) for df in dfs])
 
 
+def merged_df_widen(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """UNION-WIDENING merge: the schema-evolution twin of :func:`merged_df`.
+
+    The reference's contract is intersection-only — columns missing from
+    any file are DROPPED (src/main.rs:485-520; golden-tested in
+    test_merge.py).  Real lakes evolve the other way: a new ingest batch
+    ADDS columns, and readers want the union schema with nulls where a
+    file predates the column.  Spark's parquet source implements exactly
+    that via ``mergeSchema`` — schema reconciliation happens at planning
+    from footers; the scan stays one distributed multi-file read with
+    pushdown intact.
+
+    Kept separate from :func:`merged_df` (not a flag) so reference parity
+    stays byte-exact while the widening path is an explicit opt-in."""
+    if not paths:
+        raise NoFilesToMergeError("No files to merge")
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def merge_dataframes_widen(dfs: list[DataFrame]) -> DataFrame:
+    """Widening union over constructed DataFrames:
+    ``unionByName(allowMissingColumns=True)`` — every column from every
+    input survives, null-filled where absent.  Column order = first
+    frame's columns, then new ones in first-appearance order (matching
+    the ``mergeSchema`` source behavior of :func:`merged_df_widen`)."""
+    if not dfs:
+        raise NoFilesToMergeError("No files to merge")
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+
+
 def write_parquet(
     df: DataFrame,
     out_path: str,

@@ -963,6 +963,27 @@ def q_merge_files_roundtrip(spark, sf_dir):
     return merged_df(spark, [p_a, p_b])
 
 
+def q_schema_evolution_scan(spark, sf_dir):
+    """Union-widening merge (`operators.merge.merged_df_widen`): two
+    customer projections with different column sets, read through
+    ``mergeSchema`` — every column survives, null-filled where a file
+    predates it.  The deliberate inverse of the reference's
+    intersection-only contract (kept as a separate opt-in path).
+    Oracle: DuckDB ``UNION ALL BY NAME`` over the same projections."""
+    import tempfile
+
+    from parquet_merger_spark.operators.merge import merged_df_widen
+
+    c = _t(spark, sf_dir, "customer")
+    base = os.path.join(tempfile.gettempdir(), "pm_spark_schema_evo")
+    p_a, p_b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
+    c.select("c_custkey", "c_name", "c_nationkey").write.mode("overwrite").parquet(p_a)
+    c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").parquet(p_b)
+    return merged_df_widen(spark, [p_a, p_b])
+
+
 def q_compact_small_files(spark, sf_dir):
     """Small-file compaction (`operators.compaction.compact_files`):
     shatter documents into 32 tiny files (the streaming-ingest pathology),
@@ -1901,6 +1922,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders WHERE o_orderkey BETWEEN 2000 AND 4500
     """,
     "compact_small_files": "SELECT doc_id, text, lang, n_chars FROM documents",
+    "schema_evolution_scan": """
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        UNION ALL BY NAME
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    """,
 }
 
 
@@ -1928,6 +1955,7 @@ QUERIES: dict[str, QueryFn] = {
     "file_stats": q_file_stats,
     "skipping_scan": q_skipping_scan,
     "compact_small_files": q_compact_small_files,
+    "schema_evolution_scan": q_schema_evolution_scan,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,

@@ -188,3 +188,39 @@ def test_csv_roundtrip_all_type_families(spark, tmp_path):
     # normalize that one documented lossy case
     fix = lambda t: tuple(("" if (i == 6 and v == "None") else v) for i, v in enumerate(t))
     assert {fix(t) for t in orig} == {fix(t) for t in rt}
+
+
+def test_widen_merge_keeps_all_columns_null_filled(spark, tmp_path):
+    from parquet_merger_spark.operators.merge import (
+        merge_dataframes_widen,
+        merged_df_widen,
+    )
+
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, 9.5)], "id long, b double")
+    p_a, p_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    a.write.parquet(p_a)
+    b.write.parquet(p_b)
+
+    merged = merged_df_widen(spark, [p_a, p_b])
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {tuple(r) for r in merged.select("id", "a", "b").collect()}
+    assert rows == {(1, "x", None), (2, None, 9.5)}
+
+    # frame-level twin produces the identical row set
+    framed = merge_dataframes_widen([a, b])
+    assert {tuple(r) for r in framed.select("id", "a", "b").collect()} == rows
+
+
+def test_widen_vs_intersection_contract(spark, tmp_path):
+    # same inputs: reference-parity merge drops the drifting column,
+    # widening merge keeps it — both are deliberate, separate contracts
+    from parquet_merger_spark.operators.merge import merged_df, merged_df_widen
+
+    a = spark.createDataFrame([(1, "x")], "id long, extra string")
+    b = spark.createDataFrame([(2,)], "id long")
+    p_a, p_b = str(tmp_path / "wa.parquet"), str(tmp_path / "wb.parquet")
+    a.write.parquet(p_a)
+    b.write.parquet(p_b)
+    assert merged_df(spark, [p_a, p_b]).columns == ["id"]
+    assert set(merged_df_widen(spark, [p_a, p_b]).columns) == {"id", "extra"}
