@@ -55,6 +55,34 @@ def plan_compaction(paths: list[str], target_bytes: int) -> int:
     return max(1, math.ceil(total / target_bytes))
 
 
+def cluster_write(
+    df: DataFrame,
+    out_dir: str,
+    key_cols: list[str],
+    n_files: int,
+    compression: str | None = None,
+) -> list[str]:
+    """Write ``df`` range-clustered on ``key_cols``: repartitionByRange
+    (a sampled range shuffle — each output file owns a contiguous,
+    non-overlapping key slice) + sortWithinPartitions (rows ordered
+    inside each file, so row-group min/max envelopes are tight too).
+
+    This is the LAYOUT PRODUCER for :mod:`sources.stats` data skipping:
+    after cluster_write, a range predicate prunes to the few files whose
+    envelope overlaps it (file level via ``skipping_scan``, row-group
+    level via Spark's own parquet filter pushdown) — the Delta
+    OPTIMIZE-ZORDER idea reduced to its single-key linear form, which is
+    all plain range predicates need.  Returns the written file paths."""
+    (
+        df.repartitionByRange(n_files, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .write.mode("overwrite")
+        .options(**({"compression": compression} if compression else {}))
+        .parquet(out_dir)
+    )
+    return sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
 def compact_files(
     spark: SparkSession,
     paths: list[str],

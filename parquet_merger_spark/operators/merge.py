@@ -202,19 +202,27 @@ def merge_batches(
     output_dir: str,
     single_file: bool = True,
     csv: bool = False,
+    max_concurrency: int = 1,
 ) -> list[BatchResult]:
     """Execute a list of merge plans into ``<output_dir>/merged/``.
 
     Per-batch failures are collected, not raised — one bad batch does not
     abort the run (reference: errors aggregated at src/main.rs:331-403).
-    """
+
+    ``max_concurrency > 1`` submits that many batch jobs to Spark at once
+    from a thread pool.  Spark's scheduler runs concurrent jobs fine (and
+    many small batches can't individually fill a cluster — overlapping
+    them is the throughput lever when batch count >> batch size); results
+    stay in plan order and per-batch isolation is unchanged.  The
+    reference is strictly serial (src/main.rs:331-403)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from parquet_merger_spark.operators.export import export_csv
 
     merged_dir = os.path.join(output_dir, "merged")
     os.makedirs(merged_dir, exist_ok=True)
 
-    results: list[BatchResult] = []
-    for plan in plans:
+    def run_one(plan: MergePlan) -> BatchResult:
         name = sanitize_filename(plan.name)
         out = os.path.join(merged_dir, name + ".parquet") if single_file else os.path.join(merged_dir, name)
         try:
@@ -226,9 +234,11 @@ def merge_batches(
                     os.path.join(merged_dir, name + ".csv"),
                     single_file=single_file,
                 )
-            results.append(BatchResult(name=plan.name, output_path=out, rows=rows))
+            return BatchResult(name=plan.name, output_path=out, rows=rows)
         except Exception as exc:  # isolate per-batch failure
-            results.append(
-                BatchResult(name=plan.name, output_path=None, rows=None, error=str(exc))
-            )
-    return results
+            return BatchResult(name=plan.name, output_path=None, rows=None, error=str(exc))
+
+    if max_concurrency <= 1:
+        return [run_one(p) for p in plans]
+    with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+        return list(pool.map(run_one, plans))

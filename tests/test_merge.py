@@ -224,3 +224,29 @@ def test_widen_vs_intersection_contract(spark, tmp_path):
     b.write.parquet(p_b)
     assert merged_df(spark, [p_a, p_b]).columns == ["id"]
     assert set(merged_df_widen(spark, [p_a, p_b]).columns) == {"id", "extra"}
+
+
+def test_merge_batches_concurrent_equals_serial(spark, tmp_path):
+    import glob as _glob
+
+    from parquet_merger_spark.operators.merge import merge_batches
+    from parquet_merger_spark.plans.planner import MergePlan
+
+    plans = []
+    for i in range(4):
+        d = spark.createDataFrame([(i, j) for j in range(50)], "batch long, v long")
+        p1, p2 = str(tmp_path / f"in{i}_a.parquet"), str(tmp_path / f"in{i}_b.parquet")
+        d.write.parquet(p1)
+        d.write.parquet(p2)
+        plans.append(MergePlan(name=f"b{i}", paths=[p1, p2], schema_mismatch=False))
+    plans.append(MergePlan(name="bad", paths=[str(tmp_path / "missing.parquet")],
+                           schema_mismatch=False))
+
+    serial = merge_batches(spark, plans, str(tmp_path / "ser"), max_concurrency=1)
+    conc = merge_batches(spark, plans, str(tmp_path / "conc"), max_concurrency=4)
+    assert [r.name for r in conc] == [r.name for r in serial]  # plan order kept
+    assert [r.rows for r in conc] == [r.rows for r in serial] == [100, 100, 100, 100, None]
+    assert conc[-1].error and serial[-1].error  # failure isolation in both modes
+    for r in conc[:-1]:
+        got = spark.read.parquet(r.output_path)
+        assert got.count() == 100

@@ -120,3 +120,23 @@ def test_compaction_coalesce_mode_no_shuffle(spark, tmp_path):
     back = spark.read.parquet(res.out_dir)
     assert back.count() == 10_000
     assert res.n_output_files <= len(paths)
+
+
+def test_cluster_write_produces_disjoint_envelopes(spark, tmp_path):
+    from parquet_merger_spark.operators.compaction import cluster_write
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    paths = cluster_write(o, str(tmp_path / "clustered"), ["o_totalprice"], 6)
+    assert len(paths) == 6
+    envs = sorted(
+        (r["vmin"], r["vmax"])
+        for r in parquet_footer_stats(spark, paths, "o_totalprice").collect()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(envs, envs[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping key slices
+    # a narrow range predicate prunes to few files
+    lo = envs[2][0]
+    df, kept = skipping_scan(spark, paths, "o_totalprice", lo, lo + 1.0)
+    assert len(kept) <= 2
