@@ -963,6 +963,26 @@ def q_merge_files_roundtrip(spark, sf_dir):
     return merged_df(spark, [p_a, p_b])
 
 
+def q_event_attribution(spark, sf_dir):
+    """Interval self-join (`streaming.events.correlate_events_batch`):
+    click→view pairs per user within a 4-hour horizon — the batch twin
+    of the stream-stream interval join (same plan minus watermarks;
+    stream/batch equivalence is pinned in tests/test_streaming.py).
+    Epoch-second outputs for cross-engine hash stability."""
+    from parquet_merger_spark.streaming.events import correlate_events_batch
+
+    pairs = correlate_events_batch(
+        _events(spark, sf_dir), left_type="click", right_type="view", horizon_minutes=240
+    )
+    return pairs.select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.col("left_ts").cast("long").alias("left_epoch"),
+        F.col("right_ts").cast("long").alias("right_epoch"),
+    )
+
+
 def q_schema_evolution_scan(spark, sf_dir):
     """Union-widening merge (`operators.merge.merged_df_widen`): two
     customer projections with different column sets, read through
@@ -1922,6 +1942,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders WHERE o_orderkey BETWEEN 2000 AND 4500
     """,
     "compact_small_files": "SELECT doc_id, text, lang, n_chars FROM documents",
+    "event_attribution": """
+        SELECT e1.user_id AS user_id,
+               e1.event_id AS left_id,
+               e2.event_id AS right_id,
+               CAST(FLOOR(epoch(CAST(e1.ts AS TIMESTAMP))) AS BIGINT) AS left_epoch,
+               CAST(FLOOR(epoch(CAST(e2.ts AS TIMESTAMP))) AS BIGINT) AS right_epoch
+        FROM events e1 JOIN events e2
+          ON e1.user_id = e2.user_id
+         AND e1.event_type = 'click' AND e2.event_type = 'view'
+         AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 240 MINUTE
+    """,
     "schema_evolution_scan": """
         SELECT c_custkey, c_name, c_nationkey FROM customer
         UNION ALL BY NAME
@@ -1956,6 +1987,7 @@ QUERIES: dict[str, QueryFn] = {
     "skipping_scan": q_skipping_scan,
     "compact_small_files": q_compact_small_files,
     "schema_evolution_scan": q_schema_evolution_scan,
+    "event_attribution": q_event_attribution,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,

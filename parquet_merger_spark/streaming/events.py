@@ -176,6 +176,139 @@ def streaming_distinct_events(
     )
 
 
+def enrich_with_dim_batch(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Batch twin of :func:`enrich_stream`: left join onto a broadcast
+    dimension table."""
+    return events.join(F.broadcast(dim), on=key, how="left")
+
+
+def enrich_stream(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    key: str = "user_id",
+    query_name: str = "enriched_events",
+) -> StreamingQuery:
+    """STREAM-STATIC join: enrich each event with a dimension row (user
+    profile, source registry, ...) as it arrives.
+
+    Scale design: stream-static joins are STATELESS — no watermark, no
+    join state store; each micro-batch hash-joins against the current
+    dim snapshot, and broadcasting the (small) dim keeps it shuffle-free
+    per batch.  The static side is re-planned per micro-batch, so a dim
+    backed by a table picks up slowly-changing updates without restarts.
+    This is the enrichment shape every ingestion pipeline needs before
+    aggregation (the batch twin :func:`enrich_with_dim_batch` is the
+    oracle-checkable contract)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    enriched = enrich_with_dim_batch(stream, dim, key)
+    return (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def correlate_events_batch(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Batch twin of :func:`correlate_streams`: pairs of (left, right)
+    events by the same user where the right event follows the left within
+    ``horizon_minutes`` (exclusive start, inclusive end)."""
+    left = events.filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    right = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    cond = (
+        (left["user_id"] == right["r_user_id"])
+        & (right["right_ts"] > left["left_ts"])
+        & (
+            right["right_ts"]
+            <= left["left_ts"] + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return left.join(right, cond, "inner").select(
+        "user_id", "left_id", "right_id", "left_ts", "right_ts"
+    )
+
+
+def correlate_streams(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    left_type: str = "click",
+    right_type: str = "view",
+    horizon_minutes: int = 30,
+    watermark: str = "2 hours",
+    query_name: str = "correlated_events",
+) -> StreamingQuery:
+    """STREAM-STREAM interval join: correlate each ``left_type`` event
+    with the same user's ``right_type`` events in the following
+    ``horizon_minutes`` (attribution, funnel steps, cause→effect pairs).
+
+    Scale design: both sides carry a watermark and the join condition
+    bounds event-time distance, so the state store holds only rows inside
+    (watermark + horizon) — state is O(rate × horizon), not the full
+    history.  Without the time bound Spark would have to buffer both
+    streams forever; this is THE pattern that makes stream-stream joins
+    bounded.  Inner join in append mode emits each pair exactly once."""
+    schema = spark.read.parquet(events_dir).schema
+
+    def side() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_dir)
+            .withWatermark("ts", watermark)
+        )
+
+    left = side().filter(F.col("event_type") == left_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    right = side().filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    cond = (
+        (left["user_id"] == right["r_user_id"])
+        & (right["right_ts"] > left["left_ts"])
+        & (
+            right["right_ts"]
+            <= left["left_ts"] + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    joined = left.join(right, cond, "inner").select(
+        "user_id", "left_id", "right_id", "left_ts", "right_ts"
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def stream_to_parquet(
     spark: SparkSession,
     events_dir: str,

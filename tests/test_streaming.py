@@ -313,3 +313,50 @@ def test_curation_runs_unchanged_on_a_stream(spark, tmp_path):
         for r in curate_corpus(spark.read.parquet(docs_dir)).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_enrich_stream_matches_batch_twin(spark, event_files, tmp_path):
+    from parquet_merger_spark.streaming.events import (
+        enrich_stream,
+        enrich_with_dim_batch,
+    )
+
+    events_dir, _ = event_files
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "user_id long, tier string"
+    )
+    q = enrich_stream(
+        spark, events_dir, dim, str(tmp_path / "ck_enrich"), query_name="t_enrich"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_enrich")
+    events = spark.read.parquet(events_dir)
+    want = enrich_with_dim_batch(events, dim)
+    assert _canon(got.select(*sorted(got.columns))) == _canon(
+        want.select(*sorted(want.columns))
+    )
+    # the sentinel user (99) has no dim row -> null tier survives (left join)
+    assert got.filter("user_id = 99").collect()[0]["tier"] is None
+
+
+def test_correlate_streams_matches_batch_twin(spark, event_files, tmp_path):
+    from parquet_merger_spark.streaming.events import (
+        correlate_events_batch,
+        correlate_streams,
+    )
+
+    events_dir, _ = event_files
+    q = correlate_streams(
+        spark,
+        events_dir,
+        str(tmp_path / "ck_corr"),
+        horizon_minutes=30,
+        query_name="t_corr",
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM t_corr")
+    want = correlate_events_batch(spark.read.parquet(events_dir), horizon_minutes=30)
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0  # the fixture really produces click->view pairs
