@@ -1,0 +1,136 @@
+"""Data profiling and expectation (constraint) checking.
+
+Before a 100 TB corpus feeds training, two metadata-sized questions gate
+everything downstream: "what does this table actually look like?"
+(profiling) and "does it satisfy the contract we assumed?"
+(expectations).  Both reduce to aggregates — tiny outputs, one
+distributed pass — so they belong in the engine, not a notebook.
+
+Scale design notes:
+
+* :func:`profile_table` computes every column's stats in ONE aggregate
+  job (Catalyst plans the multi-distinct via a single expand + partial
+  aggregation; there is no per-column scan).  Exact distinct counts are
+  the oracle-checkable default; pass ``approximate=True`` at real scale
+  to swap in HLL++ (`approx_count_distinct`) and keep the job one
+  shuffle with constant-size state.
+* :func:`check_expectations` evaluates all row rules in one
+  conditional-count aggregate (one scan for any number of rules);
+  unique-key rules each add one groupBy on the key.  Violation COUNTS
+  come back as a summary table; :func:`quarantine` splits the actual
+  rows (valid, violating) for write-out — the standard
+  gate-then-quarantine ingestion pattern.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, approximate: bool = False
+) -> DataFrame:
+    """Per-column profile: ``(col_name, n_rows, n_nulls, n_distinct,
+    min_str, max_str)`` — one row per column, one aggregate job total.
+
+    min/max are cast to string so heterogeneous column types fit one
+    output schema (numeric formatting is engine-specific for floats;
+    keep cross-engine comparisons to int/string/date columns)."""
+    cols = columns or df.columns
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approximate else (lambda c: F.countDistinct(c))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            n_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"__rows_{c}").alias("n_rows"),
+                    F.col(f"__nulls_{c}").alias("n_nulls"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                    F.col(f"__min_{c}").alias("min_str"),
+                    F.col(f"__max_{c}").alias("max_str"),
+                )
+                for c in cols
+            ]
+        )
+    ).alias("p")
+    return wide.select(stacked).select("p.*")
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Violation summary ``(rule, n_violations)``: row ``rules`` map a
+    name to a boolean Column that every valid row satisfies (NULL counts
+    as a violation — an unevaluable contract is a broken contract);
+    ``unique_keys`` maps a name to a key column list that must be
+    duplicate-free (n_violations = rows beyond the first per duplicated
+    key).  All row rules share one aggregate pass."""
+    parts = []
+    if rules:
+        aggs = [
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(name)
+            for name, cond in rules.items()
+        ]
+        wide = df.agg(*aggs)
+        parts.append(
+            wide.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(name).alias("rule"),
+                                F.col(name).alias("n_violations"),
+                            )
+                            for name in rules
+                        ]
+                    )
+                ).alias("v")
+            ).select("v.*")
+        )
+    for name, keys in (unique_keys or {}).items():
+        dups = (
+            df.groupBy(*keys)
+            .agg((F.count(F.lit(1)) - 1).alias("extra"))
+            .agg(F.coalesce(F.sum("extra"), F.lit(0)).alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        parts.append(dups)
+    if not parts:
+        raise ValueError("no rules given")
+    return reduce(DataFrame.unionByName, parts)
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, violating) against ALL row rules at once.
+    Violating rows carry a ``violated`` array naming each failed rule —
+    the quarantine side is written for inspection/repair, the valid side
+    flows on.  One scan feeds both sides (same plan, opposite filters)."""
+    checks = F.array(
+        *[
+            F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+            for name, cond in rules.items()
+        ]
+    )
+    tagged = df.withColumn("violated", F.filter(checks, lambda x: x.isNotNull()))
+    valid = tagged.filter(F.size("violated") == 0).drop("violated")
+    bad = tagged.filter(F.size("violated") > 0)
+    return valid, bad

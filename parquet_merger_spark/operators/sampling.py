@@ -101,6 +101,44 @@ def deterministic_sample(
     return df.filter(g < threshold)
 
 
+def split_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+    gate: Column | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: label every row with a
+    split name, partitioning the gate-hash range by cumulative
+    ``fractions`` (which must sum to 1).  Properties that matter for
+    training pipelines, all free here by construction:
+
+    * REPRODUCIBLE — membership is a pure function of (id, salt), stable
+      across runs, engines, and cluster sizes (no RNG, no ordering).
+    * STABLE UNDER GROWTH — new rows join a split without moving any
+      existing row (each id's hash never changes).
+    * DISJOINT + EXHAUSTIVE — range partition of [0, 1e6).
+    * Shuffle-free: one row-local expression, no shuffle, no sort.
+    """
+    total = sum(fractions.values())
+    assert abs(total - 1.0) < 1e-9, f"fractions must sum to 1, got {total}"
+    g = gate if gate is not None else hash_gate(F.col(id_col), salt)
+    expr, cum = None, 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * _MOD))
+        expr = (
+            F.when(g < bound, F.lit(name))
+            if expr is None
+            else expr.when(g < bound, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    labeled = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, labeled)
+
+
 def mixture_sample(
     df: DataFrame,
     budget_tokens: int,

@@ -963,6 +963,58 @@ def q_merge_files_roundtrip(spark, sf_dir):
     return merged_df(spark, [p_a, p_b])
 
 
+def q_profile_table(spark, sf_dir):
+    """One-pass data profile (`operators.profile.profile_table`): every
+    column's rows/nulls/distinct/min/max from a single aggregate job
+    (Catalyst plans the multi-distinct with one expand — no per-column
+    scans).  Profiled columns restricted to int/string (float min/max
+    string formatting is engine-specific)."""
+    from parquet_merger_spark.operators.profile import profile_table
+
+    c = _t(spark, sf_dir, "customer")
+    return profile_table(c, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
+def q_data_quality_report(spark, sf_dir):
+    """Expectation checking (`operators.profile.check_expectations`):
+    row rules evaluated in ONE conditional-count pass + a unique-key
+    rule (one groupBy).  The report is the gate a 100 TB ingest runs
+    before anything downstream trusts the batch."""
+    from parquet_merger_spark.operators.profile import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        o,
+        rules={
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "price_below_cap": F.col("o_totalprice") <= 400_000,
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+        unique_keys={
+            "orderkey_unique": ["o_orderkey"],
+            "custkey_unique": ["o_custkey"],
+        },
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    """Deterministic train/val/test labeling
+    (`operators.sampling.split_by_hash`): membership is a pure function
+    of the id hash — reproducible across runs/engines/cluster sizes,
+    stable under corpus growth, shuffle-free.  Uses the portable
+    polynomial gate so DuckDB recomputes the identical assignment."""
+    from parquet_merger_spark.operators.sampling import portable_hash_gate, split_by_hash
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return split_by_hash(
+        d,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id",
+        gate=portable_hash_gate(F.col("doc_id")),
+    )
+
+
 def q_event_attribution(spark, sf_dir):
     """Interval self-join (`streaming.events.correlate_events_batch`):
     click→view pairs per user within a 4-hour horizon — the batch twin
@@ -1942,6 +1994,64 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders WHERE o_orderkey BETWEEN 2000 AND 4500
     """,
     "compact_small_files": "SELECT doc_id, text, lang, n_chars FROM documents",
+    "profile_table": """
+        SELECT 'c_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(c_custkey) AS VARCHAR) AS min_str,
+               CAST(max(c_custkey) AS VARCHAR) AS max_str
+        FROM customer
+        UNION ALL
+        SELECT 'c_name', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT c_name) AS BIGINT),
+               CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT c_nationkey) AS BIGINT),
+               CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+               CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+        FROM customer
+    """,
+    "data_quality_report": """
+        SELECT 'custkey_not_null' AS rule,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'price_positive',
+               CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'price_below_cap',
+               CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'status_known',
+               CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique', CAST(coalesce(sum(extra), 0) AS BIGINT)
+        FROM (SELECT count(*) - 1 AS extra FROM orders GROUP BY o_orderkey)
+        UNION ALL
+        SELECT 'custkey_unique', CAST(coalesce(sum(extra), 0) AS BIGINT)
+        FROM (SELECT count(*) - 1 AS extra FROM orders GROUP BY o_custkey)
+    """,
+    "train_test_split": """
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN g < 800000 THEN 'train'
+                    WHEN g < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang, n_chars,
+                     ((doc_id % 999983) * 7919) % 1000000 AS g
+              FROM documents)
+    """,
     "event_attribution": """
         SELECT e1.user_id AS user_id,
                e1.event_id AS left_id,
@@ -1988,6 +2098,9 @@ QUERIES: dict[str, QueryFn] = {
     "compact_small_files": q_compact_small_files,
     "schema_evolution_scan": q_schema_evolution_scan,
     "event_attribution": q_event_attribution,
+    "profile_table": q_profile_table,
+    "data_quality_report": q_data_quality_report,
+    "train_test_split": q_train_test_split,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
