@@ -20,7 +20,70 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: one row per key
+    that changed, labeled ``insert`` (key only in ``new``), ``delete``
+    (key only in ``old``), or ``update`` (key in both, any non-key column
+    differs).  Unchanged keys produce no output — the diff is the
+    incremental payload a downstream consumer replays.
+
+    One full outer join on the key (single shuffle, AQE-skew-safe); the
+    update test is a null-safe struct comparison (``eqNullSafe``) so
+    NULL→value and value→NULL transitions count as changes.  Output
+    carries the NEW side's columns for inserts/updates and the OLD side's
+    for deletes.  Both snapshots must share the schema."""
+    assert old.columns == new.columns, "snapshots must share a schema"
+    val_cols = [c for c in old.columns if c not in key_cols]
+    # column-rename disambiguation: the two snapshots often share lineage
+    # (same source table), so frame-qualified references are ambiguous
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in new.columns])
+    join_cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o_{c}") == F.col(f"__n_{c}") for c in key_cols],
+    )
+    joined = o.join(n, join_cond, "full_outer")
+    in_old = reduce(
+        lambda a, b: a | b, [F.col(f"__o_{c}").isNotNull() for c in key_cols]
+    )
+    in_new = reduce(
+        lambda a, b: a | b, [F.col(f"__n_{c}").isNotNull() for c in key_cols]
+    )
+    same_vals = (
+        reduce(
+            lambda a, b: a & b,
+            [F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in val_cols],
+        )
+        if val_cols
+        else F.lit(True)
+    )
+    label = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~same_vals, F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in key_cols
+    ] + [
+        F.when(in_new, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in val_cols
+    ]
+    return (
+        joined.withColumn(change_col, label)
+        .filter(F.col(change_col).isNotNull())
+        .select(*out_cols, change_col)
+    )
 
 
 def upsert_by_key(

@@ -71,6 +71,37 @@ def profile_table(
     return wide.select(stacked).select("p.*")
 
 
+def numeric_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Equal-width histogram of ``col`` over [lo, hi]:
+    ``(bin, bin_lo, bin_hi, n)``.  Values outside the range are excluded
+    (profile first; pass the observed envelope).  Row-local bin math +
+    one small groupBy — the profiling complement that shows the SHAPE a
+    min/max envelope can't.  ``hi`` lands in the last bin (closed top)."""
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def check_expectations(
     df: DataFrame,
     rules: dict[str, Column],

@@ -1015,6 +1015,43 @@ def q_train_test_split(spark, sf_dir):
     )
 
 
+def q_price_histogram(spark, sf_dir):
+    """Equal-width histogram (`operators.profile.numeric_histogram`):
+    row-local bin assignment + one small groupBy.  Bin edges chosen so
+    the width (600000/12 = 50000) is an exact double — identical IEEE
+    arithmetic in both engines."""
+    from parquet_merger_spark.operators.profile import numeric_histogram
+
+    o = _t(spark, sf_dir, "orders")
+    return numeric_histogram(o, "o_totalprice", n_bins=12, lo=0.0, hi=600_000.0)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between snapshots (`operators.incremental.snapshot_diff`):
+    synthesize a new snapshot (deletes %17, reprices %10, inserts %97
+    with shifted keys) and emit one labeled row per changed key.  One
+    full outer join on the key; null-safe value comparison so
+    NULL transitions count.  Unchanged keys emit nothing."""
+    from parquet_merger_spark.operators.incremental import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.5)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 def q_event_attribution(spark, sf_dir):
     """Interval self-join (`streaming.events.correlate_events_batch`):
     click→view pairs per user within a 4-hour horizon — the batch twin
@@ -2052,6 +2089,43 @@ ORACLE_SQL: dict[str, str] = {
                      ((doc_id % 999983) * 7919) % 1000000 AS g
               FROM documents)
     """,
+    "price_histogram": """
+        SELECT bin,
+               0.0 + bin * 50000.0 AS bin_lo,
+               0.0 + (bin + 1) * 50000.0 AS bin_hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+            SELECT LEAST(CAST(FLOOR((o_totalprice - 0.0) / 50000.0) AS BIGINT), 11) AS bin
+            FROM orders
+            WHERE o_totalprice BETWEEN 0.0 AND 600000.0
+        ) GROUP BY bin
+    """,
+    "snapshot_diff": """
+        WITH old_t AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ),
+        new_t AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.5
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderkey % 17 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey
+                    ELSE o.o_custkey END AS o_custkey,
+               CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                    ELSE o.o_totalprice END AS o_totalprice,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change
+        FROM old_t o FULL JOIN new_t n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+    """,
     "event_attribution": """
         SELECT e1.user_id AS user_id,
                e1.event_id AS left_id,
@@ -2099,6 +2173,8 @@ QUERIES: dict[str, QueryFn] = {
     "schema_evolution_scan": q_schema_evolution_scan,
     "event_attribution": q_event_attribution,
     "profile_table": q_profile_table,
+    "price_histogram": q_price_histogram,
+    "snapshot_diff": q_snapshot_diff,
     "data_quality_report": q_data_quality_report,
     "train_test_split": q_train_test_split,
     "semi_join_customers": q_semi_join_customers,

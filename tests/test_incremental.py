@@ -45,3 +45,47 @@ def test_upsert_rejects_schema_mismatch(spark):
     updates = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="updates lacks"):
         upsert_by_key(base, updates, ["k"])
+
+
+def test_snapshot_diff_labels_and_null_transitions(spark):
+    from parquet_merger_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "id long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, None)], "id long, v string"
+    )
+    got = {r["id"]: (r["change"], r["v"]) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {
+        2: ("update", "B"),       # value change -> new side value
+        3: ("update", "c"),       # NULL -> value counts as change
+        4: ("delete", "d"),       # delete carries old side value
+        5: ("insert", None),      # insert with NULL value
+    }
+    # id 1 unchanged -> absent
+
+
+def test_snapshot_diff_empty_when_identical(spark):
+    from parquet_merger_spark.operators.incremental import snapshot_diff
+
+    df = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
+    same = spark.createDataFrame([(1, 1.0), (2, None)], "id long, v double")
+    assert snapshot_diff(df, same, ["id"]).count() == 0  # null==null is no change
+
+
+def test_snapshot_diff_roundtrips_through_upsert(spark):
+    # applying the diff's inserts+updates via upsert, then removing
+    # deletes, reconstructs the new snapshot exactly
+    from parquet_merger_spark.operators.incremental import snapshot_diff, upsert_by_key
+
+    old = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    new = spark.createDataFrame(
+        [(i, float(i) + (1.5 if i % 7 == 0 else 0.0)) for i in range(5, 105)],
+        "id long, v double",
+    )
+    diff = snapshot_diff(old, new, ["id"])
+    ups = diff.filter("change != 'delete'").drop("change")
+    dels = diff.filter("change = 'delete'").select("id")
+    rebuilt = upsert_by_key(old, ups, ["id"]).join(dels, "id", "left_anti")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
