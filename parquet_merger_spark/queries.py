@@ -1015,6 +1015,37 @@ def q_train_test_split(spark, sf_dir):
     )
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Z-order layout + skipping (`operators.compaction.zorder_write`):
+    orders written clustered on an interleaved-bit (Morton) key over
+    (o_custkey, o_totalprice), then a range scan on the SECOND dimension
+    prunes files via footer envelopes — the multi-dimension skipping a
+    linear sort order can't give.  Oracle = the plain BETWEEN filter
+    (skipping must never change semantics); per-dimension pruning
+    effectiveness is asserted in tests/test_stats.py."""
+    import glob as _glob
+    import tempfile
+
+    from parquet_merger_spark.operators.compaction import zorder_write
+    from parquet_merger_spark.sources.stats import skipping_scan
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_zorder")
+    lo, hi, plo, phi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    zorder_write(
+        o,
+        out,
+        {"o_custkey": (float(lo), float(hi)), "o_totalprice": (float(plo), float(phi))},
+        n_files=8,
+    )
+    paths = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    df, _kept = skipping_scan(spark, paths, "o_totalprice", 100_000.0, 150_000.0)
+    return df
+
+
 def q_price_histogram(spark, sf_dir):
     """Equal-width histogram (`operators.profile.numeric_histogram`):
     row-local bin assignment + one small groupBy.  Bin edges chosen so
@@ -2089,6 +2120,10 @@ ORACLE_SQL: dict[str, str] = {
                      ((doc_id % 999983) * 7919) % 1000000 AS g
               FROM documents)
     """,
+    "zorder_scan": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+    """,
     "price_histogram": """
         SELECT bin,
                0.0 + bin * 50000.0 AS bin_lo,
@@ -2174,6 +2209,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_attribution": q_event_attribution,
     "profile_table": q_profile_table,
     "price_histogram": q_price_histogram,
+    "zorder_scan": q_zorder_scan,
     "snapshot_diff": q_snapshot_diff,
     "data_quality_report": q_data_quality_report,
     "train_test_split": q_train_test_split,

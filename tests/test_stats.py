@@ -140,3 +140,59 @@ def test_cluster_write_produces_disjoint_envelopes(spark, tmp_path):
     lo = envs[2][0]
     df, kept = skipping_scan(spark, paths, "o_totalprice", lo, lo + 1.0)
     assert len(kept) <= 2
+
+
+def test_zorder_write_prunes_on_every_dimension(spark, tmp_path):
+    from parquet_merger_spark.operators.compaction import cluster_write, zorder_write
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ck_lo, ck_hi, pr_lo, pr_hi = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+
+    n_files = 16
+    zpaths = zorder_write(
+        o,
+        str(tmp_path / "zorder"),
+        {"o_custkey": (float(ck_lo), float(ck_hi)),
+         "o_totalprice": (float(pr_lo), float(pr_hi))},
+        n_files=n_files,
+    )
+    lpaths = cluster_write(o, str(tmp_path / "linear"), ["o_custkey"], n_files)
+
+    # a narrow range on EACH dimension must prune z-ordered files
+    ck_mid = (ck_lo + ck_hi) / 2
+    pr_mid = (pr_lo + pr_hi) / 2
+    _, z_by_ck = skipping_scan(spark, zpaths, "o_custkey", ck_mid, ck_mid + (ck_hi - ck_lo) * 0.05)
+    _, z_by_pr = skipping_scan(spark, zpaths, "o_totalprice", pr_mid, pr_mid + (pr_hi - pr_lo) * 0.05)
+    assert len(z_by_ck) < n_files
+    assert len(z_by_pr) < n_files
+
+    # linear clustering prunes its sort key but NOT the other dimension
+    _, l_by_ck = skipping_scan(spark, lpaths, "o_custkey", ck_mid, ck_mid + (ck_hi - ck_lo) * 0.05)
+    _, l_by_pr = skipping_scan(spark, lpaths, "o_totalprice", pr_mid, pr_mid + (pr_hi - pr_lo) * 0.05)
+    assert len(l_by_ck) <= len(z_by_ck)       # linear is best on its own key
+    assert len(l_by_pr) == n_files            # and useless on the second
+    # and the z-ordered table still returns exactly the right rows
+    df, _ = skipping_scan(spark, zpaths, "o_totalprice", pr_mid, pr_mid + (pr_hi - pr_lo) * 0.05)
+    want = o.filter(F.col("o_totalprice").between(pr_mid, pr_mid + (pr_hi - pr_lo) * 0.05))
+    assert sorted(r["o_orderkey"] for r in df.collect()) == sorted(
+        r["o_orderkey"] for r in want.collect()
+    )
+
+
+def test_zorder_key_locality(spark):
+    from parquet_merger_spark.operators.compaction import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    z = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=3).alias("z"))
+    rows = {(r["x"], r["y"]): r["z"] for r in z.collect()}
+    assert len(set(rows.values())) == 64          # bijective on the grid
+    assert rows[(0, 0)] == 0 and rows[(7, 7)] == 63
+    # interleave: x bits at even positions, y at odd
+    assert rows[(1, 0)] == 1 and rows[(0, 1)] == 2 and rows[(1, 1)] == 3
