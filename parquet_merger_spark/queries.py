@@ -945,6 +945,37 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_ingest_quarantine(spark, sf_dir):
+    """Fault-tolerant JSONL ingestion (``sources/ingest.py``): serialize
+    documents to JSON lines, truncate every 17th record in flight (the
+    "partial upload" failure mode), ingest with
+    :func:`read_jsonl_robust`, and return the VALID side.  Oracle = the
+    source rows minus the corrupted keys — hash equality certifies that
+    exactly the malformed records, and nothing else, were quarantined.
+
+    Scale notes: serialization (``to_json`` over a struct) and the
+    corruption predicate are row-local JVM expressions; the write is
+    Spark's parallel text sink and the robust read is a distributed scan
+    with a DECLARED schema (PERMISSIVE mode — no inference pass, no
+    job-killing FAILFAST, no silent DROPMALFORMED)."""
+    import tempfile
+
+    from parquet_merger_spark.sources.ingest import read_jsonl_robust
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_ingest_quarantine")
+    d.select(
+        F.when(F.col("doc_id") % 17 == 0, F.substring(line, 1, 9))
+        .otherwise(line)
+        .alias("value")
+    ).write.mode("overwrite").text(out)
+    valid, _bad = read_jsonl_robust(
+        spark, out, "doc_id long, lang string, n_chars long"
+    )
+    return valid
+
+
 def q_merge_files_roundtrip(spark, sf_dir):
     """The core merge operator itself through the driver: write two
     overlapping projections of nation as parquet, merge with intersection
@@ -1844,6 +1875,12 @@ ORACLE_SQL: dict[str, str] = {
     "jsonl_roundtrip": """
         SELECT doc_id, text, lang, n_chars FROM documents
     """,
+    # The Spark side wrote JSONL with every 17th record truncated, then
+    # re-ingested in PERMISSIVE mode; hash equality certifies exactly the
+    # malformed records were quarantined and the rest survived intact.
+    "ingest_quarantine": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 17 <> 0
+    """,
     # The Spark side went through a CSV write + typed re-read; hash
     # equality against the untouched parquet source certifies the text
     # round-trip is lossless per type family.
@@ -2261,5 +2298,6 @@ QUERIES: dict[str, QueryFn] = {
     "merge_files_roundtrip": q_merge_files_roundtrip,
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "ingest_quarantine": q_ingest_quarantine,
     "upsert_orders": q_upsert_orders,
 }
