@@ -1,0 +1,138 @@
+"""Product/behavioral analytics operators: funnels, retention cohorts,
+time-series gap-fill.
+
+The reference engine (shanytc/parquet-merger) has no event-analytics
+surface at all — these are the standard warehouse queries a consumer of
+the merged event tables runs next, built Spark-first:
+
+- every operator is pure DataFrame API (JVM expressions, whole-stage
+  codegen, no Python in the hot path);
+- every shuffle is keyed on the entity id (``user_id``), so the chained
+  aggregations/joins co-partition and AQE can collapse exchanges;
+- nothing collects to the driver; outputs scale with the input.
+
+All timestamps are reduced to epoch seconds (exact integer floor) before
+arithmetic so results hash-match the DuckDB oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WEEK_S = 7 * 24 * 3600
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_epoch",
+) -> DataFrame:
+    """Strict-sequence funnel: for each user, the earliest time of step
+    1, then the earliest step-2 event STRICTLY AFTER that, then the
+    earliest step-3 event after THAT, and so on.  Returns one row per
+    user who completed step 1, with one nullable ``<step>_epoch`` column
+    per stage (null = dropped off before that stage).
+
+    Execution shape: one filtered aggregate per stage, each joined back
+    on ``user_col``.  Every shuffle in the chain is hash-partitioned on
+    the same key, so Spark reuses the exchange; the per-stage frames are
+    user-level aggregates (≤ one row per user) and AQE will broadcast
+    them once they fall under the threshold at high selectivity.  A
+    single-pass ``collect_list`` + state-machine UDF would avoid the
+    extra joins but put an unbounded per-user array in Python — the join
+    chain is the 100 TB-safe shape (bounded state, no Python).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    # stage 1: unconditional earliest occurrence
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"{steps[0]}_epoch"))
+    )
+    prev_col = f"{steps[0]}_epoch"
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, prev_col), user_col)
+            .filter(F.col(ts_col) > F.col(prev_col))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"{step}_epoch"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev_col = f"{step}_epoch"
+    return cur
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_epoch",
+) -> DataFrame:
+    """Weekly retention triangle: users are cohorted by their FIRST
+    event; each later event lands in ``week_offset = (ts - first_ts) //
+    WEEK``; output is (cohort_week_epoch, week_offset, n_users) with
+    n_users = distinct users from that cohort active in that offset week.
+
+    Cohort weeks are anchored to the epoch origin (``first_ts // WEEK *
+    WEEK``) — pure integer arithmetic, no calendar functions, identical
+    in every engine.  Two shuffles: the first-event aggregate and the
+    cohort/offset distinct-count, both keyed on user first — the
+    distinct is map-side-partial so the second exchange carries (cohort,
+    offset, user) triples, already near-unique."""
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("first_ts"))
+    joined = events.select(user_col, ts_col).join(firsts, user_col)
+    return (
+        joined.select(
+            (F.floor(F.col("first_ts") / WEEK_S) * WEEK_S).alias("cohort_week_epoch"),
+            F.floor((F.col(ts_col) - F.col("first_ts")) / WEEK_S).alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week_epoch", "week_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def gapfill_locf(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense per-key daily series from a sparse one: fill calendar gaps
+    between each key's first and last observed day, carrying the last
+    observation forward (LOCF).  Adds ``observed`` (false = synthesized
+    row).
+
+    Execution shape: per-key min/max bounds (one aggregate), then
+    ``sequence()`` + ``explode`` generates each key's calendar ROW-LOCALLY
+    (no cross join against a global calendar — the classic small-data
+    idiom that at 100 TB materializes |keys| x |days| before the join),
+    a left join back to the observations (same key partitioning), and
+    one bounded window for the carry-forward.  Skew note: a key's blowup
+    is bounded by its own day-span, not the global one."""
+    day = F.col(day_col)
+    bounds = daily.groupBy(key_col).agg(
+        F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi")
+    )
+    cal = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    j = cal.join(daily, [key_col, day_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        key_col,
+        day,
+        F.last(value_col, ignorenulls=True).over(w).alias(f"{value_col}_filled"),
+        F.col(value_col).isNotNull().alias("observed"),
+    )

@@ -329,6 +329,51 @@ def q_trailing_window_avg(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Strict-sequence conversion funnel view -> click -> purchase: per
+    user, earliest view, earliest click AFTER that view, earliest
+    purchase AFTER that click (nulls where the user dropped off).  See
+    :func:`operators.analytics.funnel_steps` for the join-chain shape."""
+    from parquet_merger_spark.operators.analytics import funnel_steps
+
+    e = _events(spark, sf_dir).withColumn("ts_epoch", F.col("ts").cast("long"))
+    return funnel_steps(e, ["view", "click", "purchase"])
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: cohort = epoch-anchored week of each
+    user's first event; n_users = distinct cohort members active at each
+    week offset.  Pure integer week arithmetic — no calendar functions,
+    identical in every engine."""
+    from parquet_merger_spark.operators.analytics import retention_cohorts
+
+    e = _events(spark, sf_dir).withColumn("ts_epoch", F.col("ts").cast("long"))
+    return retention_cohorts(e)
+
+
+def q_gapfill_locf(spark, sf_dir):
+    """Sparse -> dense per-user daily series: daily event-value sums
+    gap-filled over each user's own [first, last] day span with
+    last-observation-carried-forward.  Calendar rows are generated
+    per-key with sequence()+explode (row-local — no global calendar
+    cross join); the carry-forward is one bounded window."""
+    from parquet_merger_spark.operators.analytics import gapfill_locf
+
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    daily = (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    filled = gapfill_locf(daily, "user_id", "day", "v")
+    return filled.select(
+        "user_id",
+        F.col("day").cast("long").alias("day_epoch"),
+        "v_filled",
+        "observed",
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1419,6 +1464,64 @@ ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
+    "funnel_steps": """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+          FROM events
+        ), s1 AS (
+          SELECT user_id, min(es) AS view_epoch
+          FROM e WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, min(es) AS click_epoch
+          FROM e JOIN s1 ON e.user_id = s1.user_id AND e.es > s1.view_epoch
+          WHERE event_type = 'click' GROUP BY e.user_id
+        ), s3 AS (
+          SELECT e.user_id, min(es) AS purchase_epoch
+          FROM e JOIN s2 ON e.user_id = s2.user_id AND e.es > s2.click_epoch
+          WHERE event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT s1.user_id, view_epoch, click_epoch, purchase_epoch
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+    "retention_cohorts": """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+          FROM events
+        ), f AS (
+          SELECT user_id, min(es) AS first_ts FROM e GROUP BY user_id
+        )
+        SELECT CAST(FLOOR(first_ts / 604800) AS BIGINT) * 604800
+                 AS cohort_week_epoch,
+               CAST(FLOOR((es - first_ts) / 604800) AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "gapfill_locf": """
+        WITH d AS (
+          SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                 round(sum(value), 2) AS v
+          FROM events WHERE user_id < 20 GROUP BY 1, 2
+        ), b AS (
+          SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY user_id
+        ), cal AS (
+          SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM b
+        ), j AS (
+          SELECT cal.user_id, cal.day, d.v
+          FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day
+        )
+        SELECT user_id, CAST(FLOOR(epoch(day)) AS BIGINT) AS day_epoch,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
+               ) AS v_filled,
+               v IS NOT NULL AS observed
+        FROM j
+    """,
     "semi_join_customers": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -2250,6 +2353,9 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff": q_snapshot_diff,
     "data_quality_report": q_data_quality_report,
     "train_test_split": q_train_test_split,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "gapfill_locf": q_gapfill_locf,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
