@@ -165,3 +165,54 @@ def quarantine(
     valid = tagged.filter(F.size("violated") == 0).drop("violated")
     bad = tagged.filter(F.size("violated") > 0)
     return valid, bad
+
+
+def corr_matrix_exact(df: DataFrame, int_cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over pre-quantized INTEGER columns —
+    one row per column pair: ``(col_x, col_y, n, corr)``.
+
+    Why not ``df.stat.corr`` / ``F.corr``: their streaming-moment
+    accumulation is order-dependent in the last ulps, so results differ
+    run-to-run under different partitionings and can never hash-match a
+    second engine.  This computes the five sufficient statistics
+    (sum x, sum y, sum xy, sum x2, sum y2) as EXACT integer sums in a
+    single map-side-combined aggregate, then evaluates the closed-form
+    correlation in double precision from those exact values — the same
+    IEEE ops in any engine, bit-stable under any partitioning.
+
+    Scale shape: one scan, one partial-aggregated reduce to a single
+    row (O(k^2) columns of state, k = len(int_cols)), then a row-local
+    explode into pair rows.  No shuffle of data rows at all.  Caller
+    quantizes (e.g. cents as BIGINT) — quantization choice is a
+    statistics decision, not something to hide in here.
+    """
+    if len(int_cols) < 2:
+        raise ValueError("need >= 2 columns")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in int_cols:
+        aggs.append(F.sum(c).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(int_cols):
+        for b in int_cols[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    g = df.agg(*aggs)
+
+    def d(name: str) -> Column:
+        return F.col(name).cast("double")
+
+    pairs = []
+    nn = d("n")
+    for i, a in enumerate(int_cols):
+        for b in int_cols[i + 1 :]:
+            num = nn * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+            dx = nn * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}")
+            dy = nn * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}")
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("n").alias("n"),
+                    F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("corr"),
+                )
+            )
+    return g.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

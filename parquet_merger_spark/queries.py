@@ -374,6 +374,66 @@ def q_gapfill_locf(spark, sf_dir):
     )
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy (edit-distance) matching: probe strings are part
+    names with the 7th character deleted (a deterministic typo); each is
+    matched back against the full part corpus inside 5-char-prefix
+    blocks with levenshtein <= 2.  See
+    :func:`operators.entity.blocked_fuzzy_join` for the blocking-vs-
+    all-pairs scale argument."""
+    from parquet_merger_spark.operators.entity import blocked_fuzzy_join
+
+    p = _t(spark, sf_dir, "part")
+    probes = p.filter(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.concat(
+            F.substring("p_name", 1, 6), F.expr("substring(p_name, 8)")
+        ).alias("probe_text"),
+    )
+    corpus = p.select(
+        F.col("p_partkey").alias("match_id"), F.col("p_name").alias("match_text")
+    )
+    out = blocked_fuzzy_join(
+        probes,
+        corpus,
+        "probe_text",
+        "match_text",
+        lambda c: F.substring(c, 1, 5),
+        max_distance=2,
+    )
+    return out.select("probe_id", "probe_text", "match_id", "match_text", "distance")
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE aggregation (year x priority): all four grouping sets in one
+    pass — Catalyst plans grouping sets as a single Expand + aggregate,
+    not four scans (the rollup twin is q_rollup_revenue)."""
+    o = _t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.cube("yr", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("yr", "o_orderpriority", "n_orders", "revenue")
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of quantized lineitem measures via
+    exact integer sufficient statistics (one scan, single-row reduce —
+    no data shuffle; see :func:`operators.profile.corr_matrix_exact` for
+    why F.corr can never hash-match across engines)."""
+    from parquet_merger_spark.operators.profile import corr_matrix_exact
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax"),
+    )
+    return corr_matrix_exact(li, ["qty", "disc", "tax"])
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1522,6 +1582,58 @@ ORACLE_SQL: dict[str, str] = {
                v IS NOT NULL AS observed
         FROM j
     """,
+    "fuzzy_match": """
+        WITH probes AS (
+          SELECT p_partkey AS probe_id,
+                 substring(p_name, 1, 6) || substring(p_name, 8) AS probe_text
+          FROM part WHERE p_partkey % 50 = 0
+        ), corpus AS (
+          SELECT p_partkey AS match_id, p_name AS match_text FROM part
+        )
+        SELECT probe_id, probe_text, match_id, match_text,
+               CAST(levenshtein(probe_text, match_text) AS INTEGER) AS distance
+        FROM probes JOIN corpus
+          ON substring(probe_text, 1, 5) = substring(match_text, 1, 5)
+        WHERE levenshtein(probe_text, match_text) <= 2
+    """,
+    "cube_revenue": """
+        SELECT year(o_orderdate) AS yr, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+    """,
+    "corr_matrix": """
+        WITH q AS (
+          SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+                 CAST(round(l_discount * 100, 0) AS BIGINT) AS disc,
+                 CAST(round(l_tax * 100, 0) AS BIGINT) AS tax
+          FROM lineitem
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qty) AS DOUBLE) AS sq,
+                 CAST(sum(disc) AS DOUBLE) AS sd,
+                 CAST(sum(tax) AS DOUBLE) AS st,
+                 CAST(sum(qty * qty) AS DOUBLE) AS sqq,
+                 CAST(sum(disc * disc) AS DOUBLE) AS sdd,
+                 CAST(sum(tax * tax) AS DOUBLE) AS stt,
+                 CAST(sum(qty * disc) AS DOUBLE) AS sqd,
+                 CAST(sum(qty * tax) AS DOUBLE) AS sqt,
+                 CAST(sum(disc * tax) AS DOUBLE) AS sdt
+          FROM q
+        )
+        SELECT 'qty' AS col_x, 'disc' AS col_y, n,
+               round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)), 6) AS corr
+        FROM s
+        UNION ALL
+        SELECT 'qty', 'tax', n,
+               round((n*sqt - sq*st) / (sqrt(n*sqq - sq*sq) * sqrt(n*stt - st*st)), 6)
+        FROM s
+        UNION ALL
+        SELECT 'disc', 'tax', n,
+               round((n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st)), 6)
+        FROM s
+    """,
     "semi_join_customers": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -2356,6 +2468,9 @@ QUERIES: dict[str, QueryFn] = {
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "gapfill_locf": q_gapfill_locf,
+    "fuzzy_match": q_fuzzy_match,
+    "cube_revenue": q_cube_revenue,
+    "corr_matrix": q_corr_matrix,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
