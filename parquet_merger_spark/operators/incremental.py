@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,44 @@ def upsert_by_key(
         )
     kept = base.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
     return kept.unionByName(updates.select(*base.columns))
+
+
+def scd2_from_snapshots(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    snap_col: str = "snap_id",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: collapse a sequence of full
+    snapshots (tagged with an ordered ``snap_col``) into versioned rows
+    ``key + tracked + valid_from + valid_to`` — ``valid_from`` = the
+    snapshot where that tracked-value combination first appeared,
+    ``valid_to`` = the snapshot that replaced it (null = current).
+
+    A key absent from later snapshots simply keeps its last open
+    version (deletion-tracking would add a tombstone pass; out of scope
+    to match the warehouse-standard SCD2 contract).
+
+    Execution shape: one shuffle on the key (both windows share the
+    exact (key, snap) sort — Catalyst plans a single Exchange+Sort),
+    change detection via null-safe lag comparison, interval close via
+    lead.  Per-key state is bounded by that key's snapshot count, never
+    by table size, so skew is capped at n_snapshots rows per key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(snap_col)
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in tracked_cols],
+    ) | F.lag(snap_col).over(w).isNull()
+    versions = (
+        snapshots.withColumn("_chg", changed)
+        .filter("_chg")
+        .withColumn("valid_from", F.col(snap_col))
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy(*key_cols).orderBy("valid_from")
+            ),
+        )
+    )
+    return versions.select(*key_cols, *tracked_cols, "valid_from", "valid_to")

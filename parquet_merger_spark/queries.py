@@ -434,6 +434,36 @@ def q_corr_matrix(spark, sf_dir):
     return corr_matrix_exact(li, ["qty", "disc", "tax"])
 
 
+def q_scd2_customers(spark, sf_dir):
+    """SCD type-2 dimension build from three full snapshots of customer
+    (snap 2 re-prices every 7th account, snap 3 additionally moves every
+    13th to a new segment): versioned rows with [valid_from, valid_to)
+    intervals, open versions null-terminated.  See
+    :func:`operators.incremental.scd2_from_snapshots`."""
+    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    repriced = F.when(
+        F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0
+    ).otherwise(F.col("c_acctbal"))
+    moved = F.when(
+        F.col("c_custkey") % 13 == 0, F.lit("MOVED")
+    ).otherwise(F.col("c_mktsegment"))
+    s1 = c.withColumn("snap_id", F.lit(1))
+    s2 = c.withColumn("c_acctbal", repriced).withColumn("snap_id", F.lit(2))
+    s3 = (
+        c.withColumn("c_acctbal", repriced)
+        .withColumn("c_mktsegment", moved)
+        .withColumn("snap_id", F.lit(3))
+    )
+    snaps = s1.unionByName(s2).unionByName(s3)
+    return scd2_from_snapshots(
+        snaps, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1634,6 +1664,40 @@ ORACLE_SQL: dict[str, str] = {
                round((n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st)), 6)
         FROM s
     """,
+    "scd2_customers": """
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        ), s AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, 1 AS snap_id FROM base
+          UNION ALL
+          SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END, 2
+          FROM base
+          UNION ALL
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END, 3
+          FROM base
+        ), l AS (
+          SELECT *, lag(c_mktsegment) OVER w AS pm, lag(c_acctbal) OVER w AS pa,
+                 lag(snap_id) OVER w AS ps
+          FROM s WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_id)
+        ), chg AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, snap_id AS valid_from
+          FROM l
+          WHERE ps IS NULL
+             OR c_mktsegment IS DISTINCT FROM pm
+             OR c_acctbal IS DISTINCT FROM pa
+        )
+        SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+               lead(valid_from) OVER (
+                 PARTITION BY c_custkey ORDER BY valid_from
+               ) AS valid_to
+        FROM chg
+    """,
     "semi_join_customers": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -2471,6 +2535,7 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match": q_fuzzy_match,
     "cube_revenue": q_cube_revenue,
     "corr_matrix": q_corr_matrix,
+    "scd2_customers": q_scd2_customers,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,

@@ -89,3 +89,50 @@ def test_snapshot_diff_roundtrips_through_upsert(spark):
     dels = diff.filter("change = 'delete'").select("id")
     rebuilt = upsert_by_key(old, ups, ["id"]).join(dels, "id", "left_anti")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 (scd2_from_snapshots)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_versions_and_intervals(spark):
+    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [
+            # key 1: value changes at snap 2, reverts at snap 3 -> 3 versions
+            (1, "a", 1), (1, "b", 2), (1, "a", 3),
+            # key 2: never changes -> one open version
+            (2, "x", 1), (2, "x", 2), (2, "x", 3),
+            # key 3: appears first at snap 2 (late arrival)
+            (3, "n", 2), (3, "n", 3),
+            # key 4: null -> value transition (null-safe comparison)
+            (4, None, 1), (4, "v", 2),
+        ],
+        "k long, val string, snap_id int",
+    )
+    out = scd2_from_snapshots(snaps, ["k"], ["val"])
+    got = sorted(
+        ((r["k"], r["valid_from"]), (r["val"], r["valid_to"]))
+        for r in out.collect()
+    )
+    assert got == [
+        ((1, 1), ("a", 2)), ((1, 2), ("b", 3)), ((1, 3), ("a", None)),
+        ((2, 1), ("x", None)),
+        ((3, 2), ("n", None)),
+        ((4, 1), (None, 2)), ((4, 2), ("v", None)),
+    ]
+
+
+def test_scd2_multi_tracked_columns_any_change_opens_version(spark):
+    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "a", 20, 2), (1, "b", 20, 3)],
+        "k long, seg string, bal long, snap_id int",
+    )
+    out = scd2_from_snapshots(snaps, ["k"], ["seg", "bal"])
+    got = sorted((r["seg"], r["bal"], r["valid_from"], r["valid_to"])
+                 for r in out.collect())
+    assert got == [("a", 10, 1, 2), ("a", 20, 2, 3), ("b", 20, 3, None)]
