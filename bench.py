@@ -74,6 +74,27 @@ HEADLINE = [
     "pivot_event_counts",
     "intersect_custkeys",
     "except_custkeys",
+    "upsert_orders",
+    "snapshot_diff",
+    "profile_table",
+    "data_quality_report",
+    "price_histogram",
+    "train_test_split",
+    "event_attribution",
+    "funnel_steps",
+    "retention_cohorts",
+    "gapfill_locf",
+    "fuzzy_match",
+    "cube_revenue",
+    "corr_matrix",
+    "scd2_customers",
+    "bigram_counts",
+    "event_transitions",
+    "value_band_stats",
+    "decile_binning",
+    "ingest_quarantine",
+    "weighted_sample",
+    "feature_hashing",
 ]
 
 

@@ -199,3 +199,31 @@ def mixture_sample(
         .filter(g < threshold)
         .drop("__stratum_tokens")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    scale: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    gate: Column | None = None,
+) -> DataFrame:
+    """Deterministic Bernoulli WEIGHTED sampling: keep each row with
+    probability ``min(1, weight/scale)`` — the importance-sampling
+    primitive behind token-budget corpus construction (long documents
+    kept more often, each row decided independently).
+
+    The keep decision is ``hash_gate(id) < weight*MOD/scale``: row-local,
+    shuffle-free, reproducible under any partitioning, and trivially
+    re-runnable (the same ids survive).  Expected kept token mass is
+    sum(w * min(1, w/scale)) — callers wanting an exact budget should
+    compose with :func:`mixture_sample`'s per-stratum thresholds
+    instead.  ``weight*MOD`` must stay below 2^53 (true for any token
+    count times the 1e6 gate modulus)."""
+    g = gate if gate is not None else hash_gate(F.col(id_col), salt)
+    threshold = F.least(
+        F.lit(_MOD).cast("long"),
+        F.floor(F.col(weight_col) * F.lit(_MOD) / F.lit(scale)),
+    )
+    return df.filter(g < threshold)

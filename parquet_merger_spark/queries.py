@@ -464,6 +464,158 @@ def q_scd2_customers(spark, sf_dir):
     )
 
 
+def q_bigram_counts(spark, sf_dir):
+    """Top-10 word bigrams per language — the n-gram LM count table.
+    Guarded against the SURVEY §9 InferFiltersFromGenerate pathology:
+    tokens materialize as a column FIRST, the size pre-filter runs on
+    that column, and the generator is explode_outer — so the split never
+    re-runs inside an inferred scan filter.  Count shuffle is on (lang,
+    bigram); the final top-k window partitions by lang (5 partitions —
+    small, but it ranks only the already-aggregated count table, not
+    rows)."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("lang", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = d2.select(
+        "lang",
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = big.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive event
+    types per user (lead over a per-user total order) — the sequence
+    statistic behind session modeling.  One shuffle for the window (on
+    user_id), one for the pair count."""
+    e = _events(spark, sf_dir).withColumn("es", F.col("ts").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    t = e.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    return t.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_value_band_stats(spark, sf_dir):
+    """True range join (irregular bands, not floor-divisible) against a
+    broadcast dimension: each event lands in the band with lo <= value <
+    hi.  BroadcastNestedLoopJoin is the RIGHT plan here — the build side
+    is 4 rows, so the 'nested loop' is a per-row scan of a tiny local
+    array, and the probe side never shuffles.  (A large band table would
+    instead bucketize: equi-join on floor(value/width) then refine.)"""
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 5.0),
+            ("small", 5.0, 20.0),
+            ("mid", 20.0, 50.0),
+            ("large", 50.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    e = _events(spark, sf_dir)
+    j = e.join(
+        F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi)
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+def q_decile_binning(spark, sf_dir):
+    """Equal-frequency (decile) binning of order prices WITHOUT a global
+    window: exact global row ids come from the quantile-bucketed
+    two-phase ranking (operators/ranking.assign_row_ids — the same
+    no-single-task-sort design VERDICT asked for), then decile =
+    floor((row_id-1)*10/n)+1.  Returns per-decile count and price
+    bounds — the feature-engineering binning table."""
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = o.count()
+    r = assign_row_ids(o, "o_totalprice", ["o_orderkey"], n_buckets=32)
+    d = r.withColumn(
+        "decile",
+        (F.floor((F.col("row_id") - 1) * 10 / F.lit(n)) + 1).cast("long"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Bernoulli weighted sampling: documents kept with
+    probability min(1, n_tokens/2000) — long documents oversampled, the
+    importance-sampling primitive for token-budget corpus construction.
+    Row-local gate, shuffle-free (see operators/sampling.weighted_sample);
+    the portable polynomial gate makes the oracle cross-engine-exact."""
+    from parquet_merger_spark.operators.sampling import (
+        portable_hash_gate,
+        weighted_sample,
+    )
+    from parquet_merger_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return weighted_sample(
+        d, "n_tokens", scale=2000, gate=portable_hash_gate(F.col("doc_id"))
+    )
+
+
+def q_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurization: tokens bucketed into a fixed
+    256-dim space via md5 (engine-portable), emitting sparse
+    (doc_id, bucket, n) counts — the vocabulary-free vectorizer for
+    linear probes over 100 TB text (no global dictionary build, no
+    shuffle beyond the count agg; collisions are the accepted trade).
+    Token build is pathology-guarded like bigram_counts."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d2 = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    tok = d2.select("doc_id", F.explode_outer("toks").alias("tok"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(256),
+    )
+    return (
+        tok.withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip (the third columnar format next to
+    parquet and the text formats): write a typed orders projection as
+    ORC with Spark's parallel directory writer, read it back, hash-match
+    the untouched parquet source — certifying lossless type round-trip
+    through the ORC reader/writer pair."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "pm_spark_orc_roundtrip")
+    o.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1698,6 +1850,89 @@ ORACLE_SQL: dict[str, str] = {
                ) AS valid_to
         FROM chg
     """,
+    "weighted_sample": """
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END
+                   AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens FROM d
+        WHERE ((doc_id % 999983) * 7919) % 1000000
+              < LEAST(1000000, FLOOR(n_tokens * 1000000 / 2000))
+    """,
+    "feature_hashing": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE doc_id < 500 AND len(string_split(text, ' ')) >= 1
+        )
+        SELECT doc_id,
+               (('0x' || substring(md5(tok), 1, 8))::BIGINT) % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    """,
+    # Spark side wrote ORC and re-read it; hash equality against the
+    # untouched parquet source certifies the columnar round-trip.
+    "orc_roundtrip": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
+        FROM orders WHERE o_orderkey < 800
+    """,
+    "bigram_counts": """
+        WITH big AS (
+          SELECT lang,
+                 unnest(list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1])) AS bigram
+          FROM documents WHERE len(string_split(text, ' ')) >= 2
+        ), c AS (
+          SELECT lang, bigram, CAST(count(*) AS BIGINT) AS n
+          FROM big GROUP BY 1, 2
+        )
+        SELECT lang, bigram, n, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY n DESC, bigram
+          ) AS rk FROM c
+        ) WHERE rk <= 10
+    """,
+    "event_transitions": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+          FROM events
+        ), t AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                 ) AS to_type
+          FROM e
+        )
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    """,
+    "value_band_stats": """
+        WITH bands(band, lo, hi) AS (VALUES
+          ('tiny', 0.0, 5.0), ('small', 5.0, 20.0),
+          ('mid', 20.0, 50.0), ('large', 50.0, 1e9))
+        SELECT band, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band
+    """,
+    "decile_binning": """
+        WITH r AS (
+          SELECT o_totalprice,
+                 row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                 count(*) OVER () AS n
+          FROM orders
+        )
+        SELECT CAST(FLOOR((rn - 1) * 10 / n) AS BIGINT) + 1 AS decile,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM r GROUP BY 1
+    """,
     "semi_join_customers": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer
         WHERE EXISTS (SELECT 1 FROM orders
@@ -2536,6 +2771,13 @@ QUERIES: dict[str, QueryFn] = {
     "cube_revenue": q_cube_revenue,
     "corr_matrix": q_corr_matrix,
     "scd2_customers": q_scd2_customers,
+    "bigram_counts": q_bigram_counts,
+    "event_transitions": q_event_transitions,
+    "value_band_stats": q_value_band_stats,
+    "decile_binning": q_decile_binning,
+    "weighted_sample": q_weighted_sample,
+    "feature_hashing": q_feature_hashing,
+    "orc_roundtrip": q_orc_roundtrip,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,

@@ -360,3 +360,40 @@ def test_correlate_streams_matches_batch_twin(spark, event_files, tmp_path):
     want = correlate_events_batch(spark.read.parquet(events_dir), horizon_minutes=30)
     assert _canon(got) == _canon(want)
     assert got.count() > 0  # the fixture really produces click->view pairs
+
+
+def test_stream_upsert_applies_batches_in_order(spark, tmp_path):
+    """foreachBatch keyed MERGE: three micro-batches carrying overlapping
+    keys; the final table must equal 'last write wins per key' and the
+    manifest must point at the newest version."""
+    from parquet_merger_spark.streaming.events import (
+        read_upsert_table,
+        stream_upsert_to_table,
+    )
+
+    src = os.path.join(str(tmp_path), "upsert_src")
+    os.makedirs(src)
+    batches = [
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a1", "b1", "c1"]}),
+        pd.DataFrame({"k": [2, 4], "v": ["b2", "d2"]}),
+        pd.DataFrame({"k": [1, 4, 5], "v": ["a3", "d3", "e3"]}),
+    ]
+    now = time.time()
+    for i, pdf in enumerate(batches):
+        p = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (now + i, now + i))  # force source order
+
+    table = os.path.join(str(tmp_path), "upsert_table")
+    ckpt = os.path.join(str(tmp_path), "upsert_ckpt")
+    q = stream_upsert_to_table(spark, src, table, ckpt, ["k"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["k"]: r["v"] for r in read_upsert_table(spark, table).collect()}
+    assert got == {1: "a3", 2: "b2", 3: "c1", 4: "d3", 5: "e3"}
+    # replay safety: versions are batch-addressed, pointer took the newest
+    with open(os.path.join(table, "_CURRENT")) as fh:
+        assert fh.read().strip() == "v" + "2".zfill(20)
