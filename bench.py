@@ -95,6 +95,8 @@ HEADLINE = [
     "ingest_quarantine",
     "weighted_sample",
     "feature_hashing",
+    "value_outliers",
+    "string_functions",
 ]
 
 

@@ -616,6 +616,56 @@ def q_orc_roundtrip(spark, sf_dir):
     return spark.read.orc(out)
 
 
+def q_value_outliers(spark, sf_dir):
+    """Per-group z-score outlier detection (|z| > 3 within event type) on
+    bit-stable statistics: values quantize to exact integer cents, the
+    per-type (n, sum, sum-of-squares) reduce exactly, and the z formula
+    runs in double from those exact inputs — identical IEEE ops in any
+    engine (F.stddev's streaming moments never hash-match).  Plan: one
+    aggregate + one broadcast join of the 5-row stats table; the scan
+    streams, nothing else shuffles."""
+    e = _events(spark, sf_dir)
+    q = e.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    stats = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    j = q.join(F.broadcast(stats), "event_type")
+    nn = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    z = F.round(
+        (F.col("cents").cast("double") - s / nn) / (F.sqrt(nn * ss - s * s) / nn),
+        6,
+    )
+    return (
+        j.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+def q_string_functions(spark, sf_dir):
+    """Scalar string-function family sweep (SURVEY §2.8): pad, translate,
+    reverse, repeat, regex extract, split_part, left/right — one
+    projection, all JVM codegen expressions, certified against DuckDB's
+    implementations of the same ANSI functions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.translate("p_type", " ", "_").alias("type_snake"),
+        F.reverse("p_name").alias("name_rev"),
+        F.expr("repeat('*', CAST(p_partkey % 5 AS INT))").alias("stars"),
+        F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("brand_num"),
+        F.expr("split_part(p_type, ' ', 2)").alias("type_word2"),
+        F.expr("left(p_name, 8)").alias("name_l8"),
+        F.expr("right(p_type, 4)").alias("type_r4"),
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1850,6 +1900,37 @@ ORACLE_SQL: dict[str, str] = {
                ) AS valid_to
         FROM chg
     """,
+    "value_outliers": """
+        WITH q AS (
+          SELECT event_id, event_type, value,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events
+        ), st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS DOUBLE) AS s,
+                 CAST(sum(cents * cents) AS DOUBLE) AS ss
+          FROM q GROUP BY event_type
+        ), z AS (
+          SELECT event_id, q.event_type, value,
+                 round((CAST(cents AS DOUBLE) - s / n)
+                       / (sqrt(n * ss - s * s) / n), 6) AS z
+          FROM q JOIN st ON q.event_type = st.event_type
+        )
+        SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 3
+    """,
+    "string_functions": """
+        SELECT p_partkey,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+               rpad(p_brand, 12, '.') AS brand_padded,
+               translate(p_type, ' ', '_') AS type_snake,
+               reverse(p_name) AS name_rev,
+               repeat('*', CAST(p_partkey % 5 AS INTEGER)) AS stars,
+               regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+               split_part(p_type, ' ', 2) AS type_word2,
+               left(p_name, 8) AS name_l8,
+               right(p_type, 4) AS type_r4
+        FROM part
+    """,
     "weighted_sample": """
         WITH d AS (
           SELECT doc_id, lang,
@@ -2778,6 +2859,8 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "feature_hashing": q_feature_hashing,
     "orc_roundtrip": q_orc_roundtrip,
+    "value_outliers": q_value_outliers,
+    "string_functions": q_string_functions,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
