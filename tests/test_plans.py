@@ -139,3 +139,44 @@ def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "o_orderpriority" in pf_line, "filter did not become a partition filter"
     assert back.count() == o.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_value_band_stats_broadcasts_tiny_dim(spark):
+    """The range join must broadcast the 4-row band table (nested-loop
+    over a local array), never shuffle the probe side for the join."""
+    plan = _explain(QUERIES["value_band_stats"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_value_outliers_broadcasts_stats(spark):
+    """The 5-row per-type stats table joins back via broadcast — the
+    event scan itself must not shuffle for the join."""
+    plan = _explain(QUERIES["value_outliers"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_match_is_equi_join_not_all_pairs(spark):
+    """Blocking must compile to a hash equi-join on the block key; an
+    all-pairs plan (cartesian / nested-loop) means blocking broke."""
+    plan = _explain(QUERIES["fuzzy_match"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_shares_one_key_exchange(spark):
+    """Both SCD2 windows (lag change-detect, lead interval-close) hash-
+    partition on the key; Catalyst must plan ONE exchange on c_custkey,
+    reused by both sorts."""
+    plan = _explain(QUERIES["scd2_customers"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 1
+
+
+def test_corr_matrix_single_aggregate_no_data_shuffle(spark):
+    """The correlation matrix reduces to ONE row via partial aggregation;
+    the only exchange is the single-row final-agg gather."""
+    plan = _explain(QUERIES["corr_matrix"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" in plan
