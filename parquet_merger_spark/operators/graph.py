@@ -1,0 +1,88 @@
+"""Iterative graph algorithms on DataFrames: PageRank by power iteration.
+
+Iterative algorithms are the one class the reference (and plain SQL)
+can't express in a single query — each iteration is a join + aggregate,
+and the DRIVER loops while every pass stays fully distributed.  This is
+the canonical Spark shape for them: the loop is Python control flow over
+lazy plans, the data never visits the driver.
+
+Determinism contract (what makes this oracle-able where textbook
+PageRank is not): ranks are EXACT INTEGERS in micro-units (1e6 = rank
+1.0) and every update is integer arithmetic —
+
+    r'(v) = (1-d)*SCALE + d * sum_u r(u) div outdeg(u)
+
+with ``d`` as the exact ratio 85/100 applied as ``(85 * s) div 100``.
+Integer sums are associative, so the result is bit-identical under ANY
+partitioning, any engine, any aggregation order — unlike floating-point
+PageRank, whose sum order perturbs last ulps and can never hash-match.
+The div-floor leaks ≤ outdeg micro-units per node per iteration
+(bounded, documented truncation — the price of exactness).
+
+Scale shape per iteration: one shuffle for the contribution aggregate
+(keyed on dst) + one key join against the static degree table (AQE
+broadcasts it when small; co-partitioned otherwise since both sides key
+on the vertex).  State between iterations is one (vertex, rank) frame —
+O(V), never O(E).  For many iterations at 100 TB, checkpoint the rank
+frame every few rounds to truncate the growing lineage (documented;
+3 iterations here keeps plans shallow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list; returns
+    ``(vertex, rank_micro)`` after ``iterations`` power steps.
+
+    Vertices = src ∪ dst.  Dangling nodes (no out-edges) contribute
+    nothing (their mass evaporates — the simple variant; redistributing
+    it adds one scalar aggregate per pass).  ``damping_pct`` is an
+    integer percentage so the damping multiply stays exact.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (100 - damping_pct) * SCALE // 100
+
+    ranks = vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.vertex)
+            .join(degrees, "src")
+            .select(
+                F.col("dst").alias("vertex"),
+                F.expr("rank_micro div outdeg").alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            vertices.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+        )
+    return ranks

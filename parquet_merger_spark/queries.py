@@ -666,6 +666,29 @@ def q_string_functions(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (3 power iterations) over the bipartite
+    part<->supplier interaction graph from lineitem — the iterative-
+    algorithm class, driver-looped over fully distributed passes, made
+    oracle-able by exact integer micro-rank arithmetic (see
+    :mod:`operators.graph` for the determinism contract).  Supplier ids
+    are offset by 10M into a disjoint vertex range."""
+    from parquet_merger_spark.operators.graph import pagerank_int
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p"),
+            (F.col("l_suppkey") + 10_000_000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return pagerank_int(edges, iterations=3)
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1900,6 +1923,53 @@ ORACLE_SQL: dict[str, str] = {
                ) AS valid_to
         FROM chg
     """,
+    # 3 unrolled power iterations of the integer-exact PageRank update
+    # r' = 150000 + (85 * sum(r div outdeg)) div 100 — pure integer ops,
+    # bit-identical to the Spark driver loop under any aggregation order.
+    "pagerank": """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey AS p, l_suppkey + 10000000 AS s
+          FROM lineitem
+        ), e AS (
+          SELECT p AS src, s AS dst FROM pairs
+          UNION SELECT s, p FROM pairs
+        ), v AS (
+          SELECT DISTINCT src AS vertex FROM e
+          UNION SELECT DISTINCT dst FROM e
+        ), deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+        ), r0 AS (
+          SELECT vertex, CAST(1000000 AS BIGINT) AS rank_micro FROM v
+        ), c1 AS (
+          SELECT dst AS vertex, sum(rank_micro // outdeg) AS s
+          FROM e JOIN r0 ON e.src = r0.vertex JOIN deg USING (src)
+          GROUP BY dst
+        ), r1 AS (
+          SELECT v.vertex,
+                 CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+                   AS rank_micro
+          FROM v LEFT JOIN c1 USING (vertex)
+        ), c2 AS (
+          SELECT dst AS vertex, sum(rank_micro // outdeg) AS s
+          FROM e JOIN r1 ON e.src = r1.vertex JOIN deg USING (src)
+          GROUP BY dst
+        ), r2 AS (
+          SELECT v.vertex,
+                 CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+                   AS rank_micro
+          FROM v LEFT JOIN c2 USING (vertex)
+        ), c3 AS (
+          SELECT dst AS vertex, sum(rank_micro // outdeg) AS s
+          FROM e JOIN r2 ON e.src = r2.vertex JOIN deg USING (src)
+          GROUP BY dst
+        ), r3 AS (
+          SELECT v.vertex,
+                 CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT)
+                   AS rank_micro
+          FROM v LEFT JOIN c3 USING (vertex)
+        )
+        SELECT vertex, rank_micro FROM r3
+    """,
     "value_outliers": """
         WITH q AS (
           SELECT event_id, event_type, value,
@@ -2861,6 +2931,7 @@ QUERIES: dict[str, QueryFn] = {
     "orc_roundtrip": q_orc_roundtrip,
     "value_outliers": q_value_outliers,
     "string_functions": q_string_functions,
+    "pagerank": q_pagerank,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
