@@ -97,6 +97,9 @@ HEADLINE = [
     "feature_hashing",
     "value_outliers",
     "string_functions",
+    "pagerank",
+    "window_functions",
+    "datetime_functions",
 ]
 
 

@@ -689,6 +689,47 @@ def q_pagerank(spark, sf_dir):
     return pagerank_int(edges, iterations=3)
 
 
+def q_window_functions(spark, sf_dir):
+    """Analytic window-function family sweep (SURVEY §2.6 beyond
+    row_number/rank): percent_rank, cume_dist, first/last/nth over the
+    full frame, and offset lag/lead with defaults — one window spec per
+    frame shape, partitioned by customer (parallel; the total order is
+    price + key so every rank function is deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        F.lag("o_orderkey", 1, -1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 2, -1).over(w).alias("next2_key"),
+    )
+
+
+def q_datetime_functions(spark, sf_dir):
+    """Datetime scalar-function sweep (SURVEY §2.8): quarter, ISO week,
+    day-of-year, last-day-of-month, month truncation, day arithmetic and
+    differences — all JVM expressions; date outputs rendered as ISO
+    strings so the cross-engine compare is representation-stable."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -1970,6 +2011,39 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vertex, rank_micro FROM r3
     """,
+    "window_functions": """
+        SELECT o_custkey, o_orderkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               first_value(o_orderkey) OVER wf AS first_key,
+               last_value(o_orderkey) OVER wf AS last_key,
+               nth_value(o_orderkey, 2) OVER wf AS second_key,
+               lag(o_orderkey, 1, -1) OVER w AS prev_key,
+               lead(o_orderkey, 2, -1) OVER w AS next2_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    "datetime_functions": """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                 AS month_end,
+               strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                        '%Y-%m-%d') AS month_start,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                        '%Y-%m-%d') AS plus30,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INTEGER)
+                 AS days_since_95
+        FROM orders
+    """,
     "value_outliers": """
         WITH q AS (
           SELECT event_id, event_type, value,
@@ -2932,6 +3006,8 @@ QUERIES: dict[str, QueryFn] = {
     "value_outliers": q_value_outliers,
     "string_functions": q_string_functions,
     "pagerank": q_pagerank,
+    "window_functions": q_window_functions,
+    "datetime_functions": q_datetime_functions,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
