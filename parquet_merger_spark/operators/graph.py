@@ -53,19 +53,29 @@ def pagerank_int(
     """
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Degree-annotated edges and the vertex set are loop INVARIANTS:
+    # persist them once or every iteration (and the final 3-deep plan)
+    # re-runs the distinct + degree shuffles from the raw scan.  At
+    # memory pressure Spark spills these to disk; at true 100 TB swap
+    # persist for a checkpoint table.
+    e_deg = e.join(degrees, "src").persist()
     vertices = (
         e.select(F.col("src").alias("vertex"))
         .union(e.select(F.col("dst").alias("vertex")))
         .distinct()
+        .persist()
     )
-    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = (100 - damping_pct) * SCALE // 100
 
     ranks = vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
+        # one shuffle per iteration (the contribution aggregate on dst);
+        # the rank join keys on the same vertex attribute the previous
+        # aggregate partitioned by, and O(V) rank frames fall under the
+        # AQE broadcast threshold long before edges stop fitting
         contrib = (
-            e.join(ranks, e.src == ranks.vertex)
-            .join(degrees, "src")
+            e_deg.join(ranks, e_deg.src == ranks.vertex)
             .select(
                 F.col("dst").alias("vertex"),
                 F.expr("rank_micro div outdeg").alias("c"),

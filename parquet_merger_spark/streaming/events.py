@@ -488,11 +488,32 @@ def stream_upsert_to_table(
     )
 
 
-def read_upsert_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the current version of a :func:`stream_upsert_to_table`
-    table (manifest pointer -> versioned directory)."""
+def read_upsert_table(
+    spark: SparkSession, table_dir: str, version: str | int | None = None
+) -> DataFrame:
+    """Read a :func:`stream_upsert_to_table` table: the current version
+    by default (manifest pointer), or a historical one by ``version``
+    (time travel — every batch's full state is retained until a
+    retention sweep deletes old version directories).  ``version``
+    accepts the directory name or the integer batch id."""
     import os
 
-    with open(os.path.join(table_dir, "_CURRENT")) as fh:
-        current = fh.read().strip()
+    if version is None:
+        with open(os.path.join(table_dir, "_CURRENT")) as fh:
+            current = fh.read().strip()
+    elif isinstance(version, int):
+        current = f"v{version:020d}"
+    else:
+        current = version
     return spark.read.parquet(os.path.join(table_dir, current))
+
+
+def upsert_table_versions(table_dir: str) -> list[int]:
+    """List retained version ids (ascending) for time travel."""
+    import os
+
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
