@@ -730,6 +730,31 @@ def q_datetime_functions(spark, sf_dir):
     )
 
 
+def q_array_functions(spark, sf_dir):
+    """Array/higher-order function family sweep (SURVEY §2.8): distinct,
+    sort, intersect, slice, negative indexing, containment — array
+    results normalized to sorted joined strings so the cross-engine
+    compare is order-stable.  All row-local JVM expressions."""
+    from parquet_merger_spark.operators.textstats import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias(
+            "distinct_sorted"
+        ),
+        F.array_join(
+            F.array_sort(F.array_intersect(toks, stop)), " "
+        ).alias("stop_hits"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -2011,6 +2036,20 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vertex, rank_micro FROM r3
     """,
+    "array_functions": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_toks,
+               array_to_string(list_sort(list_distinct({_TOKS})), ' ')
+                 AS distinct_sorted,
+               coalesce(array_to_string(list_sort(list_distinct(
+                 list_intersect({_TOKS},
+                   ['the', 'a', 'and', 'of', 'is', 'to', 'in']))), ' '), '')
+                 AS stop_hits,
+               array_to_string(({_TOKS})[1:3], ' ') AS first3,
+               ({_TOKS})[-1] AS last_tok,
+               list_contains({_TOKS}, 'the') AS has_the
+        FROM documents
+    """,
     "window_functions": """
         SELECT o_custkey, o_orderkey,
                round(percent_rank() OVER w, 6) AS pr,
@@ -3008,6 +3047,7 @@ QUERIES: dict[str, QueryFn] = {
     "pagerank": q_pagerank,
     "window_functions": q_window_functions,
     "datetime_functions": q_datetime_functions,
+    "array_functions": q_array_functions,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
