@@ -755,6 +755,23 @@ def q_array_functions(spark, sf_dir):
     )
 
 
+def q_udtf_tokens(spark, sf_dir):
+    """Python UDTF + LATERAL join (SURVEY §2.10): the user-defined
+    table-function surface, certified against the native unnest twin.
+    Deliberately tiny input slice — UDTFs are the row-at-a-time Python
+    path and exist for logic that genuinely needs Python (see
+    :mod:`functions.udtfs` for the speed hierarchy)."""
+    from parquet_merger_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.tok "
+        "FROM {d} d, LATERAL token_positions(d.text) t",
+        d=d,
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -2036,6 +2053,16 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vertex, rank_micro FROM r3
     """,
+    "udtf_tokens": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 unnest(range(1, len({_TOKS}) + 1)) AS i
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               string_split(text, ' ')[i] AS tok
+        FROM t
+    """,
     "array_functions": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_toks,
@@ -3048,6 +3075,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_functions": q_window_functions,
     "datetime_functions": q_datetime_functions,
     "array_functions": q_array_functions,
+    "udtf_tokens": q_udtf_tokens,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
