@@ -772,6 +772,44 @@ def q_udtf_tokens(spark, sf_dir):
     )
 
 
+def q_unpivot_measures(spark, sf_dir):
+    """UNPIVOT (wide -> long melt) of the lineitem measures — the
+    inverse of pivot, a pure narrow projection+expand (no shuffle): each
+    input row emits one row per measure column."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+def q_null_functions(spark, sf_dir):
+    """Null-handling scalar family: coalesce chains, nullif,
+    null-safe equality, and conditional defaults over the (fully
+    populated) customer table plus synthesized nulls — certifying the
+    engine's three-valued logic against DuckDB's."""
+    c = _t(spark, sf_dir, "customer")
+    # synthesize nulls deterministically: every 3rd account balance
+    bal = F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return c.select(
+        "c_custkey",
+        F.coalesce(bal, F.lit(0.0)).alias("bal_or_zero"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        bal.eqNullSafe(F.col("c_acctbal")).alias("bal_intact"),
+        F.isnull(bal).alias("bal_missing"),
+        F.when(bal.isNull(), F.lit("missing"))
+        .when(bal < 0, F.lit("debt"))
+        .otherwise(F.lit("credit"))
+        .alias("bal_class"),
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -2053,6 +2091,29 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vertex, rank_micro FROM r3
     """,
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, measure, val
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+              FROM lineitem)
+        UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+    "null_functions": """
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal,
+                 CASE WHEN c_custkey % 3 = 0 THEN NULL
+                      ELSE c_acctbal END AS bal
+          FROM customer
+        )
+        SELECT c_custkey,
+               coalesce(bal, 0.0) AS bal_or_zero,
+               nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+               (bal IS NOT DISTINCT FROM c_acctbal) AS bal_intact,
+               (bal IS NULL) AS bal_missing,
+               CASE WHEN bal IS NULL THEN 'missing'
+                    WHEN bal < 0 THEN 'debt'
+                    ELSE 'credit' END AS bal_class
+        FROM c
+    """,
     "udtf_tokens": f"""
         WITH t AS (
           SELECT doc_id, text,
@@ -3076,6 +3137,8 @@ QUERIES: dict[str, QueryFn] = {
     "datetime_functions": q_datetime_functions,
     "array_functions": q_array_functions,
     "udtf_tokens": q_udtf_tokens,
+    "unpivot_measures": q_unpivot_measures,
+    "null_functions": q_null_functions,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
