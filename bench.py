@@ -100,6 +100,9 @@ HEADLINE = [
     "pagerank",
     "window_functions",
     "datetime_functions",
+    "array_functions",
+    "unpivot_measures",
+    "null_functions",
 ]
 
 
