@@ -42,6 +42,7 @@ def pagerank_int(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list; returns
     ``(vertex, rank_micro)`` after ``iterations`` power steps.
@@ -49,20 +50,29 @@ def pagerank_int(
     Vertices = src ∪ dst.  Dangling nodes (no out-edges) contribute
     nothing (their mass evaporates — the simple variant; redistributing
     it adds one scalar aggregate per pass).  ``damping_pct`` is an
-    integer percentage so the damping multiply stays exact.
+    integer percentage so the damping multiply stays exact.  Pass
+    ``assume_distinct=True`` when the caller already dedups edges — it
+    elides a full shuffle of E.
     """
+    from pyspark.sql import Window
+
     src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
-    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     # Degree-annotated edges and the vertex set are loop INVARIANTS:
     # persist them once or every iteration (and the final 3-deep plan)
-    # re-runs the distinct + degree shuffles from the raw scan.  At
-    # memory pressure Spark spills these to disk; at true 100 TB swap
+    # re-runs the setup shuffles from the raw scan.  Degrees come from a
+    # sort-free count window over src — ONE shuffle of E and no
+    # edges-degrees self-join (the groupBy+join shape scans E twice).
+    # At memory pressure Spark spills the cache; at true 100 TB swap
     # persist for a checkpoint table.
-    e_deg = e.join(degrees, "src").persist()
+    e_deg = e.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
     vertices = (
-        e.select(F.col("src").alias("vertex"))
-        .union(e.select(F.col("dst").alias("vertex")))
+        e_deg.select(F.col("src").alias("vertex"))
+        .union(e_deg.select(F.col("dst").alias("vertex")))
         .distinct()
         .persist()
     )

@@ -686,7 +686,9 @@ def q_pagerank(spark, sf_dir):
     edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
         li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    return pagerank_int(edges, iterations=3)
+    # li is distinct and the two directions live in disjoint id ranges,
+    # so the union is already duplicate-free — skip the operator's dedup
+    return pagerank_int(edges, iterations=3, assume_distinct=True)
 
 
 def q_window_functions(spark, sf_dir):
