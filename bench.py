@@ -103,6 +103,8 @@ HEADLINE = [
     "array_functions",
     "unpivot_measures",
     "null_functions",
+    "sql_star_join",
+    "sql_having_subquery",
 ]
 
 

@@ -812,6 +812,53 @@ def q_null_functions(spark, sf_dir):
     )
 
 
+def q_sql_star_join(spark, sf_dir):
+    """The SQL text interface (not the DataFrame API): TPC-H Q5-shaped
+    star join run via ``spark.sql`` over registered temp views — the
+    same Catalyst plan as the DataFrame twin (broadcast dims, pushed
+    filters), proving both front-ends hit one optimizer."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM v_customer
+        JOIN v_orders   ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+        JOIN v_nation   ON s_nationkey = n_nationkey
+        JOIN v_region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+        GROUP BY n_name
+        """
+    )
+
+
+def q_sql_having_subquery(spark, sf_dir):
+    """SQL-interface aggregation subquery (TPC-H Q18 shape): customers
+    whose total order value clears a HAVING threshold, joined back for
+    detail — IN-subquery over a grouped HAVING, via ``spark.sql``."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM v_orders
+          GROUP BY o_custkey
+          HAVING sum(o_totalprice) > 3000000
+        )
+        GROUP BY c_custkey, c_name
+        """
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
@@ -2093,6 +2140,31 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vertex, rank_micro FROM r3
     """,
+    "sql_star_join": """
+        SELECT n_name,
+               round(sum(l_extendedprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+        GROUP BY n_name
+    """,
+    "sql_having_subquery": """
+        SELECT c_custkey, c_name,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders
+          GROUP BY o_custkey
+          HAVING sum(o_totalprice) > 3000000
+        )
+        GROUP BY c_custkey, c_name
+    """,
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, measure, val
         FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
@@ -3141,6 +3213,8 @@ QUERIES: dict[str, QueryFn] = {
     "udtf_tokens": q_udtf_tokens,
     "unpivot_measures": q_unpivot_measures,
     "null_functions": q_null_functions,
+    "sql_star_join": q_sql_star_join,
+    "sql_having_subquery": q_sql_having_subquery,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
