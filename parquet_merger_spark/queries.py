@@ -859,6 +859,89 @@ def q_sql_having_subquery(spark, sf_dir):
     )
 
 
+def q_trend_fit(spark, sf_dir):
+    """Per-group least-squares trend: slope+intercept of daily event
+    count over day index, per event type — the regression twin of
+    corr_matrix, same bit-stable recipe (exact integer sufficient
+    statistics reduced per group, closed-form doubles at the end).
+    Two aggregates (daily rollup, then per-type stats); both shuffles
+    are map-side partial."""
+    e = _events(spark, sf_dir)
+    day0 = F.lit(19723)  # 2024-01-01 as epoch-day; keeps x small+exact
+    daily = (
+        e.withColumn(
+            "x", (F.floor(F.col("ts").cast("long") / 86400) - day0).cast("long")
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return st.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def q_scd2_asof_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup: facts stamped with a snapshot id
+    join the SCD2 customer versions whose [valid_from, valid_to)
+    interval contains the stamp — the consumption side of
+    q_scd2_customers.  The interval join is an equi-join on the key plus
+    a range predicate, so Spark plans a hash join with the range as a
+    post-join filter (no all-pairs)."""
+    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    repriced = F.when(
+        F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0
+    ).otherwise(F.col("c_acctbal"))
+    moved = F.when(
+        F.col("c_custkey") % 13 == 0, F.lit("MOVED")
+    ).otherwise(F.col("c_mktsegment"))
+    s1 = c.withColumn("snap_id", F.lit(1))
+    s2 = c.withColumn("c_acctbal", repriced).withColumn("snap_id", F.lit(2))
+    s3 = (
+        c.withColumn("c_acctbal", repriced)
+        .withColumn("c_mktsegment", moved)
+        .withColumn("snap_id", F.lit(3))
+    )
+    dim = scd2_from_snapshots(
+        s1.unionByName(s2).unionByName(s3),
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
+    )
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 3 + 1).cast("int").alias("as_of_snap"),
+    )
+    j = facts.join(
+        dim,
+        (facts.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= facts.as_of_snap)
+        & (facts.as_of_snap < F.coalesce(dim.valid_to, F.lit(2_147_483_647))),
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "as_of_snap", "c_mktsegment", "c_acctbal"
+    )
+
+
 def q_semi_join_customers(spark, sf_dir):
     """LEFT SEMI join: customers having at least one high-value order
     (existence test — no row multiplication, no order columns leak)."""
