@@ -77,15 +77,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` rebuilt as a microsecond TIMESTAMP.
+    """events with ``ts`` normalized to a session-zoned microsecond TIMESTAMP.
 
-    The parquet column is TIMESTAMP(NANOS) which Spark 4 only reads as a
-    long (see :func:`pin_oracle_confs`); ``ts div 1000`` is an exact
-    integer floor to micros (a double division would lose precision —
-    epoch-nanos exceed 2^53).
+    The fixture generator has shipped ``ts`` as either TIMESTAMP(NANOS)
+    (which Spark 4 only reads as an epoch-nanos long, see
+    :func:`pin_oracle_confs`) or a plain TIMESTAMP(MICROS) (which arrives
+    as TIMESTAMP_NTZ). Adapt by dtype so both vintages work: ``ts div
+    1000`` is an exact integer floor from nanos to micros (a double
+    division would lose precision — epoch-nanos exceed 2^53), and the
+    NTZ→LTZ cast is wall-clock-preserving under the pinned UTC session
+    timezone.
     """
     e = _t(spark, sf_dir, "events")
-    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
+        return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # --------------------------------------------------------------------------
