@@ -105,6 +105,13 @@ HEADLINE = [
     "null_functions",
     "sql_star_join",
     "sql_having_subquery",
+    "sql_recursive_cte",
+    "sql_correlated_subquery",
+    "simsearch_pq",
+    "range_lookup_bucketed",
+    "regex_functions",
+    "math_functions",
+    "hll_rollup",
 ]
 
 

@@ -1,5 +1,7 @@
 from parquet_merger_spark.operators.asof import asof_join
 from parquet_merger_spark.operators.bucketing import bucketed_join, write_bucketed
+from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+from parquet_merger_spark.operators.simsearch import pq_encode, pq_topk, train_pq_codebooks
 from parquet_merger_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
@@ -56,6 +58,7 @@ __all__ = [
     "BatchResult",
     "brute_force_topk",
     "bucketed_join",
+    "bucketed_range_join",
     "build_ivf_centroids",
     "chunk_documents",
     "pack_sequences",
@@ -82,6 +85,9 @@ __all__ = [
     "near_dedup_survivors",
     "ngram_contamination",
     "ngram_jaccard_pairs",
+    "pq_encode",
+    "pq_topk",
+    "train_pq_codebooks",
     "portable_hash_gate",
     "quality_score",
     "simhash_near_dup_pairs",

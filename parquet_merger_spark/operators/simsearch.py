@@ -737,3 +737,326 @@ def knn_graph(
     return ranked.filter(F.col("rank") <= k).select(
         "id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-index ANN tier
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the float32 vectors themselves are the bottleneck: a 768-dim
+# corpus is ~3 KB/row and the ANN scan is memory-bandwidth-bound.  PQ
+# (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — the index behind FAISS's IVF-PQ) splits each vector into
+# ``m`` subspaces and snaps each subvector to one of ``n_codes`` learned
+# codewords, storing only the m code ids (m bytes at n_codes<=256 —
+# 100-300x smaller).  Queries score against codes via ADC (asymmetric
+# distance computation): one m*n_codes lookup table per query, then each
+# corpus row costs m table lookups instead of d multiplies.
+#
+# Determinism: codebooks are trained on the integer QUANT_SCALE grid with
+# integer sufficient statistics (like build_ivf_centroids), codewords ARE
+# integers, so every distance/dot here is exact integer arithmetic and
+# the ADC score is the identical IEEE double on any engine/partitioning.
+#
+# Composition: pq_topk scans every code row (compressed but exhaustive);
+# the production 100 TB shape is IVF-PQ — assign_buckets() to prune to
+# nprobe buckets, then ADC within them (pq_topk accepts pre-filtered
+# encodings, so the composition is just a filter upstream).
+
+
+def _pq_split(m: int, dim: int) -> list[tuple[int, int]]:
+    """(1-based slice start, length) per subspace; dim must divide by m."""
+    assert dim % m == 0, f"dim {dim} must divide into m={m} subspaces"
+    sub = dim // m
+    return [(s * sub + 1, sub) for s in range(m)]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_rows: int = 100_000,
+) -> list[list[list[int]]]:
+    """Learn integer PQ codebooks: ``[m][n_codes][dim/m]`` on the
+    QUANT_SCALE grid.
+
+    Seeds are the n_codes corpus vectors with smallest xxhash64(id)
+    (distributed TakeOrdered — no global sort), split into subvectors;
+    ``iters`` Lloyd steps refine each subspace independently, with
+    integer per-(subspace, code, position) sums so the result is
+    order-insensitive.  Training reads a deterministic hash-sample of at
+    most ~``max_train_rows`` rows; the model lives on the driver exactly
+    like Spark ML's KMeans model.
+    """
+    import math
+
+    qv = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(n_codes)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = len(seed_rows[0]["q"])
+    splits = _pq_split(m, dim)
+    books: list[list[list[int]]] = [
+        [[int(x) for x in r["q"][st - 1 : st - 1 + ln]] for r in seed_rows]
+        for (st, ln) in splits
+    ]
+    if iters <= 0:
+        return books
+
+    n = corpus.count()
+    train = qv
+    if n > max_train_rows:
+        keep_mod = max(1, -(-n // max_train_rows))
+        train = qv.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(keep_mod)) == 0)
+    # one row per (vector, subspace): the m subspaces train in parallel
+    # inside the same shuffles instead of m sequential jobs
+    sub_rows = train.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("q", st, ln).alias("sub"),
+                    )
+                    for s, (st, ln) in enumerate(splits)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    sub_rows = sub_rows.withColumn("sub2", quantized_dot(F.col("sub"), F.col("sub")))
+
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        code_rows = [
+            (s, c, books[s][c], sum(x * x for x in books[s][c]))
+            for s in range(m)
+            for c in range(n_codes)
+        ]
+        codes_df = spark.createDataFrame(
+            code_rows, "s int, code int, cvec array<bigint>, cvec2 bigint"
+        )
+        assigned = (
+            sub_rows.join(F.broadcast(codes_df), "s")
+            .withColumn(
+                "dist",
+                F.col("sub2")
+                - 2 * quantized_dot(F.col("sub"), F.col("cvec"))
+                + F.col("cvec2"),
+            )
+            .groupBy("id", "s")
+            .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("mn"))
+            .select("id", "s", F.col("mn.code").alias("code"))
+        )
+        sums = (
+            sub_rows.join(assigned, ["id", "s"])
+            .select("s", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault((r.s, r.code), {})[r.pos] = (r.sx, r.c)
+        for s in range(m):
+            for c in range(n_codes):
+                coords = acc.get((s, c))
+                if not coords:  # empty code keeps its previous codeword
+                    continue
+                books[s][c] = [
+                    int(math.floor(coords[p][0] / coords[p][1] + 0.5))
+                    for p in range(len(books[s][c]))
+                ]
+    return books
+
+
+def _pq_code_literals(books: list[list[list[int]]]) -> list[Column]:
+    """Per-subspace literal array of (code, cvec, cvec2) structs."""
+    out = []
+    for sub_book in books:
+        out.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("code"),
+                        F.array(*[F.lit(int(x)) for x in cv]).alias("cvec"),
+                        F.lit(int(sum(x * x for x in cv))).alias("cvec2"),
+                    )
+                    for c, cv in enumerate(sub_book)
+                ]
+            )
+        )
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, recon2 long): each vector compressed to its
+    m nearest-codeword ids, plus the reconstruction's exact integer self-
+    dot (used as the ADC denominator).
+
+    The codebooks fold into literal arrays, so encoding is a pure
+    row-local expression — no shuffle, no join, no Python: a 100 TB
+    encode is one narrow map stage writing m-byte codes.  Argmin
+    tie-break: (dist asc, code asc) via array_min over structs, matching
+    the training assignment exactly.
+    """
+    m = len(books)
+    dim = len(books[0][0]) * m
+    splits = _pq_split(m, dim)
+    code_lits = _pq_code_literals(books)
+    q = quantize(F.col(vec_col))
+    d = corpus.withColumn("__q", q)
+
+    def best_code(s: int) -> Column:
+        st, ln = splits[s]
+        sub = F.slice("__q", st, ln)
+        sub2 = quantized_dot(sub, sub)
+        return F.array_min(
+            F.transform(
+                code_lits[s],
+                lambda c: F.struct(
+                    (sub2 - 2 * quantized_dot(sub, c["cvec"]) + c["cvec2"]).alias(
+                        "dist"
+                    ),
+                    c["code"].alias("code"),
+                    c["cvec2"].alias("cvec2"),
+                ),
+            )
+        )
+
+    picked = F.array(*[best_code(s) for s in range(m)])
+    return d.select(
+        F.col(id_col),
+        F.transform(picked, lambda p: p["code"].cast("int")).alias("codes"),
+        F.aggregate(
+            F.transform(picked, lambda p: p["cvec2"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("recon2"),
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over PQ codes via ADC: (query_id, vec_id,
+    pq_cosine, rank).
+
+    Each query builds its m x n_codes lookup table ROW-LOCALLY (literal
+    codebooks — no shuffle), broadcasts, and every corpus row scores with
+    m array lookups + one add chain over integers: the scan is exhaustive
+    but touches only the compressed codes, never the original vectors.
+    Scores are approximate (quantization error); ranking is total-ordered
+    (score desc, id asc) and bit-stable.  Compose with assign_buckets()
+    upstream to scan only nprobe buckets (IVF-PQ).
+
+    ``rerank`` (the original-vector table, keyed by ``id_col``) enables
+    the production two-stage shape: ADC keeps a per-query ``shortlist``
+    (default 5k) of candidates, an equi-join fetches ONLY those rows'
+    true vectors, and exact quantized cosine re-ranks to k.  The
+    expensive float data is touched for shortlist rows per query instead
+    of the whole corpus, and recall jumps because ADC only has to get
+    the true neighbors into the shortlist, not rank them perfectly.
+    """
+    m = len(books)
+    dim = len(books[0][0]) * m
+    splits = _pq_split(m, dim)
+    code_lits = _pq_code_literals(books)
+
+    qd = queries.withColumn("__q", quantize(F.col(vec_col))).withColumn(
+        "__q2", quantized_dot(F.col("__q"), F.col("__q"))
+    )
+    def _sub_lut(s: int) -> Column:
+        # factory closure, NOT a defaulted lambda arg: a second lambda
+        # parameter would be bound to the element index (SURVEY §9 #4)
+        st, ln = splits[s]
+        return F.transform(
+            code_lits[s],
+            lambda c: quantized_dot(F.slice("__q", st, ln), c["cvec"]),
+        )
+
+    lut = F.array(*[_sub_lut(s) for s in range(m)])
+    probes = qd.select(
+        F.col(query_id_col), F.col("__q2").alias("qq2"), lut.alias("lut")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda code, s: F.element_at(F.element_at(F.col("lut"), s), code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(probes))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn(
+            "pq_cosine",
+            F.when(
+                (F.col("qq2") > 0) & (F.col("recon2") > 0),
+                adc / (F.sqrt(F.col("qq2")) * F.sqrt(F.col("recon2"))),
+            ).otherwise(F.lit(-2.0)),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("pq_cosine"), F.col(id_col))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                query_id_col,
+                id_col,
+                F.round("pq_cosine", 6).alias("pq_cosine"),
+                "rank",
+            )
+        )
+
+    shortlist = shortlist or 5 * k
+    cands = (
+        scored.withColumn("__sl", F.row_number().over(w))
+        .filter(F.col("__sl") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    cv = _with_quantized(rerank, vec_col).select(
+        F.col(id_col), F.col("__q").alias("cq"), F.col("__q2").alias("cq2")
+    )
+    qv = _with_quantized(queries, vec_col).select(
+        F.col(query_id_col), F.col("__q").alias("qq"), F.col("__q2").alias("qq2")
+    )
+    exact = (
+        cands.join(cv, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn(
+            "pq_cosine",
+            quantized_cosine(F.col("qq"), F.col("cq"), F.col("qq2"), F.col("cq2")),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, F.round("pq_cosine", 6).alias("pq_cosine"), "rank"
+        )
+    )

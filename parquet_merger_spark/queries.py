@@ -866,6 +866,172 @@ def q_sql_having_subquery(spark, sf_dir):
     )
 
 
+def q_sql_recursive_cte(spark, sf_dir):
+    """SQL recursion (Spark 4 ``WITH RECURSIVE``): a month spine built by
+    the recursive CTE, left-joined to distributed monthly order rollups
+    so gap months surface as zero rows.  The spine bounds are literal
+    (1995-01 .. 2001-12, 84 rows — the fixtures' order-date domain plus
+    an empty tail that proves the gap semantics): static recursion depth,
+    deterministic plan.  The recursion is O(spine) tiny; the aggregation
+    underneath stays a normal map-side-partial shuffle, so at 100 TB the
+    spine join is a broadcast against an 84-row side."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(mnum) AS (
+          SELECT 0
+          UNION ALL
+          SELECT mnum + 1 FROM months WHERE mnum < 83
+        ),
+        monthly AS (
+          SELECT (year(o_orderdate) * 12 + month(o_orderdate))
+                 - (1995 * 12 + 1) AS mnum,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM v_orders
+          GROUP BY 1
+        )
+        SELECT concat(CAST(1995 + mnum DIV 12 AS STRING), '-',
+                      lpad(CAST(mnum % 12 + 1 AS STRING), 2, '0')) AS month,
+               coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN monthly USING (mnum)
+        """
+    )
+
+
+def q_sql_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2/Q17 shape): each order is
+    compared against an aggregate recomputed over ITS customer's orders.
+    Catalyst decorrelates this into an aggregate + self-join (no
+    per-row re-execution), so the 100 TB plan is two shuffles on
+    o_custkey — plus an EXISTS clause that decorrelates to a left-semi
+    join, covering both rewrite families in one query."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice >= 0.999 * (
+                SELECT max(o2.o_totalprice) FROM v_orders o2
+                WHERE o2.o_custkey = o.o_custkey
+              )
+          AND EXISTS (
+                SELECT 1 FROM v_customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0
+              )
+        """
+    )
+
+
+def _price_band_boundary(i):
+    """Closed-form irregular band boundary: monotonic (consecutive gaps
+    land in [0.25, 1.75]), all values exact multiples of 0.25 (exactly
+    representable doubles — bit-identical across engines), no cumulative
+    sum needed so both engines build the dim with pure per-row
+    arithmetic."""
+    return F.lit(900.0) + i + F.lit(0.25) * ((i * 3) % 4)
+
+
+def q_range_lookup_bucketed(spark, sf_dir):
+    """The large-dim range join (operators/rangejoin.py): 100 irregular
+    contiguous price bands over part.p_retailprice, matched by exploding
+    each band into covering fixed-width buckets and EQUI-joining on the
+    bucket id — no nested-loop join anywhere in the plan (asserted in
+    tests/test_asof.py), so the dim side could be 10^8 bands and the
+    join would still shuffle/broadcast like any hash join.  Oracle is
+    the naive BETWEEN join."""
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    i = F.col("id")
+    bands = spark.range(100).select(
+        F.col("id").alias("band"),
+        _price_band_boundary(i).alias("lo"),
+        _price_band_boundary(i + 1).alias("hi"),
+    )
+    facts = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    j = bucketed_range_join(
+        facts, bands, "p_retailprice", "lo", "hi", bucket_width=2.0
+    )
+    return j.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+def q_regex_functions(spark, sf_dir):
+    """Regex scalar-function family over document text: extract /
+    extract-all / count / replace / match-test.  Patterns stay in the
+    ASCII character-class subset where Java regex (Spark) and RE2-style
+    regex (DuckDB) agree exactly.  Pure per-row JVM expressions —
+    shuffle-free, embarrassingly parallel."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_count("text", F.lit(r"[aeiou]")).cast("long").alias("n_vowels"),
+        F.length(F.regexp_replace("text", r"[^A-Za-z]+", "")).cast("long").alias(
+            "n_alpha"
+        ),
+        F.col("text").rlike(r"^[A-Z]").alias("starts_upper"),
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def q_math_functions(spark, sf_dir):
+    """Math scalar-function family over lineitem, restricted to the
+    operations with bit-identical cross-engine results: abs/ceil/floor/
+    sign on stored doubles, IEEE-exact sqrt, integer modulo and bitwise
+    ops on keys, least/greatest.  (exp/ln/pow are deliberately absent:
+    libm implementations differ in the last ulp across engines — the
+    determinism rules in SURVEY §9.)"""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25.0).alias("abs_dev"),
+        F.ceil(F.col("l_extendedprice")).cast("long").alias("price_ceil"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("price_floor"),
+        F.sqrt(q).alias("qty_sqrt"),
+        F.signum(q - 25.0).cast("double").alias("qty_sign"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+        (
+            F.col("l_orderkey").bitwiseAND(F.lit(255))
+        ).cast("long").alias("key_and255"),
+        F.shiftleft(F.col("l_linenumber"), 3).cast("long").alias("line_shl3"),
+        F.least(q, F.col("l_discount") * 100).alias("least_qd"),
+        F.greatest(q, F.col("l_tax") * 100).alias("greatest_qt"),
+    )
+
+
+def q_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build
+    a Datasketches HLL sketch of user_id per (event_type, day) partial,
+    then roll partials up to event_type by sketch UNION (not by re-
+    scanning raw data).  At scale the daily sketches are a tiny persisted
+    summary table; any ad-hoc rollup (weekly, all-time, per-cohort) is a
+    union of kilobyte sketches.  No SQL oracle (DuckDB's approx engine is
+    a different sketch); tests/test_recall.py bounds the estimate against
+    the exact distinct count instead."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).cast("long").alias(
+            "approx_users"
+        ),
+    )
+
+
 def q_trend_fit(spark, sf_dir):
     """Per-group least-squares trend: slope+intercept of daily event
     count over day index, per event type — the regression twin of
@@ -1340,6 +1506,27 @@ def q_simsearch_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     return ivf_topk(e, queries, k=10, nlist=16, nprobe=4, corpus_assign=2)
+
+
+def q_simsearch_pq(spark, sf_dir):
+    """Product-quantization ANN (FAISS-style IVF-PQ building block), two
+    stage: ADC scan over 16-byte codes (16x compression — at 100 TB the
+    code table is the only thing scanned), then exact rerank of the
+    50-candidate shortlist (touches original vectors for 50 rows/query
+    via equi-join).  Rows-only: xxhash64-seeded codebooks have no DuckDB
+    twin; recall bounds (ADC >= 0.55, reranked >= 0.90 at sf0.01) in
+    tests/test_recall.py."""
+    from parquet_merger_spark.operators.simsearch import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=2)
+    enc = pq_encode(e, books)
+    return pq_topk(enc, queries, books, k=10, rerank=e, shortlist=50)
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -2254,6 +2441,80 @@ ORACLE_SQL: dict[str, str] = {
           HAVING sum(o_totalprice) > 3000000
         )
         GROUP BY c_custkey, c_name
+    """,
+    "sql_recursive_cte": """
+        WITH RECURSIVE months(mnum) AS (
+          SELECT 0
+          UNION ALL
+          SELECT mnum + 1 FROM months WHERE mnum < 83
+        ),
+        monthly AS (
+          SELECT (year(o_orderdate) * 12 + month(o_orderdate))
+                 - (1995 * 12 + 1) AS mnum,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM orders
+          GROUP BY 1
+        )
+        SELECT concat(CAST(1995 + mnum // 12 AS VARCHAR), '-',
+                      lpad(CAST(mnum % 12 + 1 AS VARCHAR), 2, '0')) AS month,
+               coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN monthly USING (mnum)
+    """,
+    "sql_correlated_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice >= 0.999 * (
+                SELECT max(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey
+              )
+          AND EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0
+              )
+    """,
+    "range_lookup_bucketed": """
+        WITH bands AS (
+          SELECT i AS band,
+                 900.0 + i + 0.25 * ((i * 3) % 4) AS lo,
+                 900.0 + (i + 1) + 0.25 * (((i + 1) * 3) % 4) AS hi
+          FROM range(100) t(i)
+        )
+        SELECT band, lo, hi,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM bands JOIN part
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band, lo, hi
+    """,
+    "regex_functions": """
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+               regexp_extract(text, '([0-9]+)', 1) AS first_number,
+               CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT)
+                 AS n_vowels,
+               CAST(length(regexp_replace(text, '[^A-Za-z]+', '', 'g'))
+                 AS BIGINT) AS n_alpha,
+               regexp_matches(text, '^[A-Z]') AS starts_upper,
+               CAST(len(str_split_regex(text, '\\s+')) AS BIGINT)
+                 AS n_ws_tokens
+        FROM documents
+    """,
+    "math_functions": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25.0) AS abs_dev,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               sqrt(l_quantity) AS qty_sqrt,
+               CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+               l_orderkey % 7 AS key_mod7,
+               l_orderkey & 255 AS key_and255,
+               CAST(l_linenumber << 3 AS BIGINT) AS line_shl3,
+               least(l_quantity, l_discount * 100) AS least_qd,
+               greatest(l_quantity, l_tax * 100) AS greatest_qt
+        FROM lineitem WHERE l_orderkey < 2000
     """,
     "unpivot_measures": """
         SELECT l_orderkey, l_linenumber, measure, val
@@ -3305,6 +3566,12 @@ QUERIES: dict[str, QueryFn] = {
     "null_functions": q_null_functions,
     "sql_star_join": q_sql_star_join,
     "sql_having_subquery": q_sql_having_subquery,
+    "sql_recursive_cte": q_sql_recursive_cte,
+    "sql_correlated_subquery": q_sql_correlated_subquery,
+    "range_lookup_bucketed": q_range_lookup_bucketed,
+    "regex_functions": q_regex_functions,
+    "math_functions": q_math_functions,
+    "hll_rollup": q_hll_rollup,
     "semi_join_customers": q_semi_join_customers,
     "anti_join_customers": q_anti_join_customers,
     "left_join_null_fill": q_left_join_null_fill,
@@ -3336,6 +3603,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_graph": q_knn_graph,
     "sketch_stats": q_sketch_stats,
     "simsearch_ivf": q_simsearch_ivf,
+    "simsearch_pq": q_simsearch_pq,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,

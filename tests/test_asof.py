@@ -82,3 +82,75 @@ def test_salted_join_rejects_right_preserving_how(spark):
     df = spark.createDataFrame([(1, 1)], "k long, v long")
     with pytest.raises(AssertionError):
         salted_join(df, df, ["k"], salt_from=F.xxhash64("v"), how="full")
+
+
+# ---------------------------------------------------------------------------
+# bucketed range join (operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+
+def _range_fixtures(spark):
+    from pyspark.sql import functions as F
+
+    facts = spark.range(0, 500).select(
+        F.col("id").alias("fact_id"),
+        ((F.col("id") * 37 % 1000) / F.lit(4.0)).alias("v"),  # 0.25 grid
+    )
+    dims = spark.range(0, 40).select(
+        F.col("id").alias("band"),
+        (F.col("id") * F.lit(6.25)).alias("lo"),
+        ((F.col("id") + 1) * F.lit(6.25)).alias("hi"),
+    )
+    return facts, dims
+
+
+def test_bucketed_range_join_matches_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    facts, dims = _range_fixtures(spark)
+    got = bucketed_range_join(facts, dims, "v", "lo", "hi", bucket_width=4.0)
+    ref = facts.join(
+        F.broadcast(dims),
+        (facts.v >= dims.lo) & (facts.v < dims.hi),
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r.fact_id, r.band) for r in df.select("fact_id", "band").collect()
+    )
+    assert canon(got) == canon(ref) and len(canon(got)) == 500
+
+
+def test_bucketed_range_join_plan_is_equi_join(spark):
+    """The point of the operator: NO nested-loop join in the plan — the
+    dim side need not be broadcastable."""
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    facts, dims = _range_fixtures(spark)
+    out = bucketed_range_join(facts, dims, "v", "lo", "hi", bucket_width=4.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+
+
+def test_bucketed_range_join_semi_and_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    facts = spark.createDataFrame(
+        [(0, 0.0), (1, 6.25), (2, 249.99), (3, 250.0), (4, -0.5)],
+        "fact_id long, v double",
+    )
+    _, dims = _range_fixtures(spark)
+    kept = bucketed_range_join(
+        facts, dims, "v", "lo", "hi", bucket_width=4.0, how="left_semi"
+    )
+    ids = sorted(r.fact_id for r in kept.collect())
+    # half-open [lo, hi): 250.0 == top hi is OUT; -0.5 below domain is OUT;
+    # 6.25 sits exactly on an interior boundary -> exactly one band.
+    assert ids == [0, 1, 2]
+    assert sorted(kept.columns) == ["fact_id", "v"]
+
+    inner = bucketed_range_join(facts, dims, "v", "lo", "hi", bucket_width=4.0)
+    b = {r.fact_id: r.band for r in inner.collect()}
+    assert b == {0: 0, 1: 1, 2: 39}
