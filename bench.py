@@ -107,6 +107,7 @@ HEADLINE = [
     "sql_having_subquery",
     "sql_recursive_cte",
     "sql_correlated_subquery",
+    "sql_custdist",
     "simsearch_pq",
     "range_lookup_bucketed",
     "regex_functions",

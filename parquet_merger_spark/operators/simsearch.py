@@ -878,23 +878,86 @@ def train_pq_codebooks(
     return books
 
 
-def _pq_code_literals(books: list[list[list[int]]]) -> list[Column]:
-    """Per-subspace literal array of (code, cvec, cvec2) structs."""
-    out = []
-    for sub_book in books:
-        out.append(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("code"),
-                        F.array(*[F.lit(int(x)) for x in cv]).alias("cvec"),
-                        F.lit(int(sum(x * x for x in cv))).alias("cvec2"),
-                    )
+_PQ_BOOKS_SCHEMA = T.ArrayType(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("code", T.IntegerType(), False),
+                T.StructField("cvec", T.ArrayType(T.LongType()), False),
+                T.StructField("cvec2", T.LongType(), False),
+            ]
+        )
+    )
+)
+
+
+def _books_df(spark, books: list[list[list[int]]]) -> DataFrame:
+    """The codebook model as a ONE-ROW broadcastable DataFrame
+    (``__books``: array[m][n_codes] of (code, cvec, cvec2)).
+
+    Deliberately data, not literals: unrolling m*n_codes*sub_dim literal
+    nodes into the expression tree made the optimizer walk thousands of
+    nodes per rule — ~12 s of pure plan-compile time for m=32 (the
+    round-4 re-trip of SURVEY §9 pathology family).  As a broadcast
+    one-row cross join the plan holds ONE column reference and the model
+    rides the data path.
+    """
+    rows = [
+        (
+            [
+                [
+                    (c, [int(x) for x in cv], int(sum(x * x for x in cv)))
                     for c, cv in enumerate(sub_book)
                 ]
-            )
+                for sub_book in books
+            ],
         )
-    return out
+    ]
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField("__books", _PQ_BOOKS_SCHEMA, False)])
+    )
+
+
+def _pq_subs(sub_dim: int) -> Column:
+    """Per-subspace (sub, sub2) slices of the row's quantized vector,
+    computed ONCE per row (the inner per-code loops below would otherwise
+    re-slice per codeword — 16x the allocations).  Two-arg transform: the
+    second lambda parameter is the ELEMENT INDEX (intentional here — it
+    addresses the subspace; SURVEY §9 #4)."""
+    return F.transform(
+        F.col("__books"),
+        lambda _sb, s: F.struct(
+            F.slice(F.col("__q"), s * sub_dim + 1, sub_dim).alias("sub"),
+            quantized_dot(
+                F.slice(F.col("__q"), s * sub_dim + 1, sub_dim),
+                F.slice(F.col("__q"), s * sub_dim + 1, sub_dim),
+            ).alias("sub2"),
+        ),
+    )
+
+
+def _pq_picked() -> Column:
+    """array[m] of the argmin (dist, code, cvec2) struct per subspace,
+    from the pre-sliced ``__subs``.  Tie-break (dist asc, code asc) via
+    array_min over structs, matching the training assignment exactly."""
+    return F.zip_with(
+        F.col("__books"),
+        F.col("__subs"),
+        lambda sub_book, ss: F.array_min(
+            F.transform(
+                sub_book,
+                lambda c: F.struct(
+                    (
+                        ss["sub2"]
+                        - 2 * quantized_dot(ss["sub"], c["cvec"])
+                        + c["cvec2"]
+                    ).alias("dist"),
+                    c["code"].alias("code"),
+                    c["cvec2"].alias("cvec2"),
+                ),
+            )
+        ),
+    )
 
 
 def pq_encode(
@@ -907,45 +970,30 @@ def pq_encode(
     m nearest-codeword ids, plus the reconstruction's exact integer self-
     dot (used as the ADC denominator).
 
-    The codebooks fold into literal arrays, so encoding is a pure
-    row-local expression — no shuffle, no join, no Python: a 100 TB
-    encode is one narrow map stage writing m-byte codes.  Argmin
-    tie-break: (dist asc, code asc) via array_min over structs, matching
-    the training assignment exactly.
+    The codebook model arrives as a broadcast one-row cross join (see
+    :func:`_books_df`), so encoding is row-local — no shuffle, no
+    Python: a 100 TB encode is one narrow map stage writing m-byte
+    codes.
     """
-    m = len(books)
-    dim = len(books[0][0]) * m
-    splits = _pq_split(m, dim)
-    code_lits = _pq_code_literals(books)
-    q = quantize(F.col(vec_col))
-    d = corpus.withColumn("__q", q)
-
-    def best_code(s: int) -> Column:
-        st, ln = splits[s]
-        sub = F.slice("__q", st, ln)
-        sub2 = quantized_dot(sub, sub)
-        return F.array_min(
-            F.transform(
-                code_lits[s],
-                lambda c: F.struct(
-                    (sub2 - 2 * quantized_dot(sub, c["cvec"]) + c["cvec2"]).alias(
-                        "dist"
-                    ),
-                    c["code"].alias("code"),
-                    c["cvec2"].alias("cvec2"),
-                ),
-            )
+    sub_dim = len(books[0][0])
+    d = (
+        corpus.withColumn("__q", quantize(F.col(vec_col)))
+        .crossJoin(F.broadcast(_books_df(corpus.sparkSession, books)))
+        .withColumn("__subs", _pq_subs(sub_dim))
+    )
+    return (
+        d.withColumn("__picked", _pq_picked())
+        .select(
+            F.col(id_col),
+            F.transform(F.col("__picked"), lambda p: p["code"].cast("int")).alias(
+                "codes"
+            ),
+            F.aggregate(
+                F.transform(F.col("__picked"), lambda p: p["cvec2"]),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("recon2"),
         )
-
-    picked = F.array(*[best_code(s) for s in range(m)])
-    return d.select(
-        F.col(id_col),
-        F.transform(picked, lambda p: p["code"].cast("int")).alias("codes"),
-        F.aggregate(
-            F.transform(picked, lambda p: p["cvec2"]),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("recon2"),
     )
 
 
@@ -963,13 +1011,15 @@ def pq_topk(
     """Approximate top-k over PQ codes via ADC: (query_id, vec_id,
     pq_cosine, rank).
 
-    Each query builds its m x n_codes lookup table ROW-LOCALLY (literal
-    codebooks — no shuffle), broadcasts, and every corpus row scores with
-    m array lookups + one add chain over integers: the scan is exhaustive
-    but touches only the compressed codes, never the original vectors.
-    Scores are approximate (quantization error); ranking is total-ordered
-    (score desc, id asc) and bit-stable.  Compose with assign_buckets()
-    upstream to scan only nprobe buckets (IVF-PQ).
+    Each query builds its m x n_codes lookup table ROW-LOCALLY (the
+    codebook arrives as a broadcast one-row cross join, see
+    :func:`_books_df` — no shuffle, no literal bloat), broadcasts, and
+    every corpus row scores with m array lookups + one add chain over
+    integers: the scan is exhaustive but touches only the compressed
+    codes, never the original vectors.  Scores are approximate
+    (quantization error); ranking is total-ordered (score desc, id asc)
+    and bit-stable.  Compose with assign_buckets() upstream to scan only
+    nprobe buckets (IVF-PQ).
 
     ``rerank`` (the original-vector table, keyed by ``id_col``) enables
     the production two-stage shape: ADC keeps a per-query ``shortlist``
@@ -980,23 +1030,21 @@ def pq_topk(
     the true neighbors into the shortlist, not rank them perfectly.
     """
     m = len(books)
-    dim = len(books[0][0]) * m
-    splits = _pq_split(m, dim)
-    code_lits = _pq_code_literals(books)
+    sub_dim = len(books[0][0])
 
-    qd = queries.withColumn("__q", quantize(F.col(vec_col))).withColumn(
-        "__q2", quantized_dot(F.col("__q"), F.col("__q"))
+    qd = (
+        queries.withColumn("__q", quantize(F.col(vec_col)))
+        .withColumn("__q2", quantized_dot(F.col("__q"), F.col("__q")))
+        .crossJoin(F.broadcast(_books_df(queries.sparkSession, books)))
+        .withColumn("__subs", _pq_subs(sub_dim))
     )
-    def _sub_lut(s: int) -> Column:
-        # factory closure, NOT a defaulted lambda arg: a second lambda
-        # parameter would be bound to the element index (SURVEY §9 #4)
-        st, ln = splits[s]
-        return F.transform(
-            code_lits[s],
-            lambda c: quantized_dot(F.slice("__q", st, ln), c["cvec"]),
-        )
-
-    lut = F.array(*[_sub_lut(s) for s in range(m)])
+    lut = F.zip_with(
+        F.col("__books"),
+        F.col("__subs"),
+        lambda sub_book, ss: F.transform(
+            sub_book, lambda c: quantized_dot(ss["sub"], c["cvec"])
+        ),
+    )
     probes = qd.select(
         F.col(query_id_col), F.col("__q2").alias("qq2"), lut.alias("lut")
     )

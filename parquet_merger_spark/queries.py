@@ -925,6 +925,27 @@ def q_sql_correlated_subquery(spark, sf_dir):
     )
 
 
+def q_sql_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of customers by how many orders
+    they placed, INCLUDING zero-order customers (left join before the
+    double aggregation — the outer join is what distinguishes this from
+    a plain group-by).  Two shuffles: orders on custkey, then the tiny
+    count-of-counts; both map-side partial."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM v_customer LEFT OUTER JOIN v_orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        """
+    )
+
+
 def _price_band_boundary(i):
     """Closed-form irregular band boundary: monotonic (consecutive gaps
     land in [0.25, 1.75]), all values exact multiples of 0.25 (exactly
@@ -1524,7 +1545,7 @@ def q_simsearch_pq(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    books = train_pq_codebooks(e, m=32, n_codes=16, iters=2)
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=1)
     enc = pq_encode(e, books)
     return pq_topk(enc, queries, books, k=10, rerank=e, shortlist=50)
 
@@ -2461,6 +2482,15 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders,
                coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
         FROM months LEFT JOIN monthly USING (mnum)
+    """,
+    "sql_custdist": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
     """,
     "sql_correlated_subquery": """
         SELECT o_orderkey, o_custkey, o_totalprice
@@ -3568,6 +3598,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_having_subquery": q_sql_having_subquery,
     "sql_recursive_cte": q_sql_recursive_cte,
     "sql_correlated_subquery": q_sql_correlated_subquery,
+    "sql_custdist": q_sql_custdist,
     "range_lookup_bucketed": q_range_lookup_bucketed,
     "regex_functions": q_regex_functions,
     "math_functions": q_math_functions,

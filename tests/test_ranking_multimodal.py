@@ -195,3 +195,29 @@ def test_assign_row_ids_single_bucket_and_constant_key(spark):
     df = spark.createDataFrame([(i, 1.0) for i in range(20)], "id long, v double")
     got = assign_row_ids(df, "v", ["id"], n_buckets=1)
     assert [r.row_id for r in got.orderBy("id").collect()] == list(range(1, 21))
+
+
+def test_decode_to_ann_composition(spark):
+    """The full multimodal pipeline: binary payloads -> Arrow-batched
+    decode (deterministic fake) -> thumbnail vectors -> kNN graph over
+    the thumb embeddings.  Proves the decode output schema plugs straight
+    into the ANN operators (vec_col is just a column name) and the whole
+    chain is partitioning-invariant."""
+    from parquet_merger_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_image,
+    )
+    from parquet_merger_spark.operators.simsearch import knn_graph
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(60)
+    payloads = attach_binary_payload(d, "text")
+    thumbs = decode_image(payloads, thumb_side=4)
+    assert thumbs.columns == ["doc_id", "height", "width", "channels", "thumb"]
+
+    g = knn_graph(thumbs, k=3, id_col="doc_id", vec_col="thumb")
+    rows = g.collect()
+    assert len(rows) == 60 * 3
+    assert all(1 <= r.rank <= 3 and r.id != r.neighbor_id for r in rows)
+
+    g2 = knn_graph(thumbs.repartition(11), k=3, id_col="doc_id", vec_col="thumb")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, g2.collect()))

@@ -340,7 +340,7 @@ def test_hll_rollup_error_bound(spark):
 def test_pq_recall_bounds(spark):
     """PQ ADC (32 subspaces x 16 codes = 16-byte codes) must reach 0.55
     recall@10 alone and 0.90 after exact rerank of the 50-candidate
-    shortlist (measured: 0.68 / 1.00 at sf0.01 — deterministic, so these
+    shortlist (measured: 0.66 / 1.00 at sf0.01 — deterministic, so these
     are constants of the configuration, not flaky samples).  Training is
     partitioning-invariant (integer sufficient statistics)."""
     from parquet_merger_spark.operators.simsearch import (
@@ -354,8 +354,8 @@ def test_pq_recall_bounds(spark):
     qs = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     truth = {(r.query_id, r.vec_id) for r in brute_force_topk(e, qs, k=10).collect()}
 
-    books = train_pq_codebooks(e, m=32, n_codes=16, iters=2)
-    assert books == train_pq_codebooks(e.repartition(7), m=32, n_codes=16, iters=2)
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=1)
+    assert books == train_pq_codebooks(e.repartition(7), m=32, n_codes=16, iters=1)
 
     enc = pq_encode(e, books)
     adc = {(r.query_id, r.vec_id) for r in pq_topk(enc, qs, books, k=10).collect()}
