@@ -108,6 +108,8 @@ HEADLINE = [
     "sql_recursive_cte",
     "sql_correlated_subquery",
     "sql_custdist",
+    "variant_extract",
+    "try_functions",
     "simsearch_pq",
     "range_lookup_bucketed",
     "regex_functions",

@@ -163,6 +163,35 @@ def minhash_signatures(
     return sh.select(id_col, "sh_hashes", _sig("sh_hashes").alias("sig"))
 
 
+def lsh_band_buckets(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from minhash signatures: bucket = xxhash64
+    of the band's r = num_hashes/bands signature rows.  Row-local
+    (explode of a per-row array) — the LSH "index key" generator shared
+    by the batch pair join and the streaming incremental dedup.
+
+    explode_outer dodges InferFiltersFromGenerate re-evaluating the
+    band-hash array inside an inferred filter (band arrays are never
+    empty — SURVEY §9 #1)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode_outer(band_cols).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -189,7 +218,6 @@ def minhash_lsh_pairs(
     recall above t* stays ~1 (bounded in tests/test_recall.py).
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # Shingle-eligibility is filtered on the CHEAP token-count predicate
     # BEFORE the signature pipeline: a post-hoc filter(size(sh_hashes)>0)
     # gets predicate-pushed below the gram-building projections, fully
@@ -201,22 +229,7 @@ def minhash_lsh_pairs(
         eligible, id_col, text_col, num_hashes, shingle_words
     ).cache()
 
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    # explode_outer: dodges InferFiltersFromGenerate re-evaluating the
-    # band-hash array inside a filter (band arrays are never empty).
-    buckets = sigs.select(
-        F.col(id_col), F.explode_outer(band_cols).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    buckets = lsh_band_buckets(sigs, id_col, num_hashes, bands)
 
     left = buckets.alias("l")
     right = buckets.alias("r")

@@ -925,6 +925,62 @@ def q_sql_correlated_subquery(spark, sf_dir):
     )
 
 
+def q_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT (semi-structured) path: rows round-trip through
+    ``to_json`` -> ``parse_json`` (binary variant encoding) ->
+    ``variant_get`` typed-path extraction, covering nested objects,
+    array indexing, and the NULL-on-missing ``try_variant_get``.
+    Everything is row-local JVM code; the oracle computes the same
+    values straight from the base columns, so the whole JSON->variant->
+    path-extraction chain is what's under test."""
+    e = _events(spark, sf_dir)
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(
+                F.col("user_id").alias("u"), F.round("value", 2).alias("v")
+            ).alias("m"),
+            F.array(F.col("event_id"), F.col("user_id")).alias("ids"),
+        )
+    )
+    v = F.parse_json(j)
+    d = e.select("event_id", v.alias("__v"))
+    return d.select(
+        "event_id",
+        F.expr("variant_get(__v, '$.t', 'string')").alias("vt"),
+        F.expr("variant_get(__v, '$.m.u', 'long')").alias("vu"),
+        F.expr("variant_get(__v, '$.m.v', 'double')").alias("vv"),
+        F.expr("variant_get(__v, '$.ids[1]', 'long')").alias("vid1"),
+        F.expr("try_variant_get(__v, '$.absent', 'long')").alias("vmiss"),
+    )
+
+
+def q_try_functions(spark, sf_dir):
+    """ANSI-error-handling family: the ``try_`` variants return NULL
+    where strict evaluation would raise — division by zero, numeric
+    parse failures, out-of-range array access.  The oracle reproduces
+    each with DuckDB's NULLIF/TRY_CAST idioms."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.try_divide(F.lit(1.0), F.col("l_tax")).alias("inv_tax"),
+        F.try_to_number(
+            F.when(F.col("l_linenumber") == 1, F.lit("12.50")).otherwise(
+                F.lit("not a number")
+            ),
+            F.lit("99.99"),
+        ).cast("double").alias("parsed"),
+        F.try_element_at(
+            F.array(F.col("l_quantity"), F.col("l_discount")),
+            F.col("l_linenumber").cast("int"),
+        ).alias("arr_at_line"),
+    )
+
+
 def q_sql_custdist(spark, sf_dir):
     """TPC-H Q13 shape: the distribution of customers by how many orders
     they placed, INCLUDING zero-order customers (left join before the
@@ -2483,6 +2539,25 @@ ORACLE_SQL: dict[str, str] = {
                coalesce(revenue, CAST(0.0 AS DOUBLE)) AS revenue
         FROM months LEFT JOIN monthly USING (mnum)
     """,
+    "variant_extract": """
+        SELECT event_id,
+               event_type AS vt,
+               user_id AS vu,
+               round(value, 2) AS vv,
+               user_id AS vid1,
+               CAST(NULL AS BIGINT) AS vmiss
+        FROM events
+    """,
+    "try_functions": """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / nullif(l_discount, 0.0) AS price_per_disc,
+               1.0 / nullif(l_tax, 0.0) AS inv_tax,
+               CASE WHEN l_linenumber = 1 THEN 12.5
+                    ELSE TRY_CAST('not a number' AS DOUBLE) END AS parsed,
+               list_extract([l_quantity, l_discount], l_linenumber)
+                 AS arr_at_line
+        FROM lineitem WHERE l_orderkey < 2000
+    """,
     "sql_custdist": """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         FROM (
@@ -3599,6 +3674,8 @@ QUERIES: dict[str, QueryFn] = {
     "sql_recursive_cte": q_sql_recursive_cte,
     "sql_correlated_subquery": q_sql_correlated_subquery,
     "sql_custdist": q_sql_custdist,
+    "variant_extract": q_variant_extract,
+    "try_functions": q_try_functions,
     "range_lookup_bucketed": q_range_lookup_bucketed,
     "regex_functions": q_regex_functions,
     "math_functions": q_math_functions,

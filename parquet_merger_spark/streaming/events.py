@@ -517,3 +517,132 @@ def upsert_table_versions(table_dir: str) -> list[int]:
         for d in os.listdir(table_dir)
         if d.startswith("v") and d[1:].isdigit()
     )
+
+
+def stream_near_dedup_to_table(
+    spark: SparkSession,
+    docs_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 2,
+) -> StreamingQuery:
+    """Streaming incremental NEAR-dedup: continuously ingest documents,
+    keep only those not near-duplicating anything already accepted — the
+    LLM-pipeline shape "the crawler never stops, the corpus only ever
+    admits novel text".
+
+    Mechanics (per micro-batch, via ``foreachBatch``): MinHash-LSH band
+    buckets are the novelty keys (same generator as the batch pair join —
+    ``operators.dedup.lsh_band_buckets``).  A document is a near-dup iff
+    one of its buckets was already claimed — by a survivor of an earlier
+    batch (the persisted bucket table) or by a smaller-id document in the
+    SAME batch.  Survivors append to ``<table>/survivors/b<batch_id>``;
+    their buckets merge into the versioned bucket table.
+
+    Semantics note (documented approximation): within one batch, bucket
+    ownership goes to the min id whether or not that owner itself
+    survives — a chain A~B, B~C, A⊀C can drop C where sequential
+    arrival would keep it.  Deterministic, one extra shuffle, and
+    conservative in the dedup direction; the batch LSH join remains the
+    audit tier.
+
+    Exactly-once: checkpointed source offsets + idempotent apply (both
+    sinks are keyed by ``batch_id``; a replayed batch overwrites its own
+    survivor directory and bucket version, and the ``_CURRENT`` manifest
+    swaps atomically, last).  At 100 TB the bucket table's
+    rewrite-per-batch becomes a MERGE into a key-value/Delta table; the
+    batch body's joins are unchanged.
+    """
+    import os
+
+    from parquet_merger_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+        tokens_col,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    buckets_dir = os.path.join(table_dir, "buckets")
+    survivors_dir = os.path.join(table_dir, "survivors")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        eligible = batch_df.filter(
+            F.size(tokens_col(text_col)) >= shingle_words
+        )
+        sigs = minhash_signatures(
+            eligible, id_col, text_col, num_hashes, shingle_words
+        )
+        buckets = lsh_band_buckets(sigs, id_col, num_hashes, bands)
+
+        manifest = os.path.join(buckets_dir, "_CURRENT")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                seen = sess.read.parquet(
+                    os.path.join(buckets_dir, fh.read().strip())
+                )
+        else:
+            seen = sess.createDataFrame([], "band int, bucket long")
+
+        first_in_batch = buckets.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("__first_id")
+        )
+        dup_ids = (
+            buckets.join(seen, ["band", "bucket"], "left_semi")
+            .select(id_col)
+            .union(
+                buckets.join(first_in_batch, ["band", "bucket"])
+                .filter(F.col(id_col) > F.col("__first_id"))
+                .select(id_col)
+            )
+            .distinct()
+        )
+        survivors = batch_df.join(dup_ids, id_col, "left_anti")
+        # idempotent append: the batch owns its directory
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_dir, f"b{batch_id:020d}")
+        )
+
+        new_seen = (
+            buckets.join(survivors.select(id_col), id_col, "left_semi")
+            .select("band", "bucket")
+            .union(seen)
+            .distinct()
+        )
+        version = f"v{batch_id:020d}"
+        new_seen.write.mode("overwrite").parquet(
+            os.path.join(buckets_dir, version)
+        )
+        with open(manifest + ".tmp", "w") as fh:
+            fh.write(version)
+        os.replace(manifest + ".tmp", manifest)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_near_dedup_survivors(spark: SparkSession, table_dir: str) -> DataFrame:
+    """All accepted (novel) documents so far: union of the per-batch
+    survivor directories."""
+    import os
+
+    survivors_dir = os.path.join(table_dir, "survivors")
+    parts = sorted(
+        os.path.join(survivors_dir, d)
+        for d in os.listdir(survivors_dir)
+        if d.startswith("b")
+    )
+    return spark.read.parquet(*parts)

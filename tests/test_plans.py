@@ -180,3 +180,28 @@ def test_corr_matrix_single_aggregate_no_data_shuffle(spark):
     plan = _explain(QUERIES["corr_matrix"](spark, SF_DIR), "simple")
     assert plan.count("Exchange") == 1
     assert "SinglePartition" in plan
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """PQ encoding must stay a narrow map stage: the codebook model rides
+    a broadcast one-row cross join, so the plan may contain broadcast
+    exchanges but NO hash-partitioning Exchange (a 100 TB encode never
+    shuffles the corpus)."""
+    from parquet_merger_spark.operators.simsearch import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    books = train_pq_codebooks(e, m=8, n_codes=4, iters=0)
+    plan = _explain(pq_encode(e, books), "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_range_lookup_bucketed_query_plan(spark):
+    """The driver-contract range_lookup query: equi-join (hash or sort-
+    merge or broadcast-hash), never a nested-loop over the band dim."""
+    from parquet_merger_spark.queries import QUERIES
+
+    plan = _explain(QUERIES["range_lookup_bucketed"](spark, SF_DIR), "simple")
+    assert "NestedLoop" not in plan, plan

@@ -368,3 +368,52 @@ def test_pq_recall_bounds(spark):
     # encoding is row-local: repartitioning cannot change any code
     enc2 = pq_encode(e.repartition(13), books)
     assert sorted(map(tuple, enc.collect())) == sorted(map(tuple, enc2.collect()))
+
+
+def test_ivf_pq_composition(spark):
+    """IVF-PQ: the coarse quantizer prunes the corpus to the query's
+    probed buckets, PQ/ADC scans only those codes, exact rerank
+    finishes.  Deterministic per-query constants at sf0.01 (nlist=16,
+    nprobe=4, 2-assign, m=32/16 codes): scan fraction 0.42-0.47,
+    recall@10 0.70-0.90 -> floors 0.6 scan / 0.6 recall."""
+    from parquet_merger_spark.operators.simsearch import (
+        assign_buckets,
+        brute_force_topk,
+        build_ivf_centroids,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cent = build_ivf_centroids(e, nlist=16)
+    bucketed = assign_buckets(e, cent, n_assign=2)
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=1)
+    enc = pq_encode(e, books)
+    n = e.count()
+
+    for qid in (0, 1, 2):
+        qs = e.filter(F.col("vec_id") == qid).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        truth = {
+            (r.query_id, r.vec_id)
+            for r in brute_force_topk(e, qs, k=10).collect()
+        }
+        qpro = assign_buckets(qs, cent, id_col="query_id", n_assign=4)
+        keep = (
+            bucketed.join(qpro.select("bucket").distinct(), "bucket")
+            .select("vec_id")
+            .distinct()
+        )
+        assert keep.count() / n <= 0.6, "probe must prune the scan"
+        got = pq_topk(
+            enc.join(keep, "vec_id", "left_semi"),
+            qs,
+            books,
+            k=10,
+            rerank=e,
+            shortlist=50,
+        )
+        pairs = {(r.query_id, r.vec_id) for r in got.collect()}
+        assert len(pairs & truth) / len(truth) >= 0.6, qid

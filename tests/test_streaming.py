@@ -397,3 +397,107 @@ def test_stream_upsert_applies_batches_in_order(spark, tmp_path):
     # replay safety: versions are batch-addressed, pointer took the newest
     with open(os.path.join(table, "_CURRENT")) as fh:
         assert fh.read().strip() == "v" + "2".zfill(20)
+
+
+def test_stream_near_dedup_admits_only_novel_docs(spark, tmp_path):
+    """Three arrival chunks with planted near-duplicates: the streaming
+    near-dedup must admit originals, reject later re-arrivals (exact and
+    near-duplicate wording), and match a sequential replay of the same
+    bucket rule chunk-by-chunk."""
+    import itertools
+
+    from parquet_merger_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+    from parquet_merger_spark.streaming.events import (
+        read_near_dedup_survivors,
+        stream_near_dedup_to_table,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    alt = (
+        "completely different material about distributed query engines "
+        "processing parquet files with vectorized readers at scale"
+    )
+    third = (
+        "unrelated culinary text describing how to braise vegetables "
+        "slowly with garlic thyme and a splash of white wine vinegar"
+    )
+    chunks = [
+        [(1, base), (2, alt)],
+        # 11 re-states base with one word changed (near-dup); 12 novel
+        [(11, base.replace("lazy", "sleepy")), (12, third)],
+        # 21 exact duplicate of alt; 22 novel
+        [(21, alt), (22, "a short novel sentence mentioning nothing else")],
+    ]
+    docs_dir = tmp_path / "nd_docs"
+    docs_dir.mkdir()
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(docs_dir / f"chunk{i}"))
+    # flatten: the file source watches one directory; write files in order
+    import shutil, glob as _glob
+
+    flat = tmp_path / "nd_flat"
+    flat.mkdir()
+    for i in range(len(chunks)):
+        src = _glob.glob(str(docs_dir / f"chunk{i}" / "part-*.parquet"))[0]
+        dst = str(flat / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        # the file source orders micro-batches by modification time; the
+        # copies land within one clock tick, so pin strictly-ascending
+        # mtimes to make arrival order (= the dedup's precedence order)
+        # deterministic
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    table = str(tmp_path / "nd_table")
+    q = stream_near_dedup_to_table(
+        spark,
+        str(flat),
+        table,
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in read_near_dedup_survivors(spark, table).collect()}
+
+    # sequential replay of the same rule (chunk order = file order)
+    def buckets_of(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(df, "doc_id", "text", 64, 2)
+        out = {}
+        for r in lsh_band_buckets(sigs, "doc_id", 64, 16).collect():
+            out.setdefault(r.doc_id, set()).add((r.band, r.bucket))
+        return out
+
+    seen: set = set()
+    expect: set = set()
+    for rows in chunks:
+        bks = buckets_of(rows)
+        claimed_this_chunk: dict = {}
+        for did, _ in rows:
+            for bb in bks.get(did, set()):
+                claimed_this_chunk.setdefault(bb, did)
+        for did, _ in rows:
+            dup = any(
+                bb in seen or claimed_this_chunk[bb] < did
+                for bb in bks.get(did, set())
+            )
+            if not dup:
+                expect.add(did)
+        for did, _ in rows:
+            if did in expect:
+                seen |= bks.get(did, set())
+
+    assert kept == expect, (kept, expect)
+    # sanity on the semantics themselves
+    assert {1, 2, 12, 22} <= kept
+    assert 11 not in kept and 21 not in kept
