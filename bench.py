@@ -110,6 +110,7 @@ HEADLINE = [
     "sql_custdist",
     "variant_extract",
     "try_functions",
+    "string_agg_groups",
     "simsearch_pq",
     "range_lookup_bucketed",
     "regex_functions",

@@ -1108,3 +1108,40 @@ def pq_topk(
             query_id_col, id_col, F.round("pq_cosine", 6).alias("pq_cosine"), "rank"
         )
     )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 32,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index: ``<path>/books`` (the one-row codebook model)
+    and ``<path>/codes`` (the m-byte encodings + recon2).  Build once,
+    probe many — the original float vectors are NOT part of the index;
+    keep them wherever they live for the optional exact-rerank join.
+
+    At 100 TB the codes table is ~100-300x smaller than the corpus, so a
+    full ADC scan reads gigabytes, not terabytes."""
+    books = train_pq_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    _books_df(corpus.sparkSession, books).write.mode("overwrite").parquet(
+        f"{path}/books"
+    )
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def load_pq_index(spark, path: str) -> tuple[list[list[list[int]]], DataFrame]:
+    """(books, codes) from :func:`write_pq_index` output — ``books`` back
+    as the plain driver-side model (row -> nested lists), ``codes`` as the
+    encoded DataFrame ready for :func:`pq_topk`."""
+    row = spark.read.parquet(f"{path}/books").collect()[0]
+    books = [
+        [[int(x) for x in entry["cvec"]] for entry in sub_book]
+        for sub_book in row["__books"]
+    ]
+    return books, spark.read.parquet(f"{path}/codes")

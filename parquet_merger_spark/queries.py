@@ -981,6 +981,26 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_string_agg_groups(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG): the top-5
+    highest-balance customers per market segment, joined into one sorted
+    comma-separated string per group.  Spark expresses the ordered agg
+    as collect_list -> array_sort -> array_join (collect_list order is
+    partition-dependent; the explicit sort restores determinism — the
+    rule every distributed LISTAGG needs)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return top.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+            "top_names"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def q_sql_custdist(spark, sf_dir):
     """TPC-H Q13 shape: the distribution of customers by how many orders
     they placed, INCLUDING zero-order customers (left join before the
@@ -2558,6 +2578,19 @@ ORACLE_SQL: dict[str, str] = {
                  AS arr_at_line
         FROM lineitem WHERE l_orderkey < 2000
     """,
+    "string_agg_groups": """
+        WITH top AS (
+          SELECT c_mktsegment, c_name,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer
+        )
+        SELECT c_mktsegment,
+               string_agg(c_name, ',' ORDER BY c_name) AS top_names,
+               CAST(count(*) AS BIGINT) AS n
+        FROM top WHERE rn <= 5
+        GROUP BY c_mktsegment
+    """,
     "sql_custdist": """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         FROM (
@@ -3675,6 +3708,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_correlated_subquery": q_sql_correlated_subquery,
     "sql_custdist": q_sql_custdist,
     "variant_extract": q_variant_extract,
+    "string_agg_groups": q_string_agg_groups,
     "try_functions": q_try_functions,
     "range_lookup_bucketed": q_range_lookup_bucketed,
     "regex_functions": q_regex_functions,

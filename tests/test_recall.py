@@ -417,3 +417,39 @@ def test_ivf_pq_composition(spark):
         )
         pairs = {(r.query_id, r.vec_id) for r in got.collect()}
         assert len(pairs & truth) / len(truth) >= 0.6, qid
+
+
+def test_persisted_pq_index_roundtrip(spark, embeddings, tmp_path):
+    """write_pq_index -> load_pq_index -> pq_topk over the loaded codes
+    returns exactly what the in-memory build returns (books survive the
+    parquet round-trip bit-for-bit)."""
+    from parquet_merger_spark.operators.simsearch import (
+        load_pq_index,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+        write_pq_index,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 5).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    books = train_pq_codebooks(embeddings, m=32, n_codes=16, iters=1)
+    direct = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq_topk(
+            pq_encode(embeddings, books), q, books, k=10, rerank=embeddings
+        ).collect()
+    }
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(embeddings, path, m=32, n_codes=16, iters=1)
+    loaded_books, codes = load_pq_index(spark, path)
+    assert loaded_books == books
+    from_index = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq_topk(
+            codes, q, loaded_books, k=10, rerank=embeddings
+        ).collect()
+    }
+    assert from_index == direct
