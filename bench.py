@@ -111,11 +111,14 @@ HEADLINE = [
     "variant_extract",
     "try_functions",
     "string_agg_groups",
+    "ohlc_hourly",
+    "map_functions",
     "simsearch_pq",
     "range_lookup_bucketed",
     "regex_functions",
     "math_functions",
     "hll_rollup",
+    "grouping_sets_revenue",
 ]
 
 

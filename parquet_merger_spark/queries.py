@@ -981,6 +981,85 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
+    revenue by (status), by (priority), and the grand total — with
+    per-column ``grouping()`` flags disambiguating the NULL-as-aggregate
+    rows from genuine NULLs.  One shuffle; Spark expands the sets via
+    Expand, each set aggregated map-side-partially."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_ohlc_hourly(spark, sf_dir):
+    """Time-series resampling to hourly OHLC bars per event type —
+    open/close via ``min_by``/``max_by`` over a TOTAL-ordered key
+    (struct(ts, event_id): ties on ts alone would make first/last
+    partition-dependent, the classic distributed-resample bug).  One
+    shuffle, map-side partial."""
+    e = _events(spark, sf_dir)
+    h = F.date_trunc("hour", F.col("ts"))
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select(
+            "event_type",
+            h.cast("long").alias("hour_epoch"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "hour_epoch")
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_map_functions(spark, sf_dir):
+    """Map scalar-function family: build maps row-locally
+    (map_from_arrays / create_map), then element_at lookup, key/value
+    projections (sorted for determinism), map_filter and map_concat.
+    Outputs are scalars and sorted arrays; the oracle computes the same
+    values straight from the base columns, so the map machinery itself
+    is what's under test."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    nm = F.create_map(
+        F.lit("price"), F.col("o_totalprice"),
+        F.lit("half"), F.col("o_totalprice") / 2,
+    )
+    merged = F.map_concat(
+        m, F.create_map(F.lit("extra"), F.lit("x"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.element_at(m, "missing").alias("missing_val"),
+        F.array_sort(F.map_keys(merged)).alias("keys_sorted"),
+        F.size(F.map_filter(nm, lambda k, v: v > 100000.0)).cast("long").alias(
+            "n_big_vals"
+        ),
+        F.element_at(nm, "half").alias("half_price"),
+    )
+
+
 def q_string_agg_groups(spark, sf_dir):
     """Ordered string aggregation (LISTAGG/STRING_AGG): the top-5
     highest-balance customers per market segment, joined into one sorted
@@ -2578,6 +2657,49 @@ ORACLE_SQL: dict[str, str] = {
                  AS arr_at_line
         FROM lineitem WHERE l_orderkey < 2000
     """,
+    "grouping_sets_revenue": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "ohlc_hourly": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))))
+                   AS BIGINT) AS hour_epoch,
+                 CAST(ts AS TIMESTAMP) AS tsx, event_id, value
+          FROM events
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, hour_epoch
+                                    ORDER BY tsx, event_id) AS ra,
+                 row_number() OVER (PARTITION BY event_type, hour_epoch
+                                    ORDER BY tsx DESC, event_id DESC) AS rd
+          FROM e
+        )
+        SELECT event_type, hour_epoch,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2
+    """,
+    "map_functions": """
+        SELECT o_orderkey,
+               o_orderstatus AS status_val,
+               CAST(NULL AS VARCHAR) AS missing_val,
+               ['extra', 'priority', 'status'] AS keys_sorted,
+               CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END +
+                    CASE WHEN o_totalprice / 2 > 100000 THEN 1 ELSE 0 END
+                 AS BIGINT) AS n_big_vals,
+               o_totalprice / 2 AS half_price
+        FROM orders WHERE o_orderkey < 3000
+    """,
     "string_agg_groups": """
         WITH top AS (
           SELECT c_mktsegment, c_name,
@@ -3709,6 +3831,9 @@ QUERIES: dict[str, QueryFn] = {
     "sql_custdist": q_sql_custdist,
     "variant_extract": q_variant_extract,
     "string_agg_groups": q_string_agg_groups,
+    "ohlc_hourly": q_ohlc_hourly,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "map_functions": q_map_functions,
     "try_functions": q_try_functions,
     "range_lookup_bucketed": q_range_lookup_bucketed,
     "regex_functions": q_regex_functions,

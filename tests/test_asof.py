@@ -154,3 +154,61 @@ def test_bucketed_range_join_semi_and_boundaries(spark):
     inner = bucketed_range_join(facts, dims, "v", "lo", "hi", bucket_width=4.0)
     b = {r.fact_id: r.band for r in inner.collect()}
     assert b == {0: 0, 1: 1, 2: 39}
+
+
+def test_bucketed_range_join_property(spark):
+    """Property-based equivalence: for arbitrary interval sets (possibly
+    overlapping, degenerate lo==hi, disjoint from all facts) and
+    arbitrary bucket widths, the bucketized equi-join emits EXACTLY the
+    pairs of the naive range predicate.  Values stay on a 0.25 grid so
+    every boundary comparison is float-exact."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    quarters = st.integers(min_value=-200, max_value=200)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.lists(quarters, min_size=1, max_size=30),
+        ivs=st.lists(
+            st.tuples(quarters, st.integers(min_value=0, max_value=60)),
+            min_size=1,
+            max_size=12,
+        ),
+        width_q=st.integers(min_value=1, max_value=40),
+    )
+    def check(vals, ivs, width_q):
+        facts = spark.createDataFrame(
+            [(i, v / 4.0) for i, v in enumerate(vals)], "fact_id long, v double"
+        )
+        dims = spark.createDataFrame(
+            [(j, lo / 4.0, (lo + w) / 4.0) for j, (lo, w) in enumerate(ivs)],
+            "band long, lo double, hi double",
+        )
+        got = sorted(
+            (r.fact_id, r.band)
+            for r in bucketed_range_join(
+                facts, dims, "v", "lo", "hi", bucket_width=width_q / 4.0
+            )
+            .select("fact_id", "band")
+            .collect()
+        )
+        ref = sorted(
+            (r.fact_id, r.band)
+            for r in facts.join(
+                F.broadcast(dims), (facts.v >= dims.lo) & (facts.v < dims.hi)
+            )
+            .select("fact_id", "band")
+            .collect()
+        )
+        assert got == ref
+
+    check()
