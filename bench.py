@@ -119,6 +119,9 @@ HEADLINE = [
     "math_functions",
     "hll_rollup",
     "grouping_sets_revenue",
+    "robust_outliers",
+    "from_csv_extract",
+    "xml_extract",
 ]
 
 

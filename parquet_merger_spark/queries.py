@@ -981,6 +981,93 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_from_csv_extract(spark, sf_dir):
+    """Scalar CSV parsing (``from_csv`` — the per-field escape hatch when
+    a string column embeds delimited records): rows round-trip through
+    ``concat_ws`` -> ``from_csv`` with an explicit schema, including a
+    quoted field containing the delimiter.  Oracle computes the same
+    fields from the base columns, so the parser itself is under test."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    line = F.concat_ws(
+        ",",
+        F.col("c_custkey"),
+        F.concat(F.lit('"'), F.col("c_name"), F.lit(",jr"), F.lit('"')),
+        F.round("c_acctbal", 2),
+    )
+    parsed = F.from_csv(
+        line, "k long, name string, bal double"
+    )
+    d = c.select("c_custkey", parsed.alias("p"))
+    return d.select(
+        "c_custkey",
+        F.col("p.k").alias("k"),
+        F.col("p.name").alias("name"),
+        F.col("p.bal").alias("bal"),
+    )
+
+
+def q_xml_extract(spark, sf_dir):
+    """Spark XML path (xpath_* scalar functions over a constructed XML
+    fragment — nested element + attribute + count).  DuckDB has no XML
+    engine; the oracle computes identical values from the base columns,
+    so the XML construction+extraction chain is what's verified."""
+    n = _t(spark, sf_dir, "supplier")
+    xml = F.concat(
+        F.lit('<supplier key="'),
+        F.col("s_suppkey"),
+        F.lit('"><name>'),
+        F.col("s_name"),
+        F.lit("</name><nation>"),
+        F.col("s_nationkey"),
+        F.lit("</nation><tags><t>a</t><t>b</t></tags></supplier>"),
+    )
+    d = n.select("s_suppkey", xml.alias("__x"))
+    return d.select(
+        "s_suppkey",
+        F.expr("xpath_string(__x, '/supplier/name')").alias("xname"),
+        F.expr("xpath_long(__x, '/supplier/nation')").alias("xnation"),
+        F.expr("xpath_string(__x, '/supplier/@key')").alias("xkey"),
+        F.expr("CAST(size(xpath(__x, '/supplier/tags/t/text()')) AS BIGINT)").alias(
+            "n_tags"
+        ),
+    )
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier detection per event type — the
+    breakdown-resistant twin of the z-score query: flag values whose
+    modified z-score |0.6745*(x - median)| / MAD exceeds 3.5 (Iglewicz-
+    Hoaglin).  Medians run on exact integer cents so the 50th-percentile
+    interpolation (both engines average the two middle values) sees
+    identical inputs.  Plan: two aggregates (median of cents, then MAD of
+    integer absolute deviations) + one broadcast join of the tiny
+    per-type stats."""
+    e = _events(spark, sf_dir)
+    q = e.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    med = q.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = q.join(F.broadcast(med), "event_type").withColumn(
+        # deviations stay exact: |cents*2 - med*2| is an integer even when
+        # the median interpolates to a half
+        "absdev2",
+        F.abs(F.col("cents") * 2 - (F.col("med_cents") * 2).cast("long")),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev2", F.lit(0.5)).alias("mad2"),
+        F.first("med_cents").alias("med_cents"),
+    )
+    j = dev.drop("med_cents").join(F.broadcast(mad), "event_type")
+    mz = F.round(
+        F.lit(0.6745) * F.col("absdev2").cast("double") / F.col("mad2"), 6
+    )
+    return (
+        j.withColumn("mz", mz)
+        .filter(F.col("mz") > 3.5)
+        .select("event_id", "event_type", "value", "mz")
+    )
+
+
 def q_grouping_sets_revenue(spark, sf_dir):
     """Explicit GROUPING SETS (the general form CUBE/ROLLUP specialize):
     revenue by (status), by (priority), and the grand total — with
@@ -2657,6 +2744,43 @@ ORACLE_SQL: dict[str, str] = {
                  AS arr_at_line
         FROM lineitem WHERE l_orderkey < 2000
     """,
+    "from_csv_extract": """
+        SELECT c_custkey,
+               c_custkey AS k,
+               c_name || ',jr' AS name,
+               round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_custkey < 500
+    """,
+    "xml_extract": """
+        SELECT s_suppkey,
+               s_name AS xname,
+               s_nationkey AS xnation,
+               CAST(s_suppkey AS VARCHAR) AS xkey,
+               CAST(2 AS BIGINT) AS n_tags
+        FROM supplier
+    """,
+    "robust_outliers": """
+        WITH q AS (
+          SELECT event_id, event_type, value,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), med AS (
+          SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+          FROM q GROUP BY 1
+        ), dev AS (
+          SELECT q.*,
+                 abs(q.cents * 2 - CAST(med.med_cents * 2 AS BIGINT))
+                   AS absdev2
+          FROM q JOIN med USING (event_type)
+        ), mad AS (
+          SELECT event_type, quantile_cont(absdev2, 0.5) AS mad2
+          FROM dev GROUP BY 1
+        )
+        SELECT event_id, event_type, value,
+               round(0.6745 * absdev2 / mad2, 6) AS mz
+        FROM dev JOIN mad USING (event_type)
+        WHERE round(0.6745 * absdev2 / mad2, 6) > 3.5
+    """,
     "grouping_sets_revenue": """
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
@@ -3833,6 +3957,9 @@ QUERIES: dict[str, QueryFn] = {
     "string_agg_groups": q_string_agg_groups,
     "ohlc_hourly": q_ohlc_hourly,
     "grouping_sets_revenue": q_grouping_sets_revenue,
+    "robust_outliers": q_robust_outliers,
+    "from_csv_extract": q_from_csv_extract,
+    "xml_extract": q_xml_extract,
     "map_functions": q_map_functions,
     "try_functions": q_try_functions,
     "range_lookup_bucketed": q_range_lookup_bucketed,
