@@ -122,6 +122,7 @@ HEADLINE = [
     "robust_outliers",
     "from_csv_extract",
     "xml_extract",
+    "decimal_aggregates",
 ]
 
 

@@ -981,6 +981,33 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_decimal_aggregates(spark, sf_dir):
+    """Exact-decimal money aggregation — the type discipline for
+    financial rollups: doubles cast to DECIMAL(18,2) BEFORE summing, so
+    the group totals are exact (no FP accumulation error at any row
+    count or partitioning), then ONE cast back to double for transport.
+    The same discipline at 100 TB: decimal partial sums merge exactly
+    across any number of executors."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderstatus").agg(
+        F.sum(d).alias("total_dec"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(d).alias("min_dec"),
+        F.max(d).alias("max_dec"),
+    )
+    return g.select(
+        "o_orderstatus",
+        F.col("total_dec").cast("double").alias("total"),
+        # the exact total survives transport as integer cents too —
+        # proof the decimal sum lost nothing
+        (F.col("total_dec") * 100).cast("long").alias("total_cents"),
+        "n",
+        F.col("min_dec").cast("double").alias("min_price"),
+        F.col("max_dec").cast("double").alias("max_price"),
+    )
+
+
 def q_from_csv_extract(spark, sf_dir):
     """Scalar CSV parsing (``from_csv`` — the per-field escape hatch when
     a string column embeds delimited records): rows round-trip through
@@ -2744,6 +2771,20 @@ ORACLE_SQL: dict[str, str] = {
                  AS arr_at_line
         FROM lineitem WHERE l_orderkey < 2000
     """,
+    "decimal_aggregates": """
+        WITH d AS (
+          SELECT o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(sum(p) AS DOUBLE) AS total,
+               CAST(sum(p) * 100 AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(p) AS DOUBLE) AS min_price,
+               CAST(max(p) AS DOUBLE) AS max_price
+        FROM d GROUP BY o_orderstatus
+    """,
     "from_csv_extract": """
         SELECT c_custkey,
                c_custkey AS k,
@@ -3959,6 +4000,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "robust_outliers": q_robust_outliers,
     "from_csv_extract": q_from_csv_extract,
+    "decimal_aggregates": q_decimal_aggregates,
     "xml_extract": q_xml_extract,
     "map_functions": q_map_functions,
     "try_functions": q_try_functions,

@@ -205,3 +205,44 @@ def test_range_lookup_bucketed_query_plan(spark):
 
     plan = _explain(QUERIES["range_lookup_bucketed"](spark, SF_DIR), "simple")
     assert "NestedLoop" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level pruning: with a selective filter on the build
+    side of a shuffle join, Catalyst injects a bloom-filter subquery
+    (bloom_filter_agg on the filtered side, might_contain on the probe
+    scan) so most probe rows die at the scan instead of crossing the
+    shuffle — the 100 TB complement to static partition pruning.
+    Thresholds are runtime confs; restored after the assert."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = _explain(j, "formatted")
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
