@@ -123,6 +123,7 @@ HEADLINE = [
     "from_csv_extract",
     "xml_extract",
     "decimal_aggregates",
+    "corpus_pipeline",
 ]
 
 

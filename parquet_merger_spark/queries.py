@@ -981,6 +981,42 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """END-TO-END training-corpus preparation, one oracle-checked chain:
+    curation gates (quality+language+repetition, PII-redacted survivors)
+    -> context-window chunking of the redacted text (64 tokens, 8
+    overlap) -> sequence packing of the chunks into 2048-token bins,
+    sharded by doc_id%8 so the packing window never degenerates into a
+    single global-sort task.  Each stage is the same operator its
+    standalone query uses; the oracle is the composed SQL of the three
+    stage oracles — so the whole pipeline, not just its pieces, is
+    hash-verified."""
+    from parquet_merger_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from parquet_merger_spark.operators.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    curated = curate_corpus(d).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    chunks = chunk_documents(curated, chunk_tokens=64, overlap=8)
+    ch = chunks.withColumn(
+        "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx")
+    ).withColumn("shard", (F.col("doc_id") % 8).cast("long"))
+    packed = pack_sequences(
+        ch,
+        budget_tokens=2048,
+        token_col="n_chunk_tokens",
+        id_col="chunk_id",
+        shard_col="shard",
+    )
+    return packed.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "shard", "bin_id"
+    )
+
+
 def q_decimal_aggregates(spark, sf_dir):
     """Exact-decimal money aggregation — the type discipline for
     financial rollups: doubles cast to DECIMAL(18,2) BEFORE summing, so
@@ -3933,6 +3969,43 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+# The end-to-end pipeline oracle COMPOSES the stage oracles (curation SQL
+# reused verbatim as a CTE), so the differential check covers the chain,
+# not just the pieces.  Chunking/packing constants mirror
+# q_corpus_pipeline: 64-token chunks, 8 overlap (step 56), 2048 budget,
+# shard = doc_id % 8.
+ORACLE_SQL["corpus_pipeline"] = f"""
+    WITH curated AS ({ORACLE_SQL["curate_corpus"]}),
+    t AS (
+      SELECT doc_id,
+             string_split(text_redacted, ' ') AS toks,
+             len(string_split(text_redacted, ' ')) AS n
+      FROM curated
+    ),
+    s AS (
+      SELECT doc_id, n,
+             unnest(range(1, greatest(n - 8, 1) + 1, 56)) AS start
+      FROM t
+    ),
+    chunks AS (
+      SELECT s.doc_id,
+             CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY start)
+               AS INT) AS chunk_idx,
+             CAST(least(s.n - start + 1, 64) AS BIGINT) AS n_chunk_tokens
+      FROM s JOIN t ON s.doc_id = t.doc_id
+    ),
+    ch AS (
+      SELECT *, doc_id * 1000 + chunk_idx AS chunk_id,
+             doc_id % 8 AS shard
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
+           CAST(FLOOR((SUM(n_chunk_tokens) OVER (PARTITION BY shard
+                         ORDER BY chunk_id ROWS UNBOUNDED PRECEDING)
+                       - n_chunk_tokens) / 2048) AS BIGINT) AS bin_id
+    FROM ch
+"""
+
 
 QUERIES: dict[str, QueryFn] = {
     "scan_parquet": q_scan_parquet,
@@ -4001,6 +4074,7 @@ QUERIES: dict[str, QueryFn] = {
     "robust_outliers": q_robust_outliers,
     "from_csv_extract": q_from_csv_extract,
     "decimal_aggregates": q_decimal_aggregates,
+    "corpus_pipeline": q_corpus_pipeline,
     "xml_extract": q_xml_extract,
     "map_functions": q_map_functions,
     "try_functions": q_try_functions,
