@@ -124,6 +124,7 @@ HEADLINE = [
     "xml_extract",
     "decimal_aggregates",
     "corpus_pipeline",
+    "sql_parameterized",
 ]
 
 

@@ -981,6 +981,25 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (Spark 4 named-parameter binding): the
+    injection-safe template shape every SQL front-end should use —
+    values bind as typed parameters (:floor, :status), never string
+    interpolation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM v_orders
+        WHERE o_totalprice > :floor AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"floor": 250000.0, "status": "O"},
+    )
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation, one oracle-checked chain:
     curation gates (quality+language+repetition, PII-redacted survivors)
@@ -2807,6 +2826,14 @@ ORACLE_SQL: dict[str, str] = {
                  AS arr_at_line
         FROM lineitem WHERE l_orderkey < 2000
     """,
+    "sql_parameterized": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice > 250000.0 AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
     "decimal_aggregates": """
         WITH d AS (
           SELECT o_orderstatus,
@@ -4075,6 +4102,7 @@ QUERIES: dict[str, QueryFn] = {
     "from_csv_extract": q_from_csv_extract,
     "decimal_aggregates": q_decimal_aggregates,
     "corpus_pipeline": q_corpus_pipeline,
+    "sql_parameterized": q_sql_parameterized,
     "xml_extract": q_xml_extract,
     "map_functions": q_map_functions,
     "try_functions": q_try_functions,

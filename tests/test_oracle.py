@@ -98,3 +98,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_partitioning_invariance_battery(spark):
+    """Determinism under re-partitioning, asserted across the contract:
+    every 4th oracle query (by sorted key — a rotating quarter of the
+    surface) must return identical rows at sf0.001 with shuffle
+    parallelism forced to 3.  Catches any operator whose output order
+    dependence leaks into VALUES (window ties, collect_list without
+    sort, first() without ordering)."""
+    sf = "/root/testdata/sf0.001"
+    keys = sorted(ORACLE_SQL)[::4]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baseline = {k: _canon(QUERIES[k](spark, sf).toPandas()) for k in keys}
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for k in keys:
+            again = _canon(QUERIES[k](spark, sf).toPandas())
+            assert again == baseline[k], f"{k}: result depends on partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
