@@ -125,6 +125,7 @@ HEADLINE = [
     "decimal_aggregates",
     "corpus_pipeline",
     "sql_parameterized",
+    "rare_token_stats",
 ]
 
 

@@ -981,6 +981,37 @@ def q_try_functions(spark, sf_dir):
     )
 
 
+def q_rare_token_stats(spark, sf_dir):
+    """Corpus-statistics quality signal without a language model: the
+    fraction of each document's tokens that are globally rare (corpus
+    count <= 2) — the integer-exact stand-in for LM-perplexity filtering
+    (high rare-token mass = OOV garbage, mojibake, boilerplate IDs).
+    Deliberately log-free: ln() differs in the last ulp across libm
+    implementations (SURVEY §9 determinism rules); integer count ratios
+    hash-match anywhere.  Two shuffles: global token counts (map-side
+    partial), then a token-level join back — both keyed on the token,
+    AQE-skew-safe for stopword-heavy keys."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    j = toks.join(vocab, "tok")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+        .withColumn(
+            "rare_frac",
+            F.round(F.col("n_rare") / F.col("n_tokens"), 6),
+        )
+    )
+
+
 def q_sql_parameterized(spark, sf_dir):
     """Parameterized SQL (Spark 4 named-parameter binding): the
     injection-safe template shape every SQL front-end should use —
@@ -2826,6 +2857,23 @@ ORACLE_SQL: dict[str, str] = {
                  AS arr_at_line
         FROM lineitem WHERE l_orderkey < 2000
     """,
+    "rare_token_stats": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY tok
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rare,
+               round(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS rare_frac
+        FROM toks JOIN vocab USING (tok)
+        GROUP BY doc_id
+    """,
     "sql_parameterized": """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
@@ -4103,6 +4151,7 @@ QUERIES: dict[str, QueryFn] = {
     "decimal_aggregates": q_decimal_aggregates,
     "corpus_pipeline": q_corpus_pipeline,
     "sql_parameterized": q_sql_parameterized,
+    "rare_token_stats": q_rare_token_stats,
     "xml_extract": q_xml_extract,
     "map_functions": q_map_functions,
     "try_functions": q_try_functions,

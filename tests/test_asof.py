@@ -212,3 +212,27 @@ def test_bucketed_range_join_property(spark):
         assert got == ref
 
     check()
+
+
+def test_bucketed_range_join_rejects_bad_args(spark):
+    import pytest
+
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    facts, dims = _range_fixtures(spark)
+    with pytest.raises(ValueError, match="bucket_width"):
+        bucketed_range_join(facts, dims, "v", "lo", "hi", bucket_width=0)
+    with pytest.raises(ValueError, match="how"):
+        bucketed_range_join(
+            facts, dims, "v", "lo", "hi", bucket_width=1.0, how="left"
+        )
+
+
+def test_bucketed_range_join_empty_sides(spark):
+    from parquet_merger_spark.operators.rangejoin import bucketed_range_join
+
+    facts, dims = _range_fixtures(spark)
+    no_facts = facts.filter("fact_id < 0")
+    no_dims = dims.filter("band < 0")
+    assert bucketed_range_join(no_facts, dims, "v", "lo", "hi", 4.0).count() == 0
+    assert bucketed_range_join(facts, no_dims, "v", "lo", "hi", 4.0).count() == 0

@@ -453,3 +453,15 @@ def test_persisted_pq_index_roundtrip(spark, embeddings, tmp_path):
         ).collect()
     }
     assert from_index == direct
+
+
+def test_pq_training_rejects_empty_and_bad_dims(spark, embeddings):
+    import pytest
+
+    from parquet_merger_spark.operators.simsearch import train_pq_codebooks
+
+    empty = embeddings.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_pq_codebooks(empty, m=8, n_codes=4)
+    with pytest.raises(AssertionError, match="divide"):
+        train_pq_codebooks(embeddings, m=7, n_codes=4)  # 64 % 7 != 0
