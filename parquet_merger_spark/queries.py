@@ -1052,8 +1052,10 @@ def q_corpus_pipeline(spark, sf_dir):
         "doc_id", F.col("text_redacted").alias("text")
     )
     chunks = chunk_documents(curated, chunk_tokens=64, overlap=8)
+    # packing needs one total-order key; 1e6 chunks/doc (~56M tokens at
+    # step 56) bounds any real document, so the composite never collides
     ch = chunks.withColumn(
-        "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx")
+        "chunk_id", F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
     ).withColumn("shard", (F.col("doc_id") % 8).cast("long"))
     packed = pack_sequences(
         ch,
@@ -4070,7 +4072,7 @@ ORACLE_SQL["corpus_pipeline"] = f"""
       FROM s JOIN t ON s.doc_id = t.doc_id
     ),
     ch AS (
-      SELECT *, doc_id * 1000 + chunk_idx AS chunk_id,
+      SELECT *, doc_id * 1000000 + chunk_idx AS chunk_id,
              doc_id % 8 AS shard
       FROM chunks
     )
