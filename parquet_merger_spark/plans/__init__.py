@@ -10,6 +10,7 @@ from parquet_merger_spark.plans.planner import (
     remove_completed,
     smart_batch,
 )
+from parquet_merger_spark.plans.audit import assert_scalable, plan_digest
 
 __all__ = [
     "schemas_compatible",
@@ -17,7 +18,9 @@ __all__ = [
     "check_schema_mismatch",
     "MergePlan",
     "SelectionSet",
+    "assert_scalable",
     "plan_batch",
+    "plan_digest",
     "remove_completed",
     "smart_batch",
 ]

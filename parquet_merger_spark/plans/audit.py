@@ -1,0 +1,87 @@
+"""Physical-plan digests: the scale-review checklist as code.
+
+The round-4 audit (SURVEY §10) walked every headline plan counting the
+node kinds that predict 100 TB behavior — shuffles, nested-loop joins,
+Python eval boundaries, codegen spans.  This module ships that walk as a
+reusable API so pipelines can pin their plan shape in tests
+(``assert_scalable``) instead of discovering a regression in a
+production bill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# node markers in Spark's explain output worth counting; each maps to a
+# scale question ("how many times does the data cross the wire / leave
+# the JVM / get compared all-pairs?")
+_MARKERS = {
+    "hash_exchanges": "Exchange hashpartitioning",
+    "range_exchanges": "Exchange rangepartitioning",
+    "single_partition_exchanges": "Exchange SinglePartition",
+    "broadcast_exchanges": "BroadcastExchange",
+    "broadcast_nested_loop_joins": "BroadcastNestedLoopJoin",
+    "cartesian_products": "CartesianProduct",
+    "sort_merge_joins": "SortMergeJoin",
+    "broadcast_hash_joins": "BroadcastHashJoin",
+    "python_evals": "ArrowEvalPython",
+    "map_in_pandas": "MapInPandas",
+    "grouped_pandas": "FlatMapGroupsInPandas",
+    "whole_stage_codegen": "WholeStageCodegen",
+}
+
+
+def _explain(df: DataFrame, mode: str = "simple") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def plan_digest(df: DataFrame) -> dict[str, int]:
+    """Counts of scale-relevant physical nodes in ``df``'s plan."""
+    plan = _explain(df)
+    return {name: plan.count(marker) for name, marker in _MARKERS.items()}
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_hash_exchanges: int | None = None,
+    allow_nested_loop: bool = False,
+    allow_python: bool = True,
+    allow_single_partition: bool = False,
+) -> dict[str, int]:
+    """Raise AssertionError (with the offending counts) when the plan
+    crosses a scale red line; returns the digest when it passes.
+
+    Red lines: CartesianProduct is never acceptable; nested-loop joins
+    only when the caller vouches the broadcast side is model-tiny;
+    Exchange SinglePartition means a one-task global funnel (the
+    no-partition-window pathology); an optional shuffle budget catches
+    join-chain regressions.
+    """
+    d = plan_digest(df)
+    problems = []
+    if d["cartesian_products"]:
+        problems.append(f"{d['cartesian_products']} CartesianProduct node(s)")
+    if not allow_nested_loop and d["broadcast_nested_loop_joins"]:
+        problems.append(
+            f"{d['broadcast_nested_loop_joins']} BroadcastNestedLoopJoin node(s)"
+        )
+    if not allow_single_partition and d["single_partition_exchanges"]:
+        problems.append(
+            f"{d['single_partition_exchanges']} Exchange SinglePartition node(s)"
+        )
+    if not allow_python and (
+        d["python_evals"] or d["map_in_pandas"] or d["grouped_pandas"]
+    ):
+        problems.append("Python eval node(s) in a JVM-only plan")
+    if max_hash_exchanges is not None and d["hash_exchanges"] > max_hash_exchanges:
+        problems.append(
+            f"{d['hash_exchanges']} hash exchanges > budget {max_hash_exchanges}"
+        )
+    if problems:
+        raise AssertionError(
+            "plan fails scale review: " + "; ".join(problems) + f"\ndigest={d}"
+        )
+    return d

@@ -246,3 +246,28 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_plan_digest_and_assert_scalable(spark):
+    """The audit API: digests count what the explain shows; the red-line
+    assert passes healthy plans, fails cartesian/global-funnel ones with
+    the counts in the message."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.plans.audit import assert_scalable, plan_digest
+    from parquet_merger_spark.queries import QUERIES
+
+    healthy = QUERIES["pricing_summary"](spark, SF_DIR)
+    d = assert_scalable(healthy, max_hash_exchanges=2)
+    assert d["cartesian_products"] == 0 and d["hash_exchanges"] >= 1
+
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    cart = a.join(b, F.col("id") < F.col("id2"))  # non-equi -> nested loop
+    with pytest.raises(AssertionError, match="NestedLoop|Cartesian"):
+        assert_scalable(cart)
+
+    funnel = spark.range(1000).orderBy("id").limit(10**9)  # global sort shape
+    dd = plan_digest(funnel)
+    assert isinstance(dd, dict) and set(dd) >= {"hash_exchanges"}
