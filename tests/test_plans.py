@@ -271,3 +271,45 @@ def test_plan_digest_and_assert_scalable(spark):
     funnel = spark.range(1000).orderBy("id").limit(10**9)  # global sort shape
     dd = plan_digest(funnel)
     assert isinstance(dd, dict) and set(dd) >= {"hash_exchanges"}
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# the broadcast side is model-tiny BY CONSTRUCTION (GEMM block-pair
+# tables, a 1-row tf-idf doc count, the 4-row band dim, the 1-row PQ
+# codebook, the broadcast query side of an exact top-k).
+_BNLJ_VOUCHED = {
+    "dedup_embedding_cosine",
+    "simsearch_topk",
+    "knn_graph",
+    "text_tfidf",
+    "value_band_stats",
+    "simsearch_pq",
+}
+# Single-partition exchanges that are the FINAL step of a global scalar
+# aggregate (a handful of partial rows, not data): corpus-wide counts
+# and sufficient-statistics reductions.
+_SINGLE_VOUCHED = {
+    "text_tfidf",
+    "profile_table",
+    "data_quality_report",
+    "corr_matrix",
+}
+
+
+def test_headline_plans_pass_scale_review(spark):
+    """SURVEY §10 pinned: every headline plan is free of cartesian
+    products, and nested-loop joins / single-partition exchanges appear
+    only where a tiny model side or a global-scalar reduction vouches
+    for them.  A new query that regresses plan shape fails here with
+    its digest."""
+    import bench
+    from parquet_merger_spark.plans.audit import assert_scalable
+    from parquet_merger_spark.queries import QUERIES
+
+    for name in bench.HEADLINE:
+        df = QUERIES[name](spark, SF_DIR)
+        assert_scalable(
+            df,
+            allow_nested_loop=name in _BNLJ_VOUCHED,
+            allow_single_partition=name in _SINGLE_VOUCHED,
+        )
