@@ -27,7 +27,6 @@ _MARKERS = {
     "python_evals": "ArrowEvalPython",
     "map_in_pandas": "MapInPandas",
     "grouped_pandas": "FlatMapGroupsInPandas",
-    "whole_stage_codegen": "WholeStageCodegen",
 }
 
 
@@ -39,9 +38,31 @@ def _explain(df: DataFrame, mode: str = "simple") -> str:
 
 
 def plan_digest(df: DataFrame) -> dict[str, int]:
-    """Counts of scale-relevant physical nodes in ``df``'s plan."""
+    """Counts of scale-relevant physical nodes in ``df``'s plan.
+
+    ``whole_stage_codegen`` counts DISTINCT codegen span ids from the
+    simple-mode ``*(n)`` node prefixes (the literal ``WholeStageCodegen``
+    node name only appears in formatted mode, so matching it against
+    simple output would always read 0).
+
+    AQE caveat: for an un-executed frame this digests the INITIAL plan
+    (``isFinalPlan=false``).  Two consequences: (a) adaptive re-planning
+    (skew-join splits, shuffle coalescing, SMJ→BHJ demotion) can change
+    the runtime-final node mix — the red lines below are conservative
+    under AQE, which removes exchanges and downgrades joins but never
+    introduces CartesianProduct or SinglePartition funnels; (b) codegen
+    spans are assigned per query-stage AT RUNTIME under AQE, so
+    ``whole_stage_codegen`` reads 0 on an adaptive initial plan in every
+    explain mode — the field is meaningful only with
+    ``spark.sql.adaptive.enabled=false`` (how the codegen-width tests
+    use it) or on a post-execution final plan.
+    """
+    import re
+
     plan = _explain(df)
-    return {name: plan.count(marker) for name, marker in _MARKERS.items()}
+    d = {name: plan.count(marker) for name, marker in _MARKERS.items()}
+    d["whole_stage_codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    return d
 
 
 def assert_scalable(

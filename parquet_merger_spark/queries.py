@@ -1177,7 +1177,12 @@ def q_robust_outliers(spark, sf_dir):
         F.lit(0.6745) * F.col("absdev2").cast("double") / F.col("mad2"), 6
     )
     return (
-        j.withColumn("mz", mz)
+        # MAD=0 groups (>=50% of values identical) are excluded in BOTH
+        # engines: Spark double division would yield Infinity while
+        # DuckDB's zero-division behavior varies by version — the guard
+        # keeps the differential contract on degenerate-but-plausible data
+        j.filter(F.col("mad2") > 0)
+        .withColumn("mz", mz)
         .filter(F.col("mz") > 3.5)
         .select("event_id", "event_type", "value", "mz")
     )
@@ -2933,7 +2938,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, event_type, value,
                round(0.6745 * absdev2 / mad2, 6) AS mz
         FROM dev JOIN mad USING (event_type)
-        WHERE round(0.6745 * absdev2 / mad2, 6) > 3.5
+        WHERE mad2 > 0 AND round(0.6745 * absdev2 / mad2, 6) > 3.5
     """,
     "grouping_sets_revenue": """
         SELECT o_orderstatus, o_orderpriority,

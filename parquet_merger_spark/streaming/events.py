@@ -553,23 +553,83 @@ def stream_near_dedup_to_table(
     Exactly-once: checkpointed source offsets + idempotent apply (both
     sinks are keyed by ``batch_id``; a replayed batch overwrites its own
     survivor directory and bucket version, and the ``_CURRENT`` manifest
-    swaps atomically, last).  At 100 TB the bucket table's
-    rewrite-per-batch becomes a MERGE into a key-value/Delta table; the
-    batch body's joins are unchanged.
+    swaps atomically, last).  Replay safety requires that the batch body
+    NEVER read ``_CURRENT``: a crash after the bucket write but before the
+    checkpoint commit leaves ``_CURRENT`` pointing at the batch's OWN
+    version, so a _CURRENT-based replay would see every survivor as a
+    duplicate and overwrite the survivor directory empty.  Instead
+    ``seen`` is derived from the newest bucket version with numeric id
+    strictly less than ``batch_id`` (versions are batch-addressed and
+    zero-pad sortable); ``_CURRENT`` exists only for readers.  At 100 TB
+    the bucket table's rewrite-per-batch becomes a MERGE into a
+    key-value/Delta table; the batch body's joins are unchanged.
     """
+    import json
     import os
-
-    from parquet_merger_spark.operators.dedup import (
-        lsh_band_buckets,
-        minhash_signatures,
-        tokens_col,
-    )
 
     schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(docs_dir)
+    )
+
+    # persist the docs schema so readers can produce a typed empty frame
+    # before the first batch completes
+    os.makedirs(table_dir, exist_ok=True)
+    with open(os.path.join(table_dir, "_SCHEMA"), "w") as fh:
+        fh.write(json.dumps(schema.jsonValue()))
+
+    apply_fn = near_dedup_batch_apply(
+        table_dir,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_words=shingle_words,
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _latest_bucket_version_before(buckets_dir: str, batch_id: int) -> str | None:
+    """Newest bucket version directory with numeric id STRICTLY below
+    ``batch_id`` — the replay-safe definition of "what earlier batches
+    claimed".  Never consults ``_CURRENT`` (see idempotency note in
+    :func:`stream_near_dedup_to_table`)."""
+    import os
+
+    if not os.path.isdir(buckets_dir):
+        return None
+    prior = [
+        d
+        for d in os.listdir(buckets_dir)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+    ]
+    return max(prior) if prior else None
+
+
+def near_dedup_batch_apply(
+    table_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 2,
+):
+    """Build the per-micro-batch body of the streaming near-dedup as a
+    standalone ``(batch_df, batch_id) -> None`` callable.  Exposed at
+    module level so replay idempotency is directly testable: calling it
+    twice with the same ``batch_id`` must produce identical survivors."""
+    import os
+
+    from parquet_merger_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures,
+        tokens_col,
     )
 
     buckets_dir = os.path.join(table_dir, "buckets")
@@ -585,12 +645,11 @@ def stream_near_dedup_to_table(
         )
         buckets = lsh_band_buckets(sigs, id_col, num_hashes, bands)
 
-        manifest = os.path.join(buckets_dir, "_CURRENT")
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                seen = sess.read.parquet(
-                    os.path.join(buckets_dir, fh.read().strip())
-                )
+        # replay-safe: newest version strictly older than this batch, so a
+        # replayed batch never reads (and then clobbers) its own output
+        prior = _latest_bucket_version_before(buckets_dir, batch_id)
+        if prior is not None:
+            seen = sess.read.parquet(os.path.join(buckets_dir, prior))
         else:
             seen = sess.createDataFrame([], "band int, bucket long")
 
@@ -623,26 +682,40 @@ def stream_near_dedup_to_table(
         new_seen.write.mode("overwrite").parquet(
             os.path.join(buckets_dir, version)
         )
+        manifest = os.path.join(buckets_dir, "_CURRENT")
         with open(manifest + ".tmp", "w") as fh:
             fh.write(version)
         os.replace(manifest + ".tmp", manifest)
 
-    return (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return _apply
 
 
 def read_near_dedup_survivors(spark: SparkSession, table_dir: str) -> DataFrame:
     """All accepted (novel) documents so far: union of the per-batch
-    survivor directories."""
+    survivor directories.  Before the first batch completes (missing or
+    empty ``survivors/``) this returns an EMPTY frame with the docs
+    schema persisted at table creation (``_SCHEMA``) rather than raising."""
+    import json
     import os
 
+    from pyspark.sql.types import StructType
+
     survivors_dir = os.path.join(table_dir, "survivors")
-    parts = sorted(
-        os.path.join(survivors_dir, d)
-        for d in os.listdir(survivors_dir)
-        if d.startswith("b")
+    parts = (
+        sorted(
+            os.path.join(survivors_dir, d)
+            for d in os.listdir(survivors_dir)
+            if d.startswith("b")
+        )
+        if os.path.isdir(survivors_dir)
+        else []
     )
-    return spark.read.parquet(*parts)
+    if parts:
+        return spark.read.parquet(*parts)
+    schema_file = os.path.join(table_dir, "_SCHEMA")
+    if os.path.exists(schema_file):
+        with open(schema_file) as fh:
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(fh.read()))
+            )
+    return spark.createDataFrame([], StructType([]))

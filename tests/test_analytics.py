@@ -95,3 +95,40 @@ def test_gapfill_locf_carries_and_flags(spark):
         (1, "2024-01-04", 40.0, True),
         (2, "2024-02-01", 7.0, True),  # single-day key: no synthesized rows
     ]
+
+
+def test_robust_outliers_mad_zero_group_matches_oracle(spark, tmp_path):
+    """A group where >=50% of values are identical has MAD=0: unguarded,
+    Spark's double division emits Infinity while DuckDB's zero-division
+    behavior is version-dependent — the guard must exclude such groups
+    identically in both engines (ADVICE r02)."""
+    import duckdb
+    import pandas as pd
+
+    from parquet_merger_spark.queries import ORACLE_SQL, q_robust_outliers
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = (
+        # 'const': 9 identical values + 1 extreme -> MAD=0 -> group excluded
+        [(i, ts, i, "const", 5.0, "{}") for i in range(9)]
+        + [(9, ts, 9, "const", 900.0, "{}")]
+        # 'var': a spread + one extreme -> flagged by the normal path
+        + [(100 + i, ts, i, "var", float(i), "{}") for i in range(20)]
+        + [(999, ts, 999, "var", 1000.0, "{}")]
+    )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    got = q_robust_outliers(spark, str(tmp_path)).toPandas()
+    assert not (got["event_type"] == "const").any(), got
+    assert 999 in set(got["event_id"])
+    assert not got["mz"].apply(lambda v: v != v or v == float("inf")).any()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    ddf = con.execute(ORACLE_SQL["robust_outliers"]).df()
+    con.close()
+    assert sorted(got["event_id"]) == sorted(ddf["event_id"])

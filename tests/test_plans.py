@@ -261,6 +261,18 @@ def test_plan_digest_and_assert_scalable(spark):
     healthy = QUERIES["pricing_summary"](spark, SF_DIR)
     d = assert_scalable(healthy, max_hash_exchanges=2)
     assert d["cartesian_products"] == 0 and d["hash_exchanges"] >= 1
+    # under AQE the initial plan carries no codegen spans (assigned per
+    # stage at runtime) — the field must read 0 there, and the true span
+    # count once adaptive planning is off (spans come from *(n) prefixes;
+    # the old literal 'WholeStageCodegen' match read 0 forever)
+    assert d["whole_stage_codegen"] == 0, d
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        d2 = plan_digest(QUERIES["pricing_summary"](spark, SF_DIR))
+        assert d2["whole_stage_codegen"] >= 1, d2
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
 
     a = spark.range(100)
     b = spark.range(100).withColumnRenamed("id", "id2")

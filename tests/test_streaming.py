@@ -501,3 +501,74 @@ def test_stream_near_dedup_admits_only_novel_docs(spark, tmp_path):
     # sanity on the semantics themselves
     assert {1, 2, 12, 22} <= kept
     assert 11 not in kept and 21 not in kept
+
+
+def test_stream_near_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash between the bucket
+    write and the checkpoint commit, the SAME (batch_df, batch_id) is
+    re-applied while ``_CURRENT`` already points at the crashed run's own
+    bucket version.  The batch body must dedup against strictly-earlier
+    versions only — a _CURRENT-based ``seen`` would flag every survivor
+    of the replayed batch as a duplicate of itself and silently overwrite
+    its survivor directory empty."""
+    import os
+
+    from parquet_merger_spark.streaming.events import (
+        near_dedup_batch_apply,
+        read_near_dedup_survivors,
+    )
+
+    table = str(tmp_path / "replay_table")
+    apply_fn = near_dedup_batch_apply(table)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the barn"),
+            (2, "unrelated second document about parquet file compaction jobs"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (11, "the quick brown fox jumps over the sleepy dog near the barn"),
+            (12, "entirely novel cooking text with garlic thyme and slow heat"),
+        ],
+        "doc_id long, text string",
+    )
+    apply_fn(b0, 0)
+    apply_fn(b1, 1)
+    first = {r.doc_id for r in read_near_dedup_survivors(spark, table).collect()}
+    assert {1, 2} <= first and 12 in first  # novel docs admitted
+    with open(os.path.join(table, "buckets", "_CURRENT")) as fh:
+        assert fh.read().strip() == "v" + "1".zfill(20)
+
+    # replay batch 1 — _CURRENT points at v1, the batch's own output
+    apply_fn(b1, 1)
+    again = {r.doc_id for r in read_near_dedup_survivors(spark, table).collect()}
+    assert again == first, (again, first)
+
+
+def test_read_near_dedup_survivors_before_first_batch(spark, tmp_path):
+    """A table with no completed batches yet reads as an EMPTY typed
+    frame (docs schema from _SCHEMA), not a FileNotFoundError."""
+    import json
+    import os
+
+    from parquet_merger_spark.streaming.events import read_near_dedup_survivors
+
+    # missing table dir entirely -> empty, schemaless
+    missing = str(tmp_path / "nowhere")
+    df = read_near_dedup_survivors(spark, missing)
+    assert df.count() == 0
+
+    # table dir with only the persisted schema -> empty WITH docs schema
+    table = str(tmp_path / "fresh_table")
+    os.makedirs(table)
+    schema = spark.createDataFrame(
+        [], "doc_id long, text string"
+    ).schema
+    with open(os.path.join(table, "_SCHEMA"), "w") as fh:
+        fh.write(json.dumps(schema.jsonValue()))
+    df = read_near_dedup_survivors(spark, table)
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "text"]
