@@ -95,6 +95,21 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _scratch_dir(spark: SparkSession, name: str) -> str:
+    """Scratch path for sink-then-read queries, unique PER SPARK
+    APPLICATION: two concurrent harness runs (distinct application ids)
+    can never race on each other's files, while repeated calls within one
+    session reuse-and-overwrite the same directory — disk stays bounded
+    and the determinism re-run reads its own fresh write."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pm_spark_{spark.sparkContext.applicationId}",
+        name,
+    )
+
+
 # --------------------------------------------------------------------------
 # Core parity queries (SURVEY §2.1-2.8)
 # --------------------------------------------------------------------------
@@ -610,7 +625,6 @@ def q_orc_roundtrip(spark, sf_dir):
     ORC with Spark's parallel directory writer, read it back, hash-match
     the untouched parquet source — certifying lossless type round-trip
     through the ORC reader/writer pair."""
-    import tempfile
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800).select(
         "o_orderkey",
@@ -618,7 +632,7 @@ def q_orc_roundtrip(spark, sf_dir):
         "o_totalprice",
         F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
     )
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_orc_roundtrip")
+    out = _scratch_dir(spark, "orc_roundtrip")
     o.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -2073,14 +2087,13 @@ def q_csv_roundtrip(spark, sf_dir):
     per task, no coalesce) and the read is a distributed CSV scan with a
     user schema — both sides scale with executors; schema inference is
     deliberately OFF (an inference pass re-reads the whole input)."""
-    import tempfile
 
     from parquet_merger_spark.operators.export import export_csv
 
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800).select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_csv_roundtrip")
+    out = _scratch_dir(spark, "csv_roundtrip")
     export_csv(o, out)
     back = spark.read.csv(
         out,
@@ -2125,10 +2138,9 @@ def q_jsonl_roundtrip(spark, sf_dir):
     rows as JSONL (Spark's parallel directory write), read back with an
     explicit schema (inference OFF — an inference pass re-reads the whole
     input), hash-compare against the untouched parquet source."""
-    import tempfile
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_jsonl_roundtrip")
+    out = _scratch_dir(spark, "jsonl_roundtrip")
     d.write.mode("overwrite").json(out)
     return spark.read.json(
         out, schema="doc_id long, text string, lang string, n_chars long"
@@ -2148,13 +2160,12 @@ def q_ingest_quarantine(spark, sf_dir):
     Spark's parallel text sink and the robust read is a distributed scan
     with a DECLARED schema (PERMISSIVE mode — no inference pass, no
     job-killing FAILFAST, no silent DROPMALFORMED)."""
-    import tempfile
 
     from parquet_merger_spark.sources.ingest import read_jsonl_robust
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_ingest_quarantine")
+    out = _scratch_dir(spark, "ingest_quarantine")
     d.select(
         F.when(F.col("doc_id") % 17 == 0, F.substring(line, 1, 9))
         .otherwise(line)
@@ -2172,10 +2183,9 @@ def q_merge_files_roundtrip(spark, sf_dir):
     semantics, return the merged frame.  Oracle-checked: the temp files
     are deterministic projections of nation, so DuckDB recomputes the
     expected intersection-union directly from the source table."""
-    import tempfile
 
     n = _t(spark, sf_dir, "nation")
-    base = os.path.join(tempfile.gettempdir(), "pm_spark_roundtrip")
+    base = _scratch_dir(spark, "roundtrip")
     p_a, p_b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
     n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").parquet(p_a)
     n.filter(F.col("n_regionkey") == 0).select("n_nationkey", "n_name").write.mode(
@@ -2245,13 +2255,12 @@ def q_zorder_scan(spark, sf_dir):
     (skipping must never change semantics); per-dimension pruning
     effectiveness is asserted in tests/test_stats.py."""
     import glob as _glob
-    import tempfile
 
     from parquet_merger_spark.operators.compaction import zorder_write
     from parquet_merger_spark.sources.stats import skipping_scan
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_zorder")
+    out = _scratch_dir(spark, "zorder")
     lo, hi, plo, phi = o.agg(
         F.min("o_custkey"), F.max("o_custkey"),
         F.min("o_totalprice"), F.max("o_totalprice"),
@@ -2331,12 +2340,11 @@ def q_schema_evolution_scan(spark, sf_dir):
     predates it.  The deliberate inverse of the reference's
     intersection-only contract (kept as a separate opt-in path).
     Oracle: DuckDB ``UNION ALL BY NAME`` over the same projections."""
-    import tempfile
 
     from parquet_merger_spark.operators.merge import merged_df_widen
 
     c = _t(spark, sf_dir, "customer")
-    base = os.path.join(tempfile.gettempdir(), "pm_spark_schema_evo")
+    base = _scratch_dir(spark, "schema_evo")
     p_a, p_b = os.path.join(base, "a.parquet"), os.path.join(base, "b.parquet")
     c.select("c_custkey", "c_name", "c_nationkey").write.mode("overwrite").parquet(p_a)
     c.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -2353,12 +2361,11 @@ def q_compact_small_files(spark, sf_dir):
     equality proves compaction preserves the exact row multiset.  File
     counts/sizes are asserted in tests/test_stats.py."""
     import glob as _glob
-    import tempfile
 
     from parquet_merger_spark.operators.compaction import compact_files
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    base = os.path.join(tempfile.gettempdir(), "pm_spark_compaction")
+    base = _scratch_dir(spark, "compaction")
     shattered = os.path.join(base, "shattered")
     d.repartition(32).write.mode("overwrite").parquet(shattered)
     paths = sorted(_glob.glob(os.path.join(shattered, "*.parquet")))
@@ -2377,7 +2384,6 @@ def q_file_stats(spark, sf_dir):
     The oracle recomputes the same stats from the raw data: hash equality
     certifies footer metadata == data reality."""
     import glob as _glob
-    import tempfile
 
     from parquet_merger_spark.sources.stats import parquet_footer_stats
 
@@ -2391,7 +2397,7 @@ def q_file_stats(spark, sf_dir):
             (F.col("o_orderkey") % 8).alias("bucket"),
         )
     )
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_file_stats")
+    out = _scratch_dir(spark, "file_stats")
     o.write.partitionBy("bucket").mode("overwrite").parquet(out)
     paths = sorted(_glob.glob(os.path.join(out, "bucket=*", "*.parquet")))
     stats = parquet_footer_stats(spark, paths, "price")
@@ -2416,12 +2422,11 @@ def q_skipping_scan(spark, sf_dir):
     the manifest before reading.  Result is provably identical to the
     unpruned filter (the oracle computes exactly that); the pruning
     itself (2 of 8 files read) is asserted in tests/test_stats.py."""
-    import tempfile
 
     from parquet_merger_spark.sources.stats import skipping_scan
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    out = os.path.join(tempfile.gettempdir(), "pm_spark_skipping_scan")
+    out = _scratch_dir(spark, "skipping_scan")
     (
         o.repartitionByRange(8, "o_orderkey")
         .sortWithinPartitions("o_orderkey")

@@ -1,0 +1,44 @@
+"""Merge every per-round driver correctness report into CORRECTNESS_cum.json.
+
+The driver samples a subset of contract keys per round, so no single
+CORRECTNESS_r{N}.json shows full coverage; this tool folds all rounds into
+one auditable map  key -> {latest result fields..., "round": "rNN"}  taking
+each key's MOST RECENT appearance (later rounds override earlier ones).
+Run from the repo root after each round:  python tools/correctness_cum.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def merge(repo_root: str) -> dict:
+    cum: dict[str, dict] = {}
+    paths = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+    for path in paths:
+        m = re.search(r"CORRECTNESS_(r\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as fh:
+            report = json.load(fh)
+        for key, row in report.items():
+            cum[key] = {**row, "round": m.group(1)}
+    return dict(sorted(cum.items()))
+
+
+if __name__ == "__main__":
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cum = merge(root)
+    out = os.path.join(root, "CORRECTNESS_cum.json")
+    with open(out, "w") as fh:
+        json.dump(cum, fh, indent=2)
+    greens = sum(
+        1
+        for r in cum.values()
+        if r.get("rows_match") and r.get("err") is None
+    )
+    print(f"{out}: {len(cum)} keys, {greens} green", file=sys.stderr)
