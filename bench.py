@@ -129,6 +129,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "decontaminate",
+    # build+probe on first call (the committed local artifact shows the
+    # steady-state probe is ~1s; the delta is the one-time index build)
+    "decontaminate_indexed",
     "simsearch_topk",
     "simsearch_ivf",
     "simsearch_pq",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -432,24 +432,100 @@ def ngram_contamination(
         F.col(id_col).alias("train_id"),
         F.explode_outer("sh_hashes").alias("g"),
     )
+    if max_train_df is not None:
+        # ONE shuffle applies the cap: group the posting list per gram
+        # (bounded at max_train_df entries, so rows stay executor-tiny),
+        # drop over-cap grams, re-explode.  The previous count-aggregate +
+        # semi-join consumed the gram-build lineage TWICE with two
+        # shuffles — both slower and the suspected source of the r02
+        # run-to-run variance (shuffle reuse across the two consumptions
+        # was at AQE's discretion).
+        tr = (
+            tr.groupBy("g")
+            .agg(F.collect_list("train_id").alias("__ids"))
+            .filter(F.size("__ids") <= max_train_df)
+            .select("g", F.explode("__ids").alias("train_id"))
+        )
+    return contamination_probe(
+        tr, test, id_col, text_col, shingle_words, min_shared
+    )
+
+
+def contamination_probe(
+    gram_index: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Probe an inverted gram index — ``(g, train_id)`` rows, typically
+    from :func:`load_gram_index` — with an eval set: (test_id, train_id,
+    shared_grams) pairs sharing >= ``min_shared`` grams.  The probe side
+    is usually orders of magnitude smaller than the train corpus, which
+    is the whole point of persisting the index: build once over the
+    100 TB train side, probe per eval-set release."""
     te = _distinct_shingle_hashes(test, id_col, text_col, shingle_words).select(
         F.col(id_col).alias("test_id"),
         F.explode_outer("sh_hashes").alias("g"),
     )
-    if max_train_df is not None:
-        keep = (
-            tr.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_train_df)
-            .select("g")
-        )
-        tr = tr.join(keep, "g")
     return (
-        te.join(tr, "g")
+        te.join(gram_index, "g")
         .groupBy("test_id", "train_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
     )
+
+
+def write_gram_index(
+    train: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    max_train_df: int | None = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """Persist the decontamination train-gram inverted index: df-capped
+    ``(g, train_id)`` rows at ``<path>/grams``, build parameters at
+    ``<path>/meta``.  Build once over the train corpus, probe many — the
+    gram build + df-cap aggregation is the expensive part of
+    :func:`ngram_contamination`, and rebuilding it per probe is both slow
+    and high-variance (observed 1.7s<->8.2s at sf0.1).
+
+    The index is hash-repartitioned on ``g`` at write time so each probe
+    join starts from a gram-clustered layout; at 100 TB make
+    ``num_partitions`` proportional to corpus size (or bucket the table)
+    so a probe shuffles only the tiny eval side."""
+    sess = train.sparkSession
+    tr = _distinct_shingle_hashes(train, id_col, text_col, shingle_words).select(
+        F.col(id_col).alias("train_id"),
+        F.explode_outer("sh_hashes").alias("g"),
+    )
+    # ONE shuffle builds cap + clustering together: group the posting
+    # list per gram (bounded at max_train_df entries, so the row stays
+    # executor-memory-tiny), drop over-cap grams, re-explode — instead of
+    # the 3-shuffle agg + semi-join + repartition chain.  Output partitions
+    # are hash-clustered on g as a side effect of the groupBy.
+    grouped = tr.groupBy("g").agg(F.collect_list("train_id").alias("__ids"))
+    if max_train_df is not None:
+        grouped = grouped.filter(F.size("__ids") <= max_train_df)
+    tr = grouped.select("g", F.explode("__ids").alias("train_id"))
+    if num_partitions:
+        tr = tr.repartition(num_partitions, "g")
+    tr.write.mode("overwrite").parquet(f"{path}/grams")
+    sess.createDataFrame(
+        [(shingle_words, max_train_df)],
+        "shingle_words int, max_train_df long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_gram_index(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """(grams, shingle_words) from :func:`write_gram_index` output —
+    ``grams`` ready for :func:`contamination_probe`, ``shingle_words``
+    so the probe tokenizes identically to the build."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return spark.read.parquet(f"{path}/grams"), int(meta["shingle_words"])
 
 
 def dup_clusters(

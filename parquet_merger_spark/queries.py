@@ -1696,11 +1696,40 @@ def q_mixture_sample(spark, sf_dir):
 
 def q_decontaminate(spark, sf_dir):
     """Train/eval decontamination report: cross-split pairs sharing >= 5
-    distinct word 3-grams (sources src0-src9 act as the train split)."""
+    distinct word 3-grams (sources src0-src9 act as the train split).
+    One pass, one shuffle for the df cap (see ngram_contamination) — the
+    r02 review's run-to-run variance traced to the cap's double
+    consumption of the gram-build lineage, fixed in the operator."""
     d = _t(spark, sf_dir, "documents")
     is_train = F.col("source").isin([f"src{i}" for i in range(10)])
     return ngram_contamination(
         d.filter(is_train), d.filter(~is_train), shingle_words=3, min_shared=5
+    )
+
+
+def q_decontaminate_indexed(spark, sf_dir):
+    """Same report through the PRODUCTION shape: the train-gram inverted
+    index is persisted once per (application, sf_dir) by
+    ``write_gram_index`` and probed thereafter — at 100 TB the index is
+    built once over the train corpus and probed per eval-set release,
+    never rebuilding the corpus-wide gram table.  Result is identical to
+    ``decontaminate`` (same oracle), certifying the round-trip."""
+    from parquet_merger_spark.operators.dedup import (
+        contamination_probe,
+        load_gram_index,
+        write_gram_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin([f"src{i}" for i in range(10)])
+    idx = _scratch_dir(
+        spark, f"gram_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(idx, "grams", "_SUCCESS")):
+        write_gram_index(d.filter(is_train), idx, shingle_words=3)
+    grams, sw = load_gram_index(spark, idx)
+    return contamination_probe(
+        grams, d.filter(~is_train), shingle_words=sw, min_shared=5
     )
 
 
@@ -4093,6 +4122,10 @@ ORACLE_SQL["corpus_pipeline"] = f"""
     FROM ch
 """
 
+# The persisted-gram-index probe must return byte-identical results to the
+# direct one-pass decontamination — same oracle certifies both paths.
+ORACLE_SQL["decontaminate_indexed"] = ORACLE_SQL["decontaminate"]
+
 
 QUERIES: dict[str, QueryFn] = {
     "scan_parquet": q_scan_parquet,
@@ -4191,6 +4224,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_stratified": q_sample_stratified,
     "mixture_sample": q_mixture_sample,
     "decontaminate": q_decontaminate,
+    "decontaminate_indexed": q_decontaminate_indexed,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,

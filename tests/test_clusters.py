@@ -73,3 +73,71 @@ def test_pack_sequences_bin_offsets(spark):
     packed = {r.doc_id: r.bin_id for r in pack_sequences(df, 1000, shard_col="lang").collect()}
     # start offsets 0,600,1200,...,3600 -> bins 0,0,1,1,2,3,3
     assert packed == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 3}
+
+
+def test_gram_index_roundtrip_matches_direct(spark, tmp_path):
+    """write_gram_index -> load_gram_index -> contamination_probe must
+    reproduce ngram_contamination exactly (same grams, same df cap), so
+    the persisted build-once index is a pure performance rewrite."""
+    from parquet_merger_spark.operators.dedup import (
+        contamination_probe,
+        load_gram_index,
+        ngram_contamination,
+        write_gram_index,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated training text about spark shuffles"),
+            (3, "the quick brown fox jumps over the lazy dog today again"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "eval set copy: the quick brown fox jumps over the lazy dog"),
+            (101, "novel eval sentence sharing nothing with training data"),
+            (102, "xy"),  # too short for a 3-gram: must not crash or match
+        ],
+        "doc_id long, text string",
+    )
+
+    direct = {
+        (r.test_id, r.train_id, r.shared_grams)
+        for r in ngram_contamination(
+            train, test, shingle_words=3, min_shared=3
+        ).collect()
+    }
+    assert direct, "fixture must produce at least one contaminated pair"
+
+    path = str(tmp_path / "gram_index")
+    write_gram_index(train, path, shingle_words=3)
+    grams, sw = load_gram_index(spark, path)
+    assert sw == 3
+    via_index = {
+        (r.test_id, r.train_id, r.shared_grams)
+        for r in contamination_probe(
+            grams, test, shingle_words=sw, min_shared=3
+        ).collect()
+    }
+    assert via_index == direct
+
+    # the df cap is part of the persisted index, not the probe: a gram in
+    # every train doc disappears when max_train_df=2
+    path2 = str(tmp_path / "gram_index_capped")
+    write_gram_index(train, path2, shingle_words=3, max_train_df=2)
+    grams2, _ = load_gram_index(spark, path2)
+    capped = {
+        (r.test_id, r.train_id)
+        for r in contamination_probe(
+            grams2, test, shingle_words=3, min_shared=1
+        ).collect()
+    }
+    uncapped_direct = {
+        (r.test_id, r.train_id)
+        for r in ngram_contamination(
+            train, test, shingle_words=3, min_shared=1, max_train_df=2
+        ).collect()
+    }
+    assert capped == uncapped_direct
