@@ -136,6 +136,7 @@ HEADLINE = [
     "simsearch_ivf",
     "simsearch_pq",
     "knn_graph",
+    "semdedup",
 ]
 
 

@@ -616,6 +616,68 @@ def near_dedup_survivors(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    rows_per_block: int = 4096,
+    max_iters: int = 50,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication over an embedding column — drop documents whose meaning,
+    not wording, duplicates another's.  Composition of the existing
+    primitives: kNN graph (:func:`~parquet_merger_spark.operators.
+    simsearch.knn_graph`) -> threshold edges at ``cosine >= threshold``
+    -> connected components (:func:`dup_clusters`) -> deterministic
+    smallest-id survivor per semantic cluster.
+
+    Returns one row PER INPUT ROW: ``(id_col, cluster_id, is_survivor)``
+    — singletons (no neighbor above threshold) are their own cluster and
+    always survive.  Downstream keeps ``is_survivor`` rows (or joins
+    cluster_id for per-cluster diversity sampling).
+
+    Tiers (inherited from knn_graph): ``block_col=None`` is the EXACT
+    tier — blocked integer GEMM, shuffle O(n*k*n_blocks), the
+    verification path the DuckDB oracle checks; pass ``block_col`` (an
+    IVF bucket from :func:`~parquet_merger_spark.operators.simsearch.
+    ivf_assign`, a shard) for the 100 TB path, where candidate pairs are
+    confined within blocks and recall is bounded in tests instead.
+
+    The threshold compares the ROUNDED cosine knn_graph emits (round 6)
+    so Spark and the SQL oracle make identical boundary decisions —
+    cosines are exact integer-grid dots, identical IEEE doubles in both
+    engines.
+    """
+    from parquet_merger_spark.operators.simsearch import knn_graph
+
+    g = knn_graph(
+        df,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        rows_per_block=rows_per_block,
+    )
+    pairs = g.filter(F.col("cosine") >= threshold).select(
+        F.col("id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    clusters = dup_clusters(pairs, max_iters=max_iters).withColumnRenamed(
+        "doc_id", "__cid"
+    )
+    out = df.select(F.col(id_col)).join(
+        clusters, F.col(id_col) == F.col("__cid"), "left"
+    )
+    resolved = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        resolved.alias("cluster_id"),
+        (resolved == F.col(id_col)).alias("is_survivor"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:

@@ -1925,6 +1925,18 @@ def q_knn_graph(spark, sf_dir):
     return knn_graph(e, k=5)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (exact tier): kNN graph (k=5) ->
+    cosine >= 0.4 edges -> connected components -> smallest-id survivor
+    per semantic cluster; one row per input vector with (cluster_id,
+    is_survivor).  The ANN tier (block_col-restricted kNN) is
+    recall-bounded in tests/test_recall.py instead of oracle-checked."""
+    from parquet_merger_spark.operators.dedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, threshold=0.4, k=5)
+
+
 def q_simsearch_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-10 — rows-only (deterministic
     kmeans-refined centroids; approximate by design).  nprobe=4/nlist=16 with
@@ -3616,6 +3628,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 5
     """,
+    "semdedup": f"""
+        WITH RECURSIVE q AS ({_QVIEW}),
+        scored AS (
+          SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(list_zip(a.qe, b.qe),
+                                              p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT)
+                   / (sqrt(a.q2) * sqrt(b.q2)) AS cosine
+          FROM q a CROSS JOIN q b WHERE a.vec_id <> b.vec_id
+        ), r AS (
+          SELECT id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        ),
+        pairs AS (
+          SELECT id AS id_a, neighbor_id AS id_b FROM r
+          WHERE rank <= 5 AND round(cosine, 6) >= 0.4
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT rr.a, e.b FROM reach rr JOIN edges e ON rr.b = e.a
+        ),
+        comp AS (
+          SELECT a AS vid, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT e.vec_id,
+               coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+               coalesce(c.cluster_id, e.vec_id) = e.vec_id AS is_survivor
+        FROM embeddings e LEFT JOIN comp c ON c.vid = e.vec_id
+    """,
     "text_token_stats": rf"""
         WITH s AS (
           SELECT doc_id, text,
@@ -4234,6 +4280,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "simsearch_topk": q_simsearch_topk,
     "knn_graph": q_knn_graph,
+    "semdedup": q_semdedup,
     "sketch_stats": q_sketch_stats,
     "simsearch_ivf": q_simsearch_ivf,
     "simsearch_pq": q_simsearch_pq,

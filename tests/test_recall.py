@@ -465,3 +465,36 @@ def test_pq_training_rejects_empty_and_bad_dims(spark, embeddings):
         train_pq_codebooks(empty, m=8, n_codes=4)
     with pytest.raises(AssertionError, match="divide"):
         train_pq_codebooks(embeddings, m=7, n_codes=4)  # 64 % 7 != 0
+
+
+def test_semdedup_exact_contract_and_ann_tier(embeddings):
+    """SemDeDup composition: one output row per input vector, survivor iff
+    cluster_id == own id, cluster label = component minimum, and exactly
+    one survivor per cluster.  ANN tier (block-restricted kNN): block
+    confinement can only UNDER-merge (drop cross-block edges), so its
+    survivor set must be a superset of the exact tier's, with duplicate
+    (non-survivor) detection recall bounded below."""
+    from parquet_merger_spark.operators.dedup import semdedup
+
+    exact = semdedup(embeddings, threshold=0.4, k=5).collect()
+    n = embeddings.count()
+    assert len(exact) == n
+    assert all((r.cluster_id == r.vec_id) == r.is_survivor for r in exact)
+    by_cluster: dict = {}
+    for r in exact:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members), "label is not the min id"
+        assert sum(m.is_survivor for m in members) == 1, "one survivor per cluster"
+    exact_dups = {r.vec_id for r in exact if not r.is_survivor}
+    assert exact_dups, "fixture must contain at least one semantic duplicate"
+
+    blocked = embeddings.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(2)))
+    ann = semdedup(blocked, threshold=0.4, k=5, block_col="blk").collect()
+    assert len(ann) == n
+    ann_dups = {r.vec_id for r in ann if not r.is_survivor}
+    assert ann_dups <= exact_dups, (
+        "block-restricted tier flagged a duplicate the exact tier keeps"
+    )
+    recall = len(ann_dups & exact_dups) / len(exact_dups)
+    assert recall >= 0.30, f"semdedup ANN duplicate recall {recall:.3f}"
