@@ -3,11 +3,13 @@ typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing here is real and tested: schemas, partitioning,
 UDF signatures, and batch shapes all work against genuine binary columns.
-The actual media decode is STUBBED — this container has no image/audio
-libraries — behind ``decode_image``/``decode_audio`` which raise
-``NotImplementedError``, with a deterministic header-parse fake
-(:func:`extract_payload_meta`) standing in so pipelines are end-to-end
-runnable.  Swapping the stub for PIL/libsndfile changes one function.
+Media decode is tiered: PIL when importable (not in this container), a
+PURE-PYTHON decoder for the formats stdlib can handle — 8-bit
+non-interlaced PNG via ``zlib`` (:func:`_parse_png`) and RIFF/WAVE PCM
+via ``struct`` (:func:`_parse_wav`) decode REAL pixels/samples — and a
+clearly-marked deterministic fake for everything else so pipelines stay
+total over mixed payload columns.  Swapping in a full decoder
+(PIL/libsndfile/ffmpeg) changes one ``decoder=`` argument.
 
 Scale notes: payloads stay columnar (parquet binary + Arrow transfer);
 ``mapInPandas`` streams record batches so a partition never fully
@@ -134,6 +136,156 @@ def _fake_image_decoder(raw: bytes, thumb_side: int):
     return h, w, 3, thumb
 
 
+def _parse_png(raw: bytes):
+    """Minimal PURE-PYTHON PNG decode — stdlib ``zlib`` only, no PIL:
+    8-bit greyscale / grey+alpha / RGB / RGBA, non-interlaced, all five
+    scanline filters (None/Sub/Up/Average/Paeth).  Returns ``(h, w,
+    rgb_array)`` with shape (h, w, 3) uint8, or None when the payload is
+    not a PNG this parser handles (the caller then falls back).
+
+    The per-byte unfilter loop is O(pixels) Python — fine for the
+    thumbnail-sized fixtures this container decodes; production swaps in
+    PIL via the same decoder slot and never reaches this path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = b""
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            if len(data) < 13:
+                return None
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if not w or not h or bit_depth != 8 or channels is None or interlace != 0:
+        return None
+    try:
+        dec = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(dec) < h * (stride + 1):
+        return None
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    recon = bytearray(h * stride)
+    bpp = channels
+    for r in range(h):
+        f = dec[r * (stride + 1)]
+        if f > 4:
+            return None
+        row = r * (stride + 1) + 1
+        ro = r * stride
+        for i in range(stride):
+            x = dec[row + i]
+            a = recon[ro + i - bpp] if i >= bpp else 0
+            b = recon[ro - stride + i] if r > 0 else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x + a
+            elif f == 2:
+                v = x + b
+            elif f == 3:
+                v = x + (a + b) // 2
+            else:
+                c = recon[ro - stride + i - bpp] if (r > 0 and i >= bpp) else 0
+                v = x + paeth(a, b, c)
+            recon[ro + i] = v & 0xFF
+    arr = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif channels == 2:  # grey + alpha: luminance only
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        rgb = arr[:, :, :3]
+    else:
+        rgb = arr
+    return h, w, rgb
+
+
+def _pure_png_decoder(thumb_side: int):
+    """Decoder slot implementation for PIL-free environments: REAL pixels
+    for 8-bit non-interlaced PNGs via :func:`_parse_png` (nearest-neighbor
+    thumbnail), the deterministic fake for everything else — so the
+    pipeline stays total over mixed payload columns."""
+    import numpy as np
+
+    def decode(raw: bytes, _side=thumb_side):
+        parsed = _parse_png(raw)
+        if parsed is None:
+            return _fake_image_decoder(raw, _side)
+        h, w, rgb = parsed
+        ys = (np.arange(_side) * h) // _side
+        xs = (np.arange(_side) * w) // _side
+        thumb = (
+            rgb[np.ix_(ys, xs)].astype(np.float32).reshape(-1) / 255.0
+        )
+        return h, w, 3, thumb
+
+    return decode
+
+
+def _parse_wav(raw: bytes):
+    """Minimal PURE-PYTHON RIFF/WAVE parser: PCM (format 1), 8- or 16-bit,
+    any channel count (downmixed by mean).  Returns ``(sample_rate,
+    n_samples, float32_wave)`` in [-1, 1], or None when not such a WAV."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (sz,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        chunk = raw[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt " and fmt is None:
+            fmt = chunk
+        elif cid == b"data" and data is None:
+            data = chunk
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or n_ch < 1 or bits not in (8, 16):
+        return None
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+        samples = (samples - 128.0) / 128.0
+    else:
+        n = len(data) // 2 * 2
+        samples = np.frombuffer(data[:n], dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        n = len(samples) // n_ch * n_ch
+        samples = samples[:n].reshape(-1, n_ch).mean(axis=1)
+    return int(rate), int(len(samples)), samples.astype(np.float32)
+
+
 def _try_pil_decoder(thumb_side: int):
     """Real decoder when PIL is importable (import-try gate; None here)."""
     try:
@@ -172,12 +324,15 @@ def decode_image(
     shape for media work: bounded per-batch memory, arbitrary input
     partitioning, Python libs isolated to the worker.  ``decoder(raw,
     thumb_side) -> (h, w, c, flat_float32)`` is pluggable; the default is
-    PIL when importable, else the clearly-marked deterministic fake
-    (:func:`_fake_image_decoder`) so pipelines stay runnable and testable
-    in media-lib-free environments (like this container)."""
+    PIL when importable, else the PURE-PYTHON PNG parser
+    (:func:`_parse_png` — real pixels for 8-bit non-interlaced PNGs,
+    stdlib zlib only), with the clearly-marked deterministic fake
+    (:func:`_fake_image_decoder`) covering payloads neither can decode,
+    so pipelines stay runnable and testable in media-lib-free
+    environments (like this container)."""
     import pandas as pd
 
-    dec = decoder or _try_pil_decoder(thumb_side) or _fake_image_decoder
+    dec = decoder or _try_pil_decoder(thumb_side) or _pure_png_decoder(thumb_side)
     out_schema = (
         f"{id_col} long, height int, width int, channels int, thumb array<float>"
     )
@@ -214,8 +369,10 @@ def decode_audio(
     """Decode audio payloads to (id, sample_rate, n_samples, waveform) —
     waveform is the first ``max_samples`` samples scaled to [-1, 1].
     Same pluggable-decoder / mapInPandas shape as :func:`decode_image`;
-    the default deterministic fake treats payload bytes as 8-bit PCM
-    (sample_rate 16000), so the plumbing runs end-to-end without
+    the default decodes REAL RIFF/WAVE PCM payloads via the pure-Python
+    parser (:func:`_parse_wav`, stdlib struct only) and falls back to the
+    deterministic fake (payload bytes as 8-bit PCM, sample_rate 16000)
+    for anything else, so the plumbing runs end-to-end without
     libsndfile/ffmpeg."""
     import numpy as np
     import pandas as pd
@@ -225,7 +382,14 @@ def decode_audio(
         wave = (src - 128.0) / 128.0
         return 16_000, len(raw), wave
 
-    dec = decoder or fake
+    def default(raw: bytes, _n=max_samples):
+        parsed = _parse_wav(raw)
+        if parsed is None:
+            return fake(raw)
+        sr, n, wave = parsed
+        return sr, n, wave[:_n]
+
+    dec = decoder or default
     out_schema = (
         f"{id_col} long, sample_rate int, n_samples long, waveform array<float>"
     )

@@ -221,3 +221,139 @@ def test_decode_to_ann_composition(spark):
 
     g2 = knn_graph(thumbs.repartition(11), k=3, id_col="doc_id", vec_col="thumb")
     assert sorted(map(tuple, rows)) == sorted(map(tuple, g2.collect()))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _make_png(raw, color_type: int, filters):
+    """Encode a REAL PNG from raw pixel rows (numpy (h, w, c) uint8) with a
+    chosen scanline filter per row — the encoder-side transform the parser
+    must invert."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = raw.shape
+    stride = w * c
+    flat = raw.reshape(h, stride).astype(np.int32)
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else cc
+
+    stream = bytearray()
+    for r, f in zip(range(h), filters):
+        stream.append(f)
+        for i in range(stride):
+            x = int(flat[r, i])
+            a = int(flat[r, i - c]) if i >= c else 0
+            b = int(flat[r - 1, i]) if r > 0 else 0
+            cc = int(flat[r - 1, i - c]) if (r > 0 and i >= c) else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:
+                v = x - paeth(a, b, cc)
+            stream.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_real_png_pixels(spark):
+    """A genuine PNG byte literal (built with stdlib zlib, all five
+    scanline filters across rows) decodes to its TRUE dimensions and
+    pixel values through the Spark pipeline — no PIL in this container,
+    so this certifies the pure-Python parser; a non-PNG payload in the
+    same column still takes the documented fake path."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import (
+        _parse_png,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _make_png(raw, color_type=2, filters=[0, 1, 2, 3, 4])
+
+    h, w, rgb = _parse_png(png)
+    assert (h, w) == (5, 4)
+    assert np.array_equal(rgb, raw), "filter inversion must be exact"
+
+    rows = [(1, bytearray(png)), (2, bytearray(b"not an image at all"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image(df, thumb_side=2).collect()}
+    assert (out[1].height, out[1].width, out[1].channels) == (5, 4, 3)
+    # nearest-neighbor thumb: rows {0, 2}, cols {0, 2} of the true pixels
+    expect = raw[np.ix_([0, 2], [0, 2])].astype(np.float32).reshape(-1) / 255.0
+    assert np.allclose(out[1].thumb, expect)
+    assert (out[2].height, out[2].width) == (1 + ord("n"), 1 + ord("o"))  # fake
+
+    # greyscale and RGBA variants decode through the same parser
+    grey = rng.integers(0, 256, size=(3, 3, 1), dtype=np.uint8)
+    gh, gw, grgb = _parse_png(_make_png(grey, color_type=0, filters=[0, 1, 4]))
+    assert (gh, gw) == (3, 3) and np.array_equal(grgb, np.repeat(grey, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    ah, aw, argb = _parse_png(_make_png(rgba, color_type=6, filters=[2, 3]))
+    assert (ah, aw) == (2, 2) and np.array_equal(argb, rgba[:, :, :3])
+
+
+def test_decode_audio_real_wav_samples(spark):
+    """A genuine RIFF/WAVE PCM payload decodes to its true sample rate,
+    downmixed sample count, and [-1,1] waveform; junk bytes still take
+    the documented 8-bit fake path."""
+    import struct
+
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import decode_audio
+
+    sr, samples = 8000, np.array([0, 16384, -16384, 32767, -32768, 0], dtype="<i2")
+    # stereo: L = samples, R = 0 -> downmix mean = samples/2
+    stereo = np.zeros(len(samples) * 2, dtype="<i2")
+    stereo[0::2] = samples
+    data = stereo.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    rows = [(1, bytearray(wav)), (2, bytearray(b"zz"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_audio(df, max_samples=4).collect()}
+    assert out[1].sample_rate == sr
+    assert out[1].n_samples == len(samples)
+    expect = (samples.astype(np.float32) / 32768.0 / 2.0)[:4]
+    assert np.allclose(out[1].waveform, expect)
+    assert out[2].sample_rate == 16_000  # fake path
