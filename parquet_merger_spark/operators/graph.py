@@ -43,6 +43,7 @@ def pagerank_int(
     src_col: str = "src",
     dst_col: str = "dst",
     assume_distinct: bool = False,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list; returns
     ``(vertex, rank_micro)`` after ``iterations`` power steps.
@@ -53,6 +54,15 @@ def pagerank_int(
     integer percentage so the damping multiply stays exact.  Pass
     ``assume_distinct=True`` when the caller already dedups edges — it
     elides a full shuffle of E.
+
+    ``broadcast_ranks`` (default) ships the O(V) rank/contribution
+    frames to every executor each pass, so the cached O(E) side NEVER
+    re-shuffles — per iteration: one map-side join over cached E, one
+    contribution aggregate (the only E-volume shuffle), one broadcast
+    join back onto the vertex set.  Set it False when V itself is too
+    big to broadcast (billions of vertices at 100 TB): the loop then
+    relies on co-partitioned shuffle joins — pre-bucket E and the rank
+    table on the vertex key so those joins stay exchange-free.
     """
     from pyspark.sql import Window
 
@@ -65,6 +75,10 @@ def pagerank_int(
     # re-runs the setup shuffles from the raw scan.  Degrees come from a
     # sort-free count window over src — ONE shuffle of E and no
     # edges-degrees self-join (the groupBy+join shape scans E twice).
+    # persist (not localCheckpoint) ON PURPOSE: the cached plan keeps its
+    # stats, so AQE still broadcasts the O(V) rank side of the loop join;
+    # checkpointing E here was measured SLOWER (forced materialization of
+    # the full edge frame) and starves the join planner of stats.
     # At memory pressure Spark spills the cache; at true 100 TB swap
     # persist for a checkpoint table.
     e_deg = e.withColumn(
@@ -78,23 +92,30 @@ def pagerank_int(
     )
     base = (100 - damping_pct) * SCALE // 100
 
-    ranks = vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
+    ranks = None  # uniform SCALE init, represented implicitly (see below)
+    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
-        # one shuffle per iteration (the contribution aggregate on dst);
-        # the rank join keys on the same vertex attribute the previous
-        # aggregate partitioned by, and O(V) rank frames fall under the
-        # AQE broadcast threshold long before edges stop fitting
-        contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.vertex)
-            .select(
+        # one E-volume shuffle per iteration (the contribution aggregate
+        # on dst); the rank sides are O(V) and broadcast by default (see
+        # docstring), so cached E stays put
+        if ranks is None:
+            # first pass: every rank is the constant SCALE, so the rank
+            # join folds to a projection over cached E — one broadcast
+            # and one join fewer
+            scored = e_deg.select(
+                F.col("dst").alias("vertex"),
+                F.expr(f"{SCALE}L div outdeg").alias("c"),
+            )
+        else:
+            scored = e_deg.join(
+                maybe_b(ranks), e_deg.src == ranks.vertex
+            ).select(
                 F.col("dst").alias("vertex"),
                 F.expr("rank_micro div outdeg").alias("c"),
             )
-            .groupBy("vertex")
-            .agg(F.sum("c").alias("s"))
-        )
+        contrib = scored.groupBy("vertex").agg(F.sum("c").alias("s"))
         ranks = (
-            vertices.join(contrib, "vertex", "left")
+            vertices.join(maybe_b(contrib), "vertex", "left")
             .select(
                 "vertex",
                 (
@@ -104,5 +125,14 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank_micro"),
             )
+            # Truncate lineage each pass: the r02 final plan unrolled all
+            # iterations (43 exchanges of repeated setup — executed jobs
+            # reused the cache, but the plan text defeated audits and
+            # re-optimized a tree that grows with the iteration count).
+            # Checkpointing the O(V) rank frame is cheap (~21k rows at
+            # sf0.1); under AQE the lazy checkpoint materializes when the
+            # loop builds the next pass, pulling the persisted invariants
+            # into cache on the first iteration.
+            .localCheckpoint(eager=False)
         )
     return ranks
