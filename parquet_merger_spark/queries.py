@@ -2174,6 +2174,60 @@ def q_upsert_orders(spark, sf_dir):
     return upsert_by_key(o, updates, ["o_orderkey"])
 
 
+def q_stream_upsert(spark, sf_dir):
+    """STREAMING keyed MERGE, driven end-to-end inside the contract: the
+    same refresh semantics as ``upsert_orders`` (same oracle) but applied
+    as a deterministic micro-batch SEQUENCE through
+    :func:`streaming.events.stream_upsert_to_table` — base table arrives
+    first, then the re-priced rows, then the new high-key rows, each as
+    its own foreachBatch MERGE into the versioned parquet table; the
+    result is the final ``_CURRENT`` table state.  Replay-deterministic:
+    scratch dirs are wiped per call, file mtimes pin micro-batch order,
+    and the update key sets are disjoint so sequential MERGE equals the
+    one-shot batch upsert the oracle computes."""
+    import shutil
+
+    from parquet_merger_spark.streaming.events import (
+        read_upsert_table,
+        stream_upsert_to_table,
+    )
+
+    base = _scratch_dir(spark, "stream_upsert")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
+    )
+    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    for i, batch in enumerate([o, repriced, fresh]):
+        d = os.path.join(base, f"stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(
+            f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        # the file source orders micro-batches by modification time
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    table = os.path.join(base, "table")
+    q = stream_upsert_to_table(
+        spark, src, table, os.path.join(base, "ckpt"), ["o_orderkey"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_upsert_table(spark, table)
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSON-lines sink + typed source round-trip: write 500 documents
     rows as JSONL (Spark's parallel directory write), read back with an
@@ -4172,6 +4226,11 @@ ORACLE_SQL["corpus_pipeline"] = f"""
 # direct one-pass decontamination — same oracle certifies both paths.
 ORACLE_SQL["decontaminate_indexed"] = ORACLE_SQL["decontaminate"]
 
+# The streaming MERGE replays the upsert as a micro-batch sequence with
+# disjoint update key sets, so the final table state must equal the
+# one-shot batch upsert — same oracle certifies the streaming path.
+ORACLE_SQL["stream_upsert"] = ORACLE_SQL["upsert_orders"]
+
 
 QUERIES: dict[str, QueryFn] = {
     "scan_parquet": q_scan_parquet,
@@ -4303,4 +4362,5 @@ QUERIES: dict[str, QueryFn] = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "ingest_quarantine": q_ingest_quarantine,
     "upsert_orders": q_upsert_orders,
+    "stream_upsert": q_stream_upsert,
 }
