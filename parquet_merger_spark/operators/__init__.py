@@ -16,6 +16,7 @@ from parquet_merger_spark.operators.incremental import upsert_by_key
 from parquet_merger_spark.operators.export import drop_internal_columns, export_csv
 from parquet_merger_spark.operators.merge import (
     BatchResult,
+    MergeProgress,
     merge_batches,
     merge_dataframes,
     merged_df,

@@ -196,6 +196,46 @@ class BatchResult:
         return self.error is None
 
 
+@dataclass
+class MergeProgress:
+    """Live merge progress — the Spark twin of the reference's
+    ``MergeProgress`` struct (src/main.rs:56-67), which its merge loop
+    updates per input file (:335-377).  Spark's unit of read parallelism
+    is the TASK (one per file split), so ``tasks_done/tasks_total`` over
+    the batch's job group is the faithful equivalent of the reference's
+    files_done/files_total; ``batches_done/batches_total`` mirrors its
+    outer batch counter.  Delivered from a sampling thread (status
+    tracker poll) while the write job runs, then once more with state
+    ``done``/``failed`` — unlike the reference, whose single-threaded UI
+    can't actually repaint until the merge returns."""
+
+    batch_name: str
+    state: str  # "running" | "done" | "failed"
+    tasks_total: int
+    tasks_done: int
+    batches_done: int
+    batches_total: int
+
+
+def _group_task_tallies(sc, group_id: str) -> tuple[int, int]:
+    """(total, completed) task counts over every stage of every job in a
+    job group — status-tracker sampling, no listener registration (the
+    py4j callback server is off by default in PySpark)."""
+    tracker = sc.statusTracker()
+    total = done = 0
+    for jid in tracker.getJobIdsForGroup(group_id):
+        ji = tracker.getJobInfo(jid)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = tracker.getStageInfo(sid)
+            if si is None:
+                continue
+            total += si.numTasks
+            done += si.numCompletedTasks
+    return total, done
+
+
 def merge_batches(
     spark: SparkSession,
     plans: list[MergePlan],
@@ -203,6 +243,8 @@ def merge_batches(
     single_file: bool = True,
     csv: bool = False,
     max_concurrency: int = 1,
+    progress=None,
+    progress_poll_sec: float = 0.2,
 ) -> list[BatchResult]:
     """Execute a list of merge plans into ``<output_dir>/merged/``.
 
@@ -214,7 +256,19 @@ def merge_batches(
     many small batches can't individually fill a cluster — overlapping
     them is the throughput lever when batch count >> batch size); results
     stay in plan order and per-batch isolation is unchanged.  The
-    reference is strictly serial (src/main.rs:331-403)."""
+    reference is strictly serial (src/main.rs:331-403).
+
+    ``progress`` (optional ``Callable[[MergeProgress], None]``) receives
+    LIVE per-batch updates while write jobs run — task tallies sampled
+    from the status tracker every ``progress_poll_sec`` — plus a terminal
+    ``done``/``failed`` event per batch (see :class:`MergeProgress`).
+    Each batch's jobs run under their own job group, so tallies are
+    per-batch even with concurrent batches; the callback fires from
+    worker threads and must be thread-safe when ``max_concurrency > 1``.
+    """
+    import threading
+    import uuid
+
     from concurrent.futures import ThreadPoolExecutor
 
     from parquet_merger_spark.operators.export import export_csv
@@ -222,9 +276,36 @@ def merge_batches(
     merged_dir = os.path.join(output_dir, "merged")
     os.makedirs(merged_dir, exist_ok=True)
 
+    sc = spark.sparkContext
+    total_batches = len(plans)
+    done_lock = threading.Lock()
+    done_count = [0]
+
     def run_one(plan: MergePlan) -> BatchResult:
         name = sanitize_filename(plan.name)
         out = os.path.join(merged_dir, name + ".parquet") if single_file else os.path.join(merged_dir, name)
+
+        gid = stop = poller = None
+        if progress is not None:
+            gid = f"pm-merge-{uuid.uuid4().hex[:12]}"
+            # job-group assignment is thread-local, so each pool worker
+            # tags only its own batch's jobs
+            sc.setJobGroup(gid, f"merge batch {plan.name}")
+            stop = threading.Event()
+
+            def poll() -> None:
+                while not stop.wait(progress_poll_sec):
+                    t, d = _group_task_tallies(sc, gid)
+                    with done_lock:
+                        bd = done_count[0]
+                    progress(
+                        MergeProgress(
+                            plan.name, "running", t, d, bd, total_batches
+                        )
+                    )
+
+            poller = threading.Thread(target=poll, daemon=True)
+            poller.start()
         try:
             df = merged_df(spark, plan.paths)
             rows = write_parquet(df, out, single_file=single_file)
@@ -234,9 +315,32 @@ def merge_batches(
                     os.path.join(merged_dir, name + ".csv"),
                     single_file=single_file,
                 )
-            return BatchResult(name=plan.name, output_path=out, rows=rows)
+            result = BatchResult(name=plan.name, output_path=out, rows=rows)
         except Exception as exc:  # isolate per-batch failure
-            return BatchResult(name=plan.name, output_path=None, rows=None, error=str(exc))
+            result = BatchResult(
+                name=plan.name, output_path=None, rows=None, error=str(exc)
+            )
+        finally:
+            if progress is not None:
+                stop.set()
+                poller.join()
+                sc.setLocalProperty("spark.jobGroup.id", None)
+        with done_lock:
+            done_count[0] += 1
+            bd = done_count[0]
+        if progress is not None:
+            t, d = _group_task_tallies(sc, gid)
+            progress(
+                MergeProgress(
+                    plan.name,
+                    "done" if result.ok else "failed",
+                    t,
+                    d,
+                    bd,
+                    total_batches,
+                )
+            )
+        return result
 
     if max_concurrency <= 1:
         return [run_one(p) for p in plans]

@@ -250,3 +250,40 @@ def test_merge_batches_concurrent_equals_serial(spark, tmp_path):
     for r in conc[:-1]:
         got = spark.read.parquet(r.output_path)
         assert got.count() == 100
+
+
+def test_merge_batches_live_progress(spark, fixture_dir, tmp_path):
+    """The progress hook (twin of the reference's MergeProgress struct,
+    src/main.rs:56-67) must deliver one terminal event per batch with
+    complete task tallies and a monotone batch counter; a failing batch
+    reports state 'failed'; any live samples stay within bounds."""
+    from parquet_merger_spark.operators.merge import merge_batches
+
+    _, f = fixture_dir
+    plans = [
+        MergePlan(name="good", paths=[f["compat_a"], f["compat_b"]]),
+        MergePlan(name="bad", paths=[f["no_common_a"], f["no_common_b"]]),
+    ]
+    events = []
+    results = merge_batches(
+        spark,
+        plans,
+        str(tmp_path),
+        single_file=True,
+        progress=events.append,
+        progress_poll_sec=0.05,
+    )
+    assert [r.ok for r in results] == [True, False]
+    finals = [e for e in events if e.state in ("done", "failed")]
+    assert [(e.batch_name, e.state) for e in finals] == [
+        ("good", "done"),
+        ("bad", "failed"),
+    ]
+    good = finals[0]
+    assert good.tasks_total > 0 and good.tasks_done == good.tasks_total
+    assert [e.batches_done for e in finals] == [1, 2]
+    assert all(e.batches_total == 2 for e in events)
+    for e in events:
+        assert 0 <= e.tasks_done <= e.tasks_total
+        if e.state == "running":
+            assert e.batch_name in {"good", "bad"}
