@@ -2228,6 +2228,54 @@ def q_stream_upsert(spark, sf_dir):
     return read_upsert_table(spark, table)
 
 
+def q_stream_near_dedup(spark, sf_dir):
+    """STREAMING incremental near-dedup driven end-to-end: documents
+    arrive in three mtime-pinned micro-batches (doc_id mod 3 splits) and
+    :func:`streaming.events.stream_near_dedup_to_table` admits only text
+    that near-duplicates nothing already accepted (MinHash-LSH band
+    buckets as novelty keys).  Returns the accepted set (doc_id, lang,
+    n_chars).  Rows-only: bucket novelty is arrival-order-dependent and
+    xxhash64-seeded, so there is no SQL twin — the order is pinned, the
+    hashes are deterministic, and the sequential-replay equivalence +
+    replay idempotency are pinned in tests/test_streaming.py."""
+    import shutil
+
+    from parquet_merger_spark.streaming.events import (
+        read_near_dedup_survivors,
+        stream_near_dedup_to_table,
+    )
+
+    base = _scratch_dir(spark, "stream_near_dedup")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    table = os.path.join(base, "table")
+    q = stream_near_dedup_to_table(
+        spark, src, table, checkpoint_dir=os.path.join(base, "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_near_dedup_survivors(spark, table).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSON-lines sink + typed source round-trip: write 500 documents
     rows as JSONL (Spark's parallel directory write), read back with an
@@ -4363,4 +4411,5 @@ QUERIES: dict[str, QueryFn] = {
     "ingest_quarantine": q_ingest_quarantine,
     "upsert_orders": q_upsert_orders,
     "stream_upsert": q_stream_upsert,
+    "stream_near_dedup": q_stream_near_dedup,
 }
