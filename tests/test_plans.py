@@ -296,6 +296,9 @@ _BNLJ_VOUCHED = {
     "text_tfidf",
     "value_band_stats",
     "simsearch_pq",
+    # same 1-row-codebook broadcast shape as simsearch_pq, probed from
+    # the persisted index
+    "simsearch_pq_indexed",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
