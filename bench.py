@@ -187,12 +187,22 @@ def main() -> None:
     # ALSO persist the full result to a committed per-round artifact so
     # timings stay round-over-round diffable regardless of capture limits.
     here = os.path.dirname(os.path.abspath(__file__))
+    # round = max over BOTH driver artifacts (BENCH_rNN) and prior local
+    # artifacts (BENCH_local_rNN): otherwise a rerun before the next
+    # driver round lands would overwrite the committed local record
     rounds = [
-        int(m.group(1))
+        int(m.group(2))
         for f in os.listdir(here)
-        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        if (m := re.match(r"BENCH_(local_)?r(\d+)\.json$", f))
     ]
-    local = os.path.join(here, f"BENCH_local_r{(max(rounds) + 1) if rounds else 1:02d}.json")
+    nxt = (max(rounds) + 1) if rounds else 1
+    local = os.path.join(here, f"BENCH_local_r{nxt:02d}.json")
+    if os.path.exists(os.path.join(here, f"BENCH_local_r{nxt - 1:02d}.json")) and not os.path.exists(
+        os.path.join(here, f"BENCH_r{nxt - 1:02d}.json")
+    ):
+        # the newest local artifact has no driver twin yet -> this run
+        # belongs to the SAME round; refresh that artifact in place
+        local = os.path.join(here, f"BENCH_local_r{nxt - 1:02d}.json")
     with open(local, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out, separators=(",", ":")))

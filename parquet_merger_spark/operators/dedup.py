@@ -433,21 +433,27 @@ def ngram_contamination(
         F.explode_outer("sh_hashes").alias("g"),
     )
     if max_train_df is not None:
-        # ONE shuffle applies the cap: group the posting list per gram
-        # (bounded at max_train_df entries, so rows stay executor-tiny),
-        # drop over-cap grams, re-explode.  The previous count-aggregate +
-        # semi-join consumed the gram-build lineage TWICE with two
-        # shuffles — both slower and the suspected source of the r02
-        # run-to-run variance (shuffle reuse across the two consumptions
-        # was at AQE's discretion).
-        tr = (
-            tr.groupBy("g")
-            .agg(F.collect_list("train_id").alias("__ids"))
-            .filter(F.size("__ids") <= max_train_df)
-            .select("g", F.explode("__ids").alias("train_id"))
-        )
+        tr = _df_capped(tr, max_train_df)
     return contamination_probe(
         tr, test, id_col, text_col, shingle_words, min_shared
+    )
+
+
+def _df_capped(tr: DataFrame, max_train_df: int) -> DataFrame:
+    """Drop grams whose document frequency exceeds the cap, in ONE
+    shuffle and with SPILL-SAFE buffers: an unordered count window over
+    the gram key (Spark's window executor spills partitions to disk), so
+    a viral boilerplate gram with millions of postings never materializes
+    as a single in-memory row.  Rejected shapes: count-aggregate +
+    semi-join consumed the gram-build lineage TWICE with two shuffles
+    (the r02 run-to-run variance source); collect_list-then-filter is one
+    shuffle but buffers each gram's FULL posting list in one aggregation
+    row before the size check — the executor-OOM shape at corpus scale."""
+    w = Window.partitionBy("g")
+    return (
+        tr.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_train_df)
+        .drop("__df")
     )
 
 
@@ -502,15 +508,12 @@ def write_gram_index(
         F.col(id_col).alias("train_id"),
         F.explode_outer("sh_hashes").alias("g"),
     )
-    # ONE shuffle builds cap + clustering together: group the posting
-    # list per gram (bounded at max_train_df entries, so the row stays
-    # executor-memory-tiny), drop over-cap grams, re-explode — instead of
-    # the 3-shuffle agg + semi-join + repartition chain.  Output partitions
-    # are hash-clustered on g as a side effect of the groupBy.
-    grouped = tr.groupBy("g").agg(F.collect_list("train_id").alias("__ids"))
+    # ONE spill-safe shuffle applies the cap and leaves the output
+    # hash-clustered on g (see :func:`_df_capped` for the rejected
+    # shapes — the 3-shuffle agg+semi-join+repartition chain and the
+    # OOM-prone collect_list buffer).
     if max_train_df is not None:
-        grouped = grouped.filter(F.size("__ids") <= max_train_df)
-    tr = grouped.select("g", F.explode("__ids").alias("train_id"))
+        tr = _df_capped(tr, max_train_df)
     if num_partitions:
         tr = tr.repartition(num_partitions, "g")
     tr.write.mode("overwrite").parquet(f"{path}/grams")
@@ -642,9 +645,15 @@ def semdedup(
     Tiers (inherited from knn_graph): ``block_col=None`` is the EXACT
     tier — blocked integer GEMM, shuffle O(n*k*n_blocks), the
     verification path the DuckDB oracle checks; pass ``block_col`` (an
-    IVF bucket from :func:`~parquet_merger_spark.operators.simsearch.
-    ivf_assign`, a shard) for the 100 TB path, where candidate pairs are
+    IVF bucket, a shard) for the 100 TB path, where candidate pairs are
     confined within blocks and recall is bounded in tests instead.
+    Note the block tier can both UNDER-merge (cross-block near-dups
+    invisible) and, less obviously, OVER-merge: excluding cross-block
+    vectors frees top-k slots, so a lower-cosine same-block neighbor can
+    enter the kNN graph where the exact graph's k slots were filled by
+    cross-block vectors — duplicate flags are approximate in both
+    directions, which is why the recall test bounds agreement rather
+    than asserting containment.
 
     The threshold compares the ROUNDED cosine knn_graph emits (round 6)
     so Spark and the SQL oracle make identical boundary decisions —

@@ -92,8 +92,13 @@ def pagerank_int(
     )
     base = (100 - damping_pct) * SCALE // 100
 
-    ranks = None  # uniform SCALE init, represented implicitly (see below)
+    # uniform SCALE init; ranks stays None while the loop can still fold
+    # the constant into a projection (first pass), and iterations=0
+    # returns the explicit uniform frame below
+    ranks = None
     maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
+    if iterations <= 0:
+        return vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
         # one E-volume shuffle per iteration (the contribution aggregate
         # on dst); the rank sides are O(V) and broadcast by default (see

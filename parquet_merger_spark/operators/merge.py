@@ -220,7 +220,14 @@ class MergeProgress:
 def _group_task_tallies(sc, group_id: str) -> tuple[int, int]:
     """(total, completed) task counts over every stage of every job in a
     job group — status-tracker sampling, no listener registration (the
-    py4j callback server is off by default in PySpark)."""
+    py4j callback server is off by default in PySpark).
+
+    Stages with zero activity are EXCLUDED: a job's stageIds include
+    stages Spark skips via shuffle/cache reuse, whose numTasks would
+    inflate the total while numCompletedTasks stays 0 — a progress bar
+    that never reaches 100%.  Consequence: total grows as stages start,
+    which a live progress display must tolerate (the terminal event's
+    tallies are complete by construction)."""
     tracker = sc.statusTracker()
     total = done = 0
     for jid in tracker.getJobIdsForGroup(group_id):
@@ -231,6 +238,11 @@ def _group_task_tallies(sc, group_id: str) -> tuple[int, int]:
             si = tracker.getStageInfo(sid)
             if si is None:
                 continue
+            active = (
+                si.numActiveTasks + si.numCompletedTasks + si.numFailedTasks
+            )
+            if active == 0:
+                continue  # skipped (reused) or not-yet-started stage
             total += si.numTasks
             done += si.numCompletedTasks
     return total, done
@@ -324,7 +336,12 @@ def merge_batches(
             if progress is not None:
                 stop.set()
                 poller.join()
+                # clear ALL thread-local properties setJobGroup set —
+                # leaving description/interruptOnCancel behind would
+                # misattribute every later job from this thread
                 sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
         with done_lock:
             done_count[0] += 1
             bd = done_count[0]

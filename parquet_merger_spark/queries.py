@@ -1725,7 +1725,10 @@ def q_decontaminate_indexed(spark, sf_dir):
     idx = _scratch_dir(
         spark, f"gram_index_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    if not os.path.exists(os.path.join(idx, "grams", "_SUCCESS")):
+    # gate on the LAST artifact the writer produces (meta/ follows
+    # grams/): a crash between the two writes must trigger a rebuild,
+    # not a permanently half-built index
+    if not os.path.exists(os.path.join(idx, "meta", "_SUCCESS")):
         write_gram_index(d.filter(is_train), idx, shingle_words=3)
     grams, sw = load_gram_index(spark, idx)
     return contamination_probe(
@@ -1988,7 +1991,9 @@ def q_simsearch_ivf_indexed(spark, sf_dir):
     idx = _scratch_dir(
         spark, f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    if not os.path.exists(os.path.join(idx, "centroids", "_SUCCESS")):
+    # vectors/ is written after centroids/ — gate on the LAST artifact so
+    # a crash mid-build triggers a rebuild instead of a half-index
+    if not os.path.exists(os.path.join(idx, "vectors", "_SUCCESS")):
         write_ivf_index(e, idx, nlist=16, corpus_assign=2)
     queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
     return ivf_topk(

@@ -470,31 +470,35 @@ def test_pq_training_rejects_empty_and_bad_dims(spark, embeddings):
 def test_semdedup_exact_contract_and_ann_tier(embeddings):
     """SemDeDup composition: one output row per input vector, survivor iff
     cluster_id == own id, cluster label = component minimum, and exactly
-    one survivor per cluster.  ANN tier (block-restricted kNN): block
-    confinement can only UNDER-merge (drop cross-block edges), so its
-    survivor set must be a superset of the exact tier's, with duplicate
-    (non-survivor) detection recall bounded below."""
+    one survivor per cluster (both tiers).  ANN tier (block-restricted
+    kNN) is approximate in BOTH directions — block confinement drops
+    cross-block edges (under-merge) and can promote lower-cosine
+    same-block neighbors into the freed top-k slots (over-merge) — so the
+    tier is bounded by duplicate-detection recall, not containment; every
+    ANN edge still respects the cosine threshold, so false merges are
+    near-dups by score, never arbitrary."""
     from parquet_merger_spark.operators.dedup import semdedup
 
-    exact = semdedup(embeddings, threshold=0.4, k=5).collect()
     n = embeddings.count()
-    assert len(exact) == n
-    assert all((r.cluster_id == r.vec_id) == r.is_survivor for r in exact)
-    by_cluster: dict = {}
-    for r in exact:
-        by_cluster.setdefault(r.cluster_id, []).append(r)
-    for cid, members in by_cluster.items():
-        assert cid == min(m.vec_id for m in members), "label is not the min id"
-        assert sum(m.is_survivor for m in members) == 1, "one survivor per cluster"
+
+    def check_contract(rows):
+        assert len(rows) == n
+        assert all((r.cluster_id == r.vec_id) == r.is_survivor for r in rows)
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            assert cid == min(m.vec_id for m in members), "label not min id"
+            assert sum(m.is_survivor for m in members) == 1, "one survivor"
+
+    exact = semdedup(embeddings, threshold=0.4, k=5).collect()
+    check_contract(exact)
     exact_dups = {r.vec_id for r in exact if not r.is_survivor}
     assert exact_dups, "fixture must contain at least one semantic duplicate"
 
     blocked = embeddings.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(2)))
     ann = semdedup(blocked, threshold=0.4, k=5, block_col="blk").collect()
-    assert len(ann) == n
+    check_contract(ann)
     ann_dups = {r.vec_id for r in ann if not r.is_survivor}
-    assert ann_dups <= exact_dups, (
-        "block-restricted tier flagged a duplicate the exact tier keeps"
-    )
     recall = len(ann_dups & exact_dups) / len(exact_dups)
     assert recall >= 0.30, f"semdedup ANN duplicate recall {recall:.3f}"
