@@ -186,14 +186,26 @@ def mixture_sample(
     for value, parts in weight_parts.items():
         w = F.when(F.col(strata_col) == value, F.lit(int(parts))).otherwise(w)
 
-    threshold = F.least(
-        F.lit(_MOD).cast("long"),
-        F.floor(
-            F.lit(budget_tokens * _MOD)
-            * w
-            / (F.lit(parts_total) * F.col("__stratum_tokens"))
+    # Degenerate stratum totals need explicit handling BEFORE the
+    # division: a zero total raises DIVIDE_BY_ZERO under Spark 4's ANSI
+    # default, and a NULL total (all-null token column) would make the
+    # threshold NULL -> least(MOD, NULL) = MOD (least skips nulls — the
+    # same trap the weight-0 comment above documents), silently keeping
+    # a stratum the weights say to drop.  A stratum with no token mass
+    # contributes nothing to the budget either way: drop it (threshold
+    # 0), matching the "weight 0" semantics.
+    safe_total = F.col("__stratum_tokens")
+    threshold = F.when(
+        safe_total > 0,
+        F.least(
+            F.lit(_MOD).cast("long"),
+            F.floor(
+                F.lit(budget_tokens * _MOD)
+                * w
+                / (F.lit(parts_total) * safe_total)
+            ),
         ),
-    )
+    ).otherwise(F.lit(0).cast("long"))
     return (
         df.join(F.broadcast(totals), strata_col)
         .filter(g < threshold)

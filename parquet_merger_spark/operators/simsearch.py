@@ -57,8 +57,15 @@ def quantized_dot(a: Column, b: Column) -> Column:
 
 def quantized_cosine(qa: Column, qb: Column, norm_a: Column, norm_b: Column) -> Column:
     """cosine = int_dot / (sqrt(int_self_dot_a) * sqrt(int_self_dot_b)) —
-    every input is an exact integer, so the double result is deterministic."""
-    return quantized_dot(qa, qb) / (F.sqrt(norm_a) * F.sqrt(norm_b))
+    every input is an exact integer, so the double result is deterministic.
+
+    Zero-norm vectors (all elements quantize to 0) yield NULL, not a
+    crash: Spark 4 runs ANSI mode by default, where even double division
+    by zero raises DIVIDE_BY_ZERO — and a null cosine is what the
+    downstream consumers expect (threshold filters drop it, ranking's
+    ``coalesce(sim, -2.0)`` handles it)."""
+    denom = F.sqrt(norm_a) * F.sqrt(norm_b)
+    return F.when(denom > 0, quantized_dot(qa, qb) / denom)
 
 
 def normalize_quantize(
@@ -143,6 +150,9 @@ def brute_force_topk(
             "cosine",
             quantized_cosine(F.col("qq"), F.col("cq"), F.col("qq2"), F.col("cq2")),
         )
+        # zero-norm rows have NULL cosine (undefined similarity): exclude
+        # them from rankings rather than letting NULLS LAST fill rank slots
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -458,6 +468,8 @@ def ivf_topk(
         # multi-assignment / multi-probe can surface a (query, vec) pair in
         # several buckets; the score is deterministic, so dedup is exact
         .dropDuplicates([query_id_col, id_col])
+        # NULL cosine = zero-norm vector: excluded from rankings
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
@@ -601,7 +613,14 @@ def cosine_near_dup_pairs(
         cc = np.sign(cc) * np.floor(np.abs(cc) * 1e6 + 0.5) / 1e6
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cc})
 
-    out_schema = "id_a long, id_b long, cosine double"
+    # preserve the caller's id dtype (string/int ids both valid): the
+    # block_col tier passes ids through joins untouched, so a hardcoded
+    # long here would make the two tiers diverge — Arrow conversion
+    # failure that appears only once corpus size crosses ann_threshold.
+    # np.minimum/maximum on object (string) arrays compare elementwise
+    # with Python semantics, matching the block tier's Spark `<`.
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     return rep.groupBy("ba", "bb").applyInPandas(tile, out_schema)
 
 
@@ -664,6 +683,8 @@ def knn_graph(
                 ).alias("cosine"),
             )
             .dropDuplicates(["id", "neighbor_id"])
+            # NULL cosine = zero-norm vector: excluded from rankings
+            .filter(F.col("cosine").isNotNull())
         )
         ranked = scored.withColumn("rank", F.row_number().over(w))
         return ranked.filter(F.col("rank") <= k).select(
@@ -730,8 +751,11 @@ def knn_graph(
             out += _tile_topk(ib, ia, cos.T)
         return pd.DataFrame(out, columns=["id", "neighbor_id", "cosine"])
 
+    # id dtype preserved for parity with the block_col tier (see the
+    # matching note in cosine_near_dup_pairs)
+    id_type = df.schema[id_col].dataType.simpleString()
     cands = rep.groupBy("ba", "bb").applyInPandas(
-        tile, "id long, neighbor_id long, cosine double"
+        tile, f"id {id_type}, neighbor_id {id_type}, cosine double"
     )
     ranked = cands.withColumn("rank", F.row_number().over(w))
     return ranked.filter(F.col("rank") <= k).select(
@@ -795,8 +819,7 @@ def train_pq_codebooks(
 
     qv = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
     seed_rows = (
-        corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        qv.orderBy(F.xxhash64(F.col("id")), F.col("id"))
         .limit(n_codes)
         .collect()
     )

@@ -3922,7 +3922,8 @@ ORACLE_SQL: dict[str, str] = {
                                          WHEN 'de' THEN 15 WHEN 'es' THEN 15 END)
             / (100.0 * stratum_tokens))) AS threshold
           FROM totals
-          WHERE lang IN ('en', 'fr', 'de', 'es')
+          -- mirror the Spark-side guard: zero/null-token strata drop
+          WHERE lang IN ('en', 'fr', 'de', 'es') AND stratum_tokens > 0
         )
         SELECT d.doc_id, d.lang, d.n_tokens
         FROM d JOIN thresholds USING (lang)

@@ -123,11 +123,18 @@ def session_window_stream(
     gap_minutes: int = 30,
     watermark: str = "2 hours",
     query_name: str = "session_windows",
-    output_mode: str = "update",
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Streaming sessionization: the native ``session_window`` aggregate
     over a file source, watermark-bounded state, memory sink.  Identical
-    logical plan to :func:`session_window_agg` plus the watermark."""
+    logical plan to :func:`session_window_agg` plus the watermark.
+
+    ``output_mode`` defaults to ``append`` (emit each session once its
+    watermark closes) because Spark REJECTS ``update`` for streaming
+    session-window aggregations — sessions merge as events arrive, which
+    update mode's keyed-row contract can't express
+    (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION on 4.1.2); ``complete``
+    is the other accepted mode."""
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -443,49 +450,75 @@ def stream_upsert_to_table(
     express declaratively (MERGE, multi-table writes): the batch frame
     is a plain DataFrame and the function runs on the driver once per
     micro-batch.  Exactly-once comes from checkpointed source offsets +
-    an IDEMPOTENT apply: output versions are named by ``batch_id``, so a
-    replayed batch overwrites its own directory instead of double-applying
-    (read side always takes the highest complete version via the
-    ``_CURRENT`` manifest, written last).
+    an IDEMPOTENT apply: output versions are named by ``batch_id`` and
+    the base state is the newest version with id STRICTLY BELOW the
+    current batch — never ``_CURRENT``, which a crash between the
+    version write and the checkpoint commit can leave pointing at the
+    batch's OWN output (a _CURRENT-based replay would then read vN while
+    overwriting vN — Spark's overwrite-path-being-read guard aborts
+    every retry).  ``_CURRENT`` exists only for readers and is swapped
+    atomically, last.
 
     The read-modify-write here rewrites the whole table per batch —
     correct, but at 100 TB the same foreachBatch body calls a table
     format's MERGE (Delta/Iceberg) so only touched files rewrite;
     the structure of this operator is exactly what that body looks like.
     """
-    import os
-
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
+    return (
+        stream.writeStream.foreachBatch(
+            upsert_batch_apply(table_dir, key_cols)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def upsert_batch_apply(table_dir: str, key_cols: list[str]):
+    """Per-micro-batch body of the streaming MERGE as a standalone
+    ``(batch_df, batch_id) -> None`` callable — module-level so replay
+    idempotency is directly testable (same contract as
+    :func:`near_dedup_batch_apply`)."""
+    import os
 
     from parquet_merger_spark.operators.incremental import upsert_by_key
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        manifest = os.path.join(table_dir, "_CURRENT")
-        if os.path.exists(manifest):
-            with open(manifest) as fh:
-                current = fh.read().strip()
-            base = sess.read.parquet(os.path.join(table_dir, current))
+        prior = _latest_table_version_before(table_dir, batch_id)
+        if prior is not None:
+            base = sess.read.parquet(os.path.join(table_dir, prior))
             merged = upsert_by_key(base, batch_df, key_cols)
         else:
             merged = batch_df
         version = f"v{batch_id:020d}"
-        out = os.path.join(table_dir, version)
-        merged.write.mode("overwrite").parquet(out)
+        merged.write.mode("overwrite").parquet(os.path.join(table_dir, version))
+        manifest = os.path.join(table_dir, "_CURRENT")
         with open(manifest + ".tmp", "w") as fh:
             fh.write(version)
         os.replace(manifest + ".tmp", manifest)  # atomic pointer swap
 
-    return (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return _apply
+
+
+def _latest_table_version_before(table_dir: str, batch_id: int) -> str | None:
+    """Newest ``v<id>`` directory with id strictly below ``batch_id`` —
+    the replay-safe base state (see :func:`stream_upsert_to_table`)."""
+    import os
+
+    if not os.path.isdir(table_dir):
+        return None
+    prior = [
+        d
+        for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+    ]
+    return max(prior) if prior else None
 
 
 def read_upsert_table(
@@ -540,7 +573,10 @@ def stream_near_dedup_to_table(
     ``operators.dedup.lsh_band_buckets``).  A document is a near-dup iff
     one of its buckets was already claimed — by a survivor of an earlier
     batch (the persisted bucket table) or by a smaller-id document in the
-    SAME batch.  Survivors append to ``<table>/survivors/b<batch_id>``;
+    SAME batch.  Documents too short to shingle (< ``shingle_words``
+    tokens) are keyed by their EXACT text hash on a reserved band (-1):
+    they cannot near-dup, but exact re-deliveries are still rejected
+    rather than bypassing dedup.  Survivors append to ``<table>/survivors/b<batch_id>``;
     their buckets merge into the versioned bucket table.
 
     Semantics note (documented approximation): within one batch, bucket
@@ -637,13 +673,30 @@ def near_dedup_batch_apply(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        eligible = batch_df.filter(
-            F.size(tokens_col(text_col)) >= shingle_words
-        )
+        n_tokens = F.size(tokens_col(text_col))
+        eligible = batch_df.filter(n_tokens >= shingle_words)
         sigs = minhash_signatures(
             eligible, id_col, text_col, num_hashes, shingle_words
         )
-        buckets = lsh_band_buckets(sigs, id_col, num_hashes, bands)
+        # Documents too short to shingle still get a novelty key — the
+        # EXACT-text hash on a reserved band — so re-deliveries of the
+        # same short document are rejected instead of silently bypassing
+        # dedup (they can't near-dup, but they can exact-dup).
+        short_buckets = batch_df.filter(n_tokens < shingle_words).select(
+            F.col(id_col),
+            F.lit(-1).cast("int").alias("band"),
+            F.xxhash64(F.col(text_col)).alias("bucket"),
+        )
+        buckets = (
+            lsh_band_buckets(sigs, id_col, num_hashes, bands)
+            .select(id_col, "band", "bucket")
+            .union(short_buckets)
+            # materialize ONCE: the bucket frame feeds the duplicate
+            # join, the survivor anti-join, and the new-seen write —
+            # without this the minhash Arrow kernel (the per-batch hot
+            # cost) re-executes for each consumer
+            .localCheckpoint(eager=False)
+        )
 
         # replay-safe: newest version strictly older than this batch, so a
         # replayed batch never reads (and then clobbers) its own output

@@ -502,3 +502,73 @@ def test_semdedup_exact_contract_and_ann_tier(embeddings):
     ann_dups = {r.vec_id for r in ann if not r.is_survivor}
     recall = len(ann_dups & exact_dups) / len(exact_dups)
     assert recall >= 0.30, f"semdedup ANN duplicate recall {recall:.3f}"
+
+
+def test_exact_gemm_tiers_preserve_string_ids(spark):
+    """The exact GEMM tiers must accept non-long id columns like the
+    block tier does (the output schema is derived from the input id
+    dtype, not hardcoded long), and canonicalize string pairs with the
+    same lexicographic order Spark's `<` uses."""
+    from parquet_merger_spark.operators.simsearch import (
+        cosine_near_dup_pairs,
+        knn_graph,
+    )
+
+    rows = [
+        (f"doc{i:03d}", [float((i * 7 + j * 3) % 11) / 11 for j in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    pairs = cosine_near_dup_pairs(df, 0.8, id_col="doc_id").collect()
+    assert pairs and all(isinstance(r.id_a, str) for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)
+    g = knn_graph(df, k=3, id_col="doc_id").collect()
+    assert g and all(isinstance(r.neighbor_id, str) for r in g)
+    ids = {r.id for r in g}
+    assert all(len([r for r in g if r.id == i]) == 3 for i in ids)
+
+
+def test_quantized_cosine_zero_norm_is_null_not_crash(spark):
+    """Spark 4 defaults ANSI mode ON, where double division by zero
+    raises — a zero-norm embedding (all elements quantize to 0) must
+    yield NULL cosine (dropped by threshold filters and ranked last),
+    not a DIVIDE_BY_ZERO crash."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] * 8), (3, [0.5] * 8), (4, [0.9] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 2).withColumnRenamed("vec_id", "query_id")
+    got = {(r.query_id, r.vec_id) for r in brute_force_topk(df, q, k=3).collect()}
+    assert got == {(2, 3), (2, 4)}  # zero-norm vec 1 excluded, no crash
+    got_ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(df, q, k=3, nlist=2, nprobe=2).collect()
+    }
+    assert got_ivf == {(2, 3), (2, 4)}
+
+
+def test_mixture_sample_degenerate_stratum_totals(spark):
+    """A stratum whose token column sums to zero (or is all NULL) must be
+    DROPPED, matching the weight-0 semantics — not crash with ANSI
+    DIVIDE_BY_ZERO and not silently pass the whole stratum through a
+    NULL threshold."""
+    from parquet_merger_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 200), (3, "zz", 0), (4, "zz", 0), (5, "nn", None)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    kept = mixture_sample(
+        df, budget_tokens=10_000, weight_parts={"en": 1, "zz": 1, "nn": 1}
+    ).collect()
+    langs = {r.lang for r in kept}
+    assert "zz" not in langs and "nn" not in langs
+    assert {r.doc_id for r in kept} <= {1, 2}

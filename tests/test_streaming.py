@@ -572,3 +572,61 @@ def test_read_near_dedup_survivors_before_first_batch(spark, tmp_path):
     df = read_near_dedup_survivors(spark, table)
     assert df.count() == 0
     assert df.columns == ["doc_id", "text"]
+
+
+def test_stream_near_dedup_short_docs_exact_tier(spark, tmp_path):
+    """Documents too short to shingle get an exact-text novelty key on
+    the reserved band: re-deliveries of the same short text are rejected
+    (across batches and within one), distinct short texts are admitted —
+    no silent dedup bypass for sub-shingle documents."""
+    from parquet_merger_spark.streaming.events import (
+        near_dedup_batch_apply,
+        read_near_dedup_survivors,
+    )
+
+    table = str(tmp_path / "short_table")
+    apply_fn = near_dedup_batch_apply(table)  # shingle_words=2 default
+
+    b0 = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, "a much longer document with many words")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(11, "hello"), (12, "fresh"), (13, "hello"), (14, "world")],
+        "doc_id long, text string",
+    )
+    apply_fn(b0, 0)
+    apply_fn(b1, 1)
+    kept = {r.doc_id for r in read_near_dedup_survivors(spark, table).collect()}
+    # 11/13 re-deliver "hello" (cross-batch + within-batch), 14 re-delivers
+    # "world"; 12 is a novel short text
+    assert kept == {1, 2, 3, 12}, kept
+
+
+def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (same batch_id) after a crash that already
+    swapped _CURRENT to the batch's own version must reproduce the same
+    table state — the base is the newest version strictly below batch_id,
+    never _CURRENT (which would make the merge read the very path it
+    overwrites)."""
+    import os
+
+    from parquet_merger_spark.streaming.events import (
+        read_upsert_table,
+        upsert_batch_apply,
+    )
+
+    table = str(tmp_path / "upsert_replay")
+    apply_fn = upsert_batch_apply(table, ["k"])
+    b0 = spark.createDataFrame([(1, "a1"), (2, "b1")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b2"), (3, "c1")], "k long, v string")
+    apply_fn(b0, 0)
+    apply_fn(b1, 1)
+    first = {r.k: r.v for r in read_upsert_table(spark, table).collect()}
+    assert first == {1: "a1", 2: "b2", 3: "c1"}
+    with open(os.path.join(table, "_CURRENT")) as fh:
+        assert fh.read().strip() == "v" + "1".zfill(20)
+
+    apply_fn(b1, 1)  # replay while _CURRENT points at v1
+    again = {r.k: r.v for r in read_upsert_table(spark, table).collect()}
+    assert again == first
