@@ -124,7 +124,13 @@ def gapfill_locf(
     idiom that at 100 TB materializes |keys| x |days| before the join),
     a left join back to the observations (same key partitioning), and
     one bounded window for the carry-forward.  Skew note: a key's blowup
-    is bounded by its own day-span, not the global one."""
+    is bounded by its own day-span, not the global one.
+
+    ``observed`` reports ROW PRESENCE (an explicit marker on the
+    observation side of the join), not value nullness: a genuinely
+    recorded row whose value is NULL is observed=true with the previous
+    value carried into ``_filled`` — distinguishable from a synthesized
+    calendar row."""
     day = F.col(day_col)
     bounds = daily.groupBy(key_col).agg(
         F.min(day_col).alias("_lo"), F.max(day_col).alias("_hi")
@@ -135,7 +141,9 @@ def gapfill_locf(
             F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 day"))
         ).alias(day_col),
     )
-    j = cal.join(daily, [key_col, day_col], "left")
+    j = cal.join(
+        daily.withColumn("__obs", F.lit(True)), [key_col, day_col], "left"
+    )
     w = (
         Window.partitionBy(key_col)
         .orderBy(day)
@@ -145,5 +153,5 @@ def gapfill_locf(
         key_col,
         day,
         F.last(value_col, ignorenulls=True).over(w).alias(f"{value_col}_filled"),
-        F.col(value_col).isNotNull().alias("observed"),
+        F.col("__obs").isNotNull().alias("observed"),
     )

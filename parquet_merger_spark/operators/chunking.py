@@ -77,9 +77,20 @@ def pack_sequences(
     exactly replicable in SQL (the contract differential-tested against
     DuckDB).  Offset-based binning means a document can straddle a budget
     boundary (its bin is where it STARTS); real packers then truncate or
-    spill — that policy layer is the caller's."""
+    spill — that policy layer is the caller's.
+
+    ``id_col`` must be UNIQUE within a shard: the layout is defined by a
+    total order.  The frame is pinned to ROWS (the default RANGE frame
+    treats order-key ties as peers — duplicate ids would each see the
+    peer-inclusive running sum, producing overlapping offsets silently);
+    with ROWS, duplicate ids still pack without overlap, but their
+    relative order — hence their bin split — is not reproducible."""
     part = [shard_col] if shard_col else []
-    w = Window.partitionBy(*part).orderBy(id_col)
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.sum(token_col).over(w) - F.col(token_col)
     out = df.withColumn("bin_id", F.floor(start / budget_tokens).cast("long"))
     return out

@@ -48,23 +48,20 @@ def word_ngrams(tokens: Column, n: int) -> Column:
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key (the minimum ``order_col`` row) —
     deterministic, unlike ``dropDuplicates`` whose survivor depends on
-    partition order.  One shuffle on the key."""
-    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    partition order.  One shuffle on the key.
+
+    The window order is made TOTAL by appending every remaining column
+    after ``order_col``: rows tying on ``order_col`` (same crawl
+    timestamp, say) would otherwise be ranked by partition-arrival order
+    — precisely the nondeterminism this operator exists to remove.  Rows
+    identical in every column remain interchangeable (either one IS the
+    same surviving row)."""
+    tiebreak = [c for c in df.columns if c not in key_cols and c != order_col]
+    w = Window.partitionBy(*key_cols).orderBy(order_col, *tiebreak)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-    )
-
-
-def _distinct_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_words: int
-) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams(tokens_col(text_col), shingle_words)).alias(
-            "shingles"
-        ),
     )
 
 
@@ -75,7 +72,7 @@ def _distinct_shingle_hashes(
     WITHOUT materializing shingle strings — hash each token once, then
     hash the n adjacent token-hashes per gram (``xxhash64(h_i, .., h_j)``
     is order-sensitive, so "a b" != "b a").  Skipping the concat-string +
-    string-rehash of :func:`_distinct_shingles` nearly halves the
+    string-rehash of a string-gram build nearly halves the
     signature pipeline's scan stage (measured at sf0.1).  Gram identity
     is exact up to xxhash64 collisions (~2^-64), same contract the
     downstream Jaccard verification already relies on.
@@ -104,6 +101,10 @@ def _distinct_shingle_hashes(
 # RandomState is numpy's frozen legacy generator: bit-identical constants
 # on every numpy version, so signatures are stable across environments.
 _MINHASH_MAX_K = 256
+# minhash kernel slice size: bounds the transient (shingles x k) product
+# matrix at ~32 MB for k=64 (see the row-sliced reduction in
+# minhash_signatures); module-level so tests can force multi-slice runs
+_SIG_CHUNK_SHINGLES = 65_536
 
 
 def _minhash_constants(k: int):
@@ -142,20 +143,39 @@ def minhash_signatures(
 
     A, C = _minhash_constants(num_hashes)
     maxl = np.iinfo(np.uint64).max
+    # bound captured driver-side into the UDF closure (workers don't see
+    # later module mutations — this also lets tests force multi-slice)
+    budget = max(1, _SIG_CHUNK_SHINGLES)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(col: pd.Series) -> pd.Series:
         lens = np.fromiter((len(x) for x in col), dtype=np.int64, count=len(col))
         out = np.full((len(col), len(A)), maxl, dtype=np.uint64)
         nz = np.flatnonzero(lens)
-        if nz.size:
-            arrs = [np.asarray(col.iat[i], dtype=np.int64) for i in nz]
+        # Row-sliced reduction: the (shingles x k) product matrix is
+        # bounded at ~_SIG_CHUNK_SHINGLES rows per slice (~32 MB at
+        # k=64) instead of materializing the whole Arrow batch's matrix
+        # in one transient — a 10k-doc batch averaging 1k shingles at
+        # k=64 would otherwise allocate ~5 GB per concurrent task.
+        # Slice boundaries respect row edges, so per-row minima (and
+        # therefore signatures) are bit-identical to the unsliced form;
+        # a single pathological document bigger than the budget gets its
+        # own slice (its matrix is irreducibly len x k).
+        i = 0
+        while i < nz.size:
+            j, tot = i, 0
+            while j < nz.size and (tot == 0 or tot + lens[nz[j]] <= budget):
+                tot += lens[nz[j]]
+                j += 1
+            rows = nz[i:j]
+            arrs = [np.asarray(col.iat[r], dtype=np.int64) for r in rows]
             flat = np.concatenate(arrs).astype(np.uint64)
             with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash
                 m = flat[:, None] * A[None, :] + C[None, :]
-            starts = np.zeros(nz.size, dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
-            out[nz] = np.minimum.reduceat(m, starts, axis=0)
+            starts = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(lens[rows][:-1], out=starts[1:])
+            out[rows] = np.minimum.reduceat(m, starts, axis=0)
+            i = j
         signed = out.astype(np.int64)
         return pd.Series(list(signed))
 
@@ -200,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_words: int = 2,
     threshold: float = 0.5,
+    storage_level=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
 
@@ -216,7 +237,17 @@ def minhash_lsh_pairs(
     runtime (measured 233k candidates for 256 true pairs at r=2 on the
     sf0.1 documents table); steeper r at fixed t* cuts candidates, and
     recall above t* stays ~1 (bounded in tests/test_recall.py).
+
+    ``storage_level`` controls how the signature table is persisted
+    across its two consumers (bucket generation + Jaccard verification;
+    default MEMORY_AND_DISK — pass ``StorageLevel.DISK_ONLY`` at cluster
+    scale).  The persisted table lives until the session ends or the
+    caller runs ``spark.catalog.clearCache()`` — in a long-lived
+    service, clear it after materializing the result (same persist
+    hygiene contract as :func:`ngram_jaccard_pairs`).
     """
+    from pyspark import StorageLevel
+
     assert num_hashes % bands == 0
     # Shingle-eligibility is filtered on the CHEAP token-count predicate
     # BEFORE the signature pipeline: a post-hoc filter(size(sh_hashes)>0)
@@ -227,7 +258,7 @@ def minhash_lsh_pairs(
     eligible = df.filter(F.size(tokens_col(text_col)) >= shingle_words)
     sigs = minhash_signatures(
         eligible, id_col, text_col, num_hashes, shingle_words
-    ).cache()
+    ).persist(storage_level or StorageLevel.MEMORY_AND_DISK)
 
     buckets = lsh_band_buckets(sigs, id_col, num_hashes, bands)
 
@@ -303,24 +334,27 @@ def ngram_jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    # The whole pipeline runs on HASHED shingles (xxhash64 longs): each
-    # shingle string is hashed once; the document-frequency groupBy, the
-    # rarity join, the per-doc ranking window, the candidate join, and the
-    # verification intersect/union all shuffle narrow longs instead of
-    # strings (~10x less shuffle volume).  Exactness is unaffected: the
-    # prefix filter only needs A consistent global rarity order — (df,
-    # hash) is as valid as (df, gram) — and set intersections over
-    # distinct-hash sets equal string-set intersections up to xxhash64
-    # collisions (~2^-64).
+    # The whole pipeline runs on HASHED shingles (xxhash64 longs) built
+    # WITHOUT materializing gram strings (:func:`_distinct_shingle_hashes`
+    # hashes each token once then hashes the n adjacent token-hashes —
+    # the same kernel the minhash path uses, measured ~2x faster than the
+    # concat-string+rehash it replaces): the document-frequency groupBy,
+    # the rarity join, the per-doc ranking window, the candidate join,
+    # and the verification intersect/union all shuffle narrow longs
+    # instead of strings (~10x less shuffle volume).  Exactness is
+    # unaffected: the prefix filter only needs A consistent global rarity
+    # order — (df, hash) is as valid as (df, gram) — and set
+    # intersections over distinct-hash sets equal string-set
+    # intersections up to xxhash64 collisions (~2^-64).
     #
     # The hashed arrays feed candidate generation AND both sides of the
     # verification join — persist so the text-parsing pipeline doesn't
     # re-run 4x.
-    # token-count pre-filter, NOT filter(size(shingles)>0): the latter is
+    # token-count pre-filter, NOT filter(size(...)>0): the latter is
     # predicate-pushed below the gram-build projection and duplicates it
     # (see minhash_lsh_pairs)
     sh = (
-        _distinct_shingles(
+        _distinct_shingle_hashes(
             df.filter(F.size(tokens_col(text_col)) >= shingle_words),
             id_col,
             text_col,
@@ -328,8 +362,8 @@ def ngram_jaccard_pairs(
         )
         .select(
             F.col(id_col),
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashes"),
-            F.size("shingles").alias("n"),
+            "sh_hashes",
+            F.size("sh_hashes").alias("n"),
         )
         .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
@@ -511,11 +545,14 @@ def write_gram_index(
     # ONE spill-safe shuffle applies the cap and leaves the output
     # hash-clustered on g (see :func:`_df_capped` for the rejected
     # shapes — the 3-shuffle agg+semi-join+repartition chain and the
-    # OOM-prone collect_list buffer).
+    # OOM-prone collect_list buffer).  With the cap disabled, the
+    # clustering the docstring promises still needs an explicit shuffle.
     if max_train_df is not None:
         tr = _df_capped(tr, max_train_df)
     if num_partitions:
         tr = tr.repartition(num_partitions, "g")
+    elif max_train_df is None:
+        tr = tr.repartition("g")
     tr.write.mode("overwrite").parquet(f"{path}/grams")
     sess.createDataFrame(
         [(shingle_words, max_train_df)],
@@ -544,12 +581,17 @@ def dup_clusters(
     survivor).
 
     Each round every node takes min(own label, neighbors' labels); labels
-    are monotonically non-increasing, so convergence is detected by an
-    unchanged label SUM (one cheap aggregate per round — no row diff).
-    Rounds needed = graph diameter, which for near-dup graphs (cliques and
-    short chains) is small.  ``localCheckpoint`` truncates the growing
-    lineage each round — at cluster scale use a checkpoint dir / table
-    instead.  Deterministic: pure min over a fixed edge set.
+    are monotonically non-increasing, so convergence is detected by a
+    CHANGED-LABEL COUNT of zero (one cheap conditional aggregate per
+    round — no row diff).  The count is type-safe for any id type: the
+    earlier label-SUM check silently mis-converged on string ids (sum of
+    strings is NULL every round, so round 1 "matched" round 0) and could
+    overflow ANSI arithmetic on 64-bit hash-scale ids summed over
+    millions of nodes.  Rounds needed = graph diameter, which for
+    near-dup graphs (cliques and short chains) is small.
+    ``localCheckpoint`` truncates the growing lineage each round — at
+    cluster scale use a checkpoint dir / table instead.  Deterministic:
+    pure min over a fixed edge set.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -562,7 +604,6 @@ def dup_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    prev_sum: int | None = None
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
@@ -570,21 +611,25 @@ def dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        )
         labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        n_changed = labels.agg(
+            F.count_if(F.col("__changed")).alias("c")
+        ).collect()[0][0]
+        labels = labels.drop("__changed")
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # Returning silently would split one true component into several
         # "clusters" — and the survivor pass downstream would then keep
@@ -744,6 +789,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = 64,
+    storage_level=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming on ``bits``-bit
     SimHash.
@@ -757,13 +803,23 @@ def simhash_near_dup_pairs(
     distance == bands can differ in every chunk) — asserted, not silently
     recall-lossy.  At billions of docs, raise ``bands`` (narrower chunks ->
     more, smaller buckets) rather than accepting huge per-bucket self-joins.
+
+    ``storage_level``: persist level for the signature table (two
+    consumers — chunk explode + verification join; default
+    MEMORY_AND_DISK, ``DISK_ONLY`` for the cluster tier).  Lives until
+    ``spark.catalog.clearCache()`` — same hygiene contract as
+    :func:`ngram_jaccard_pairs`.
     """
+    from pyspark import StorageLevel
+
     assert max_hamming < bands, (
         f"pigeonhole needs max_hamming ({max_hamming}) < bands ({bands}); "
         "pairs at distance >= bands can evade every chunk bucket"
     )
     assert bits % bands == 0, "bits must divide evenly into bands"
-    sigs = simhash_signatures(df, id_col, text_col, bits=bits).cache()
+    sigs = simhash_signatures(df, id_col, text_col, bits=bits).persist(
+        storage_level or StorageLevel.MEMORY_AND_DISK
+    )
     chunk_bits = bits // bands
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(

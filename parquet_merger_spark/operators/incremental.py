@@ -42,24 +42,37 @@ def snapshot_diff(
     update test is a null-safe struct comparison (``eqNullSafe``) so
     NULL→value and value→NULL transitions count as changes.  Output
     carries the NEW side's columns for inserts/updates and the OLD side's
-    for deletes.  Both snapshots must share the schema."""
+    for deletes.  Both snapshots must share the schema.
+
+    NULL keys: rows whose key columns are NULL never equi-join (SQL
+    semantics), so a null-key row in ``old`` reports as ``delete`` and
+    one in ``new`` as ``insert`` — even when both snapshots contain it.
+    Keys should be non-null by contract; the labels are at least
+    side-correct (membership comes from explicit presence markers, not
+    key nullness)."""
     assert old.columns == new.columns, "snapshots must share a schema"
     val_cols = [c for c in old.columns if c not in key_cols]
     # column-rename disambiguation: the two snapshots often share lineage
-    # (same source table), so frame-qualified references are ambiguous
-    o = old.select([F.col(c).alias(f"__o_{c}") for c in old.columns])
-    n = new.select([F.col(c).alias(f"__n_{c}") for c in new.columns])
+    # (same source table), so frame-qualified references are ambiguous.
+    # Each side also carries an explicit presence marker: deriving side
+    # membership from key-column nullness would misclassify a row whose
+    # KEY is genuinely NULL (an old-side null-key row would read as
+    # "absent from old" -> labeled insert instead of delete).
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns],
+        F.lit(True).alias("__in_new"),
+    )
     join_cond = reduce(
         lambda a, b: a & b,
         [F.col(f"__o_{c}") == F.col(f"__n_{c}") for c in key_cols],
     )
     joined = o.join(n, join_cond, "full_outer")
-    in_old = reduce(
-        lambda a, b: a | b, [F.col(f"__o_{c}").isNotNull() for c in key_cols]
-    )
-    in_new = reduce(
-        lambda a, b: a | b, [F.col(f"__n_{c}").isNotNull() for c in key_cols]
-    )
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     same_vals = (
         reduce(
             lambda a, b: a & b,

@@ -272,9 +272,13 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     standard pre-training privacy pass.  Row-local regex work (zero
     shuffle; regexp_replace is a JVM codegen expression).
 
-    Counts are measured on the ORIGINAL text (all three patterns), then
-    replacements apply in a fixed order (email -> ip -> phone) so e.g.
-    ``user@1.2.3.4`` is one email, not an email plus an IP.  Appends
+    Counts are measured on the ORIGINAL text, each pattern independently
+    — nested PII is therefore counted under EVERY matching pattern
+    (``user@1.2.3.4`` is n_emails=1 AND n_ipv4=1), while the REDACTION
+    applies in a fixed order (email -> ip -> phone) so the same text
+    becomes a single ``<EMAIL>`` token.  Counts answer "how much of each
+    pattern appeared", not "how many tokens were substituted"; this
+    count-on-original contract is what the DuckDB oracle pins.  Appends
     ``n_emails / n_ipv4 / n_phones / text_redacted``.
     """
     t = F.col(text_col)

@@ -2864,14 +2864,17 @@ ORACLE_SQL: dict[str, str] = {
           SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
           FROM b
         ), j AS (
-          SELECT cal.user_id, cal.day, d.v
+          SELECT cal.user_id, cal.day, d.v,
+                 d.user_id IS NOT NULL AS present
           FROM cal LEFT JOIN d ON cal.user_id = d.user_id AND cal.day = d.day
         )
         SELECT user_id, CAST(FLOOR(epoch(day)) AS BIGINT) AS day_epoch,
                last_value(v IGNORE NULLS) OVER (
                  PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
                ) AS v_filled,
-               v IS NOT NULL AS observed
+               -- presence-based (mirror the Spark-side marker): a real row
+               -- with NULL value is observed, a synthesized calendar row is not
+               present AS observed
         FROM j
     """,
     "fuzzy_match": """

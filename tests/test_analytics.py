@@ -132,3 +132,24 @@ def test_robust_outliers_mad_zero_group_matches_oracle(spark, tmp_path):
     ddf = con.execute(ORACLE_SQL["robust_outliers"]).df()
     con.close()
     assert sorted(got["event_id"]) == sorted(ddf["event_id"])
+
+
+def test_gapfill_locf_null_valued_observation_is_observed(spark):
+    """A genuinely recorded row whose value is NULL reports
+    observed=true (presence-based marker), with the previous value
+    carried into the filled column — distinguishable from a synthesized
+    calendar row, which is observed=false."""
+    daily = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-01-02", None), (1, "2024-01-04", 40.0)],
+        "k long, day string, v double",
+    ).withColumn("day", F.col("day").cast("timestamp"))
+    out = gapfill_locf(daily, "k", "day", "v").select(
+        "k", F.date_format("day", "yyyy-MM-dd").alias("d"), "v_filled", "observed"
+    )
+    got = sorted((r["k"], r["d"], r["v_filled"], r["observed"]) for r in out.collect())
+    assert got == [
+        (1, "2024-01-01", 10.0, True),
+        (1, "2024-01-02", 10.0, True),   # recorded null: observed, carried
+        (1, "2024-01-03", 10.0, False),  # synthesized gap
+        (1, "2024-01-04", 40.0, True),
+    ]

@@ -141,3 +141,73 @@ def test_gram_index_roundtrip_matches_direct(spark, tmp_path):
         ).collect()
     }
     assert capped == uncapped_direct
+
+
+def test_dup_clusters_string_ids_propagate_fully(spark):
+    """Connected components must work for STRING doc ids: the old
+    label-sum convergence check summed a string column (NULL every round
+    under ANSI-off -> silent one-round 'convergence' that left path
+    components split; a cast crash under ANSI-on).  The changed-label
+    count is type-safe: a 4-hop path must fully collapse to the
+    lexicographic minimum."""
+    from parquet_merger_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [("doc4", "doc5"), ("doc3", "doc4"), ("doc1", "doc3"), ("doc9", "doc8")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        ("doc1", "doc1"),
+        ("doc3", "doc1"),
+        ("doc4", "doc1"),
+        ("doc5", "doc1"),
+        ("doc8", "doc8"),
+        ("doc9", "doc8"),
+    }, got
+
+
+def test_minhash_signatures_row_sliced_kernel_is_exact(spark, monkeypatch):
+    """The memory-bounded row-sliced minhash reduction must be
+    bit-identical to the one-shot matrix it replaced: force multi-slice
+    runs (budget smaller than any document) and compare."""
+    import parquet_merger_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "an entirely different training document about query engines"),
+            (3, "short text"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    base = {
+        r.doc_id: tuple(r.sig)
+        for r in dd.minhash_signatures(docs, "doc_id", "text", 64, 2).collect()
+    }
+    monkeypatch.setattr(dd, "_SIG_CHUNK_SHINGLES", 2)
+    sliced = {
+        r.doc_id: tuple(r.sig)
+        for r in dd.minhash_signatures(docs, "doc_id", "text", 64, 2).collect()
+    }
+    assert sliced == base
+
+
+def test_exact_dedup_survivor_deterministic_under_ties(spark):
+    """Rows tying on order_col must yield the same survivor regardless of
+    partitioning — the total-order tie-break over the remaining columns."""
+    from parquet_merger_spark.operators.dedup import exact_dedup
+
+    rows = [(1, 100, "b"), (1, 100, "a"), (1, 100, "c"), (2, 50, "z")]
+    df = spark.createDataFrame(rows, "k long, ts long, payload string")
+    first = sorted(
+        tuple(r) for r in exact_dedup(df, ["k"], "ts").collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in exact_dedup(df.repartition(7), ["k"], "ts").collect()
+    )
+    assert first == again == [(1, 100, "a"), (2, 50, "z")]

@@ -136,3 +136,15 @@ def test_scd2_multi_tracked_columns_any_change_opens_version(spark):
     got = sorted((r["seg"], r["bal"], r["valid_from"], r["valid_to"])
                  for r in out.collect())
     assert got == [("a", 10, 1, 2), ("a", 20, 2, 3), ("b", 20, 3, None)]
+
+
+def test_snapshot_diff_null_key_side_membership(spark):
+    """Side membership comes from explicit presence markers: a null-key
+    row only in OLD is a delete (key-nullness-based membership labeled it
+    an insert carrying old values)."""
+    from parquet_merger_spark.operators.incremental import snapshot_diff
+
+    old = spark.createDataFrame([(None, "v"), (1, "x")], "k long, v string")
+    new = spark.createDataFrame([(1, "x")], "k long, v string")
+    got = {(r.k, r.v, r.change) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(None, "v", "delete")}, got
