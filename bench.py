@@ -122,6 +122,11 @@ HEADLINE = [
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "dedup_exact",
+    # dup-passage coverage: positional-gram inverted index (Lee et al.
+    # 2021-style exact-substring signal) — scale-critical like the other
+    # gram families.  dedup_containment stays oracle-only (verification
+    # tier, same rationale as dedup_ngram_jaccard above).
+    "dup_passages",
     # dedup_ngram_jaccard is deliberately NOT a headline: exact pairwise
     # Jaccard is the verification/audit tier (it stays oracle-checked in
     # CORRECTNESS); the headline near-dup path at scale is MinHash-LSH.

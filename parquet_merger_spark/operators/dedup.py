@@ -863,3 +863,176 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dup_passage_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document duplicate-PASSAGE coverage: the fraction of token
+    positions covered by at least one word ``k``-gram that also occurs in
+    some OTHER document (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — the exact-substring dedup signal, at
+    k-gram granularity instead of suffix arrays).  Near-dup operators
+    answer "which documents are copies"; this answers "how much of THIS
+    document is boilerplate copied across the corpus", the signal used to
+    drop or trim partially-duplicated documents.
+
+    Output: (id, n_tokens, dup_tokens, dup_frac) for EVERY input row —
+    docs shorter than ``k`` tokens report 0 coverage.
+
+    Scale design (100 TB): positional grams are hashed longs (token-hash
+    chain, no gram strings — same kernel as :func:`_distinct_shingle_hashes`
+    but position-keyed and WITH duplicates kept); the only wide stages are
+    one groupBy on the gram hash (min!=max replaces a count-distinct — no
+    per-gram distinct map), the join back on the same key (AQE reuses the
+    partitioning), and the per-doc coverage distinct.  Everything is
+    O(total grams), never O(docs^2); no driver-side state.
+
+    Cross-doc only by design: a gram repeated inside one document does not
+    mark it (min(id) != max(id)), matching the dedup use case — in-doc
+    repetition is :func:`with_repetition_stats`'s job.
+    """
+    toks = tokens_col(text_col)
+    nt = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+
+    # Positional gram hashes for docs long enough to have one.  Pre-filter
+    # on token count (NOT post-hoc size(grams) > 0) and explode with the
+    # _outer variant: InferFiltersFromGenerate would otherwise clone the
+    # whole gram build into a scan-level filter (pathology SURVEY §9.1).
+    d = df.filter(F.size(toks) >= k).withColumn(
+        "__th", F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
+    )
+    th = F.col("__th")
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(th, i + j) for j in range(k)]
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(th) - (k - 1)), gram)
+    pos = d.select(
+        F.col(id_col), F.posexplode_outer(grams).alias("pos0", "gram")
+    )
+
+    # Grams seen in >= 2 distinct docs: min != max instead of
+    # count(distinct) — one ordinary agg, no distinct expansion.
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("gram")
+    )
+
+    covered = (
+        pos.join(dup, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + k)
+            ).alias("tp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    dup_tokens = F.coalesce("dup_tokens", F.lit(0)).cast("long")
+    return nt.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.round(dup_tokens / F.col("n_tokens"), 6).alias("dup_frac"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """DIRECTIONAL containment near-dup pairs: C(A -> B) =
+    |grams(A) & grams(B)| / |grams(A)| >= threshold.  Jaccard misses
+    subset relationships (a paragraph quoted inside a 100x longer doc has
+    tiny Jaccard but containment 1.0); containment is the right signal for
+    quote/excerpt detection and asymmetric dedup (drop the contained doc).
+
+    Output: (id, contained_in, containment) — one row per ordered pair,
+    both directions evaluated independently.
+
+    Candidate pruning (exact, no recall loss): a pair with
+    C(A -> B) >= t must share one of A's floor((1-t)*|A|)+1 globally
+    RAREST grams (at most (1-t)*|A| of A's grams fall outside B) — the
+    asymmetric version of the PPJoin prefix filter, with the prefix taken
+    only on the PROBE side and the full inverted index on the build side.
+    A size filter (|B| >= t*|A|) prunes further; verification recomputes
+    exact containment on the distinct-gram-hash sets.
+
+    TIERING AT SCALE: verification tier, same contract as
+    :func:`ngram_jaccard_pairs` — at 100 TB run it on LSH candidates or
+    audit samples; the headline candidate generator stays MinHash-LSH.
+    """
+    from pyspark import StorageLevel
+
+    sh = (
+        _distinct_shingle_hashes(
+            df.filter(F.size(tokens_col(text_col)) >= shingle_words),
+            id_col,
+            text_col,
+            shingle_words,
+        )
+        .select(F.col(id_col), "sh_hashes", F.size("sh_hashes").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv = sh.select(F.col(id_col), "n", F.explode("sh_hashes").alias("gram"))
+
+    gram_df = inv.groupBy("gram").agg(F.count("*").alias("df"))
+    ranked = inv.join(gram_df, "gram").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("df", "gram")),
+    )
+    # Probe-side prefix: the floor((1-t)*|A|)+1 rarest grams of A (epsilon
+    # lengthens the prefix on FP boundary error — conservative only).
+    prefix_len = (
+        F.floor((1.0 - threshold) * F.col("n") + F.lit(1e-9)).cast("int") + 1
+    )
+    probe = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "n", "gram")
+
+    cands = (
+        probe.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            # size filter: |A & B| >= t*|A| requires |B| >= t*|A|
+            & (F.col("b.n") + F.lit(1e-9) >= F.col("a.n") * threshold),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id"),
+            F.col(f"b.{id_col}").alias("contained_in"),
+        )
+        .distinct()
+    )
+
+    sets = sh.select(F.col(id_col), "sh_hashes", "n")
+    return (
+        cands.join(
+            sets.withColumnsRenamed(
+                {id_col: "id", "sh_hashes": "sh_a", "n": "n_a"}
+            ),
+            "id",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("contained_in"),
+                F.col("sh_hashes").alias("sh_b"),
+            ),
+            "contained_in",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id", "contained_in", F.round("containment", 6).alias("containment"))
+    )

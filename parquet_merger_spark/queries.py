@@ -24,7 +24,9 @@ from pyspark.sql import Window
 
 from parquet_merger_spark.operators.asof import asof_join
 from parquet_merger_spark.operators.dedup import (
+    containment_pairs,
     dup_clusters,
+    dup_passage_coverage,
     exact_dedup,
     minhash_lsh_pairs,
     near_dedup_survivors,
@@ -1868,6 +1870,33 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dup_passages(spark, sf_dir):
+    """Duplicate-PASSAGE coverage per document (Lee et al. 2021-style
+    exact-substring dedup signal at word-5-gram granularity): the fraction
+    of each document's token positions covered by a 5-gram that also
+    occurs in some OTHER document.  The trim/drop signal for partially
+    duplicated documents — near-dup pair operators can't see a boilerplate
+    paragraph shared by thousands of otherwise-distinct pages.
+
+    Scale: positional gram hashes (longs), one groupBy + one join on the
+    gram key (min!=max instead of count-distinct), O(total grams)."""
+    d = _t(spark, sf_dir, "documents")
+    return dup_passage_coverage(d, k=5)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directional containment near-dup pairs C(A->B) = |A&B|/|A| >= 0.6
+    on word-3-gram sets — catches quote/excerpt subset relationships that
+    Jaccard structurally misses (a doc fully contained in a 100x longer
+    one has Jaccard ~0.01 but containment 1.0).
+
+    VERIFICATION TIER like dedup_ngram_jaccard: probe-side rarity-prefix
+    filter (asymmetric PPJoin) + size filter keep the candidate join
+    subquadratic; at 100 TB run on LSH candidates or audit samples."""
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, shingle_words=3, threshold=0.6)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup PAIR -> CLUSTER resolution: connected components over the
     exact Jaccard pairs (t=0.8); cluster_id = smallest member id.  The
@@ -3691,6 +3720,56 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "dup_passages": """
+        WITH nt AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 string_split(text, ' ') AS ts
+          FROM documents
+        ), g AS (
+          SELECT doc_id, pos, array_to_string(ts[pos : pos + 4], ' ') AS gram
+          FROM (
+            SELECT doc_id, ts,
+                   unnest(CASE WHEN n_tokens >= 5
+                               THEN range(1, n_tokens - 3) ELSE [] END) AS pos
+            FROM nt
+          )
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+        ), cov AS (
+          SELECT DISTINCT doc_id, tp FROM (
+            SELECT g.doc_id, unnest(range(g.pos, g.pos + 5)) AS tp
+            FROM g JOIN dup USING (gram)
+          )
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+          FROM cov GROUP BY doc_id
+        )
+        SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(a.dup_tokens, 0) AS dup_tokens,
+               round(coalesce(a.dup_tokens, 0) / n.n_tokens, 6) AS dup_frac
+        FROM nt n LEFT JOIN agg a USING (doc_id)
+    """,
+    "dedup_containment": """
+        WITH g AS (
+          SELECT DISTINCT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])
+              ELSE [] END) AS gram
+          FROM documents
+        ), sz AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id
+        ), shared AS (
+          SELECT a.doc_id AS id, b.doc_id AS contained_in,
+                 CAST(count(*) AS BIGINT) AS sh
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id, contained_in, round(sh / sa.n, 6) AS containment
+        FROM shared JOIN sz sa ON id = sa.doc_id
+        WHERE sh / sa.n >= 0.6
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE g AS ({_GRAMS}),
         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
@@ -4443,6 +4522,8 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_indexed": q_decontaminate_indexed,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dup_passages": q_dup_passages,
+    "dedup_containment": q_dedup_containment,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

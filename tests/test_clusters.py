@@ -211,3 +211,100 @@ def test_exact_dedup_survivor_deterministic_under_ties(spark):
         for r in exact_dedup(df.repartition(7), ["k"], "ts").collect()
     )
     assert first == again == [(1, 100, "a"), (2, 50, "z")]
+
+
+# ---------------------------------------------------------------------------
+# dup_passage_coverage / containment_pairs unit semantics
+# ---------------------------------------------------------------------------
+
+from parquet_merger_spark.operators.dedup import (  # noqa: E402
+    containment_pairs,
+    dup_passage_coverage,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_passages_shared_gram_covers_k_positions(spark):
+    """Two docs sharing exactly one 3-gram: each gets dup_tokens = 3."""
+    d = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta alpha beta gamma eta theta"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in dup_passage_coverage(d, k=3).collect()
+    }
+    assert got[1] == (5, 3, 0.6)
+    assert got[2] == (6, 3, 0.5)
+
+
+def test_dup_passages_overlapping_grams_union_not_sum(spark):
+    """Adjacent duplicated grams overlap: coverage is the UNION of their
+    position intervals, not k per gram."""
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d x1 y1"),
+            (2, "a b c d x2 y2"),
+        ],
+    )
+    # shared 3-grams: "a b c" (pos 1) and "b c d" (pos 2) -> covers 1..4
+    got = {r.doc_id: r.dup_tokens for r in dup_passage_coverage(d, k=3).collect()}
+    assert got == {1: 4, 2: 4}
+
+
+def test_dup_passages_short_and_unique_docs_zero(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "one two"),  # shorter than k
+            (2, "three four five six"),  # unique content
+            (3, "p q r s p q r s"),  # IN-DOC repeat only: not cross-doc dup
+        ],
+    )
+    rows = {r.doc_id: (r.n_tokens, r.dup_tokens) for r in dup_passage_coverage(d, k=3).collect()}
+    assert rows == {1: (2, 0), 2: (4, 0), 3: (8, 0)}
+
+
+def test_containment_is_directional(spark):
+    """A's grams all appear in B (B is A + extra text): A->B containment
+    1.0; B->A is below threshold and must NOT appear."""
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b c d e f g h i j k l m n o p"),
+        ],
+    )
+    rows = {
+        (r.id, r.contained_in): r.containment
+        for r in containment_pairs(d, shingle_words=2, threshold=0.9).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+
+
+def test_containment_threshold_filters(spark):
+    """Half of A's 2-grams in B -> containment 0.5: included at t=0.5,
+    excluded at t=0.9."""
+    d = _docs(
+        spark,
+        [
+            (1, "a b c x y z"),  # grams: ab bc cx xy yz (5)
+            (2, "a b c q r s t u v w"),  # shares ab bc -> 2/5 = 0.4
+        ],
+    )
+    lo = {
+        (r.id, r.contained_in)
+        for r in containment_pairs(d, shingle_words=2, threshold=0.4).collect()
+    }
+    hi = {
+        (r.id, r.contained_in)
+        for r in containment_pairs(d, shingle_words=2, threshold=0.9).collect()
+    }
+    assert (1, 2) in lo and not hi
