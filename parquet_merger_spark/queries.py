@@ -2131,6 +2131,124 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_keyness_terms(spark, sf_dir):
+    """Per-source DISTINCTIVE terms (corpus keyness): for every source,
+    the top-5 terms by integer lift_ppm = 1e6 * P(term|source) / P(term)
+    = (tf_src * total_tokens * 1e6) DIV (src_tokens * tf_corpus), with a
+    tf >= 5 noise floor.  The domain-signature signal a mixture-building
+    pipeline uses to characterize and weight sources — log-odds keyness
+    with the log dropped so the statistic stays EXACT integer arithmetic
+    (bit-stable across engines; ranking is order-isomorphic to the
+    log form since log is monotone).
+
+    Scale: tf/totals are two chained aggregates over exploded tokens (one
+    shuffle each on (source,term) then term); the 1-row corpus total and
+    the per-source totals broadcast back; ranking is a per-source top-5
+    window over the small tf>=5 survivor set.  All integer sums —
+    associative, partition-order-free."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    tot = tf.groupBy("source").agg(F.sum("tf").alias("src_tokens"))
+    corp = tf.groupBy("term").agg(F.sum("tf").alias("tf_corpus"))
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    ranked = (
+        tf.filter(F.col("tf") >= 5)
+        .join(F.broadcast(tot), "source")
+        .join(corp, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "(tf * total_tokens * CAST(1000000 AS BIGINT))"
+                " DIV (src_tokens * tf_corpus)"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("lift_ppm").desc(), F.col("tf").desc(), "term"
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    return ranked.select(
+        "source", "term", "tf", "lift_ppm", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_url_functions(spark, sf_dir):
+    """URL curation scalar family over deterministically synthesized URLs:
+    parse host / path / query-parameter (Spark ``parse_url``), registered
+    domain, and tracking-parameter stripping — the normalize-before-dedup
+    step every web-crawl pipeline runs.  Row-local JVM expressions, zero
+    shuffle; the DuckDB oracle rebuilds each part with RE2 regexes."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), sid,
+        F.lit("?utm_source=feed&id="), sid,
+        F.lit("&ref=r"), (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("query_id"),
+        F.regexp_replace("url", r"utm_[a-z]+=[^&]*&", "").alias("clean_url"),
+    )
+
+
+def q_sql_group_by_all(spark, sf_dir):
+    """SQL front-end: GROUP BY ALL (Spark 3.4+/DuckDB shared dialect) —
+    every non-aggregate select item becomes a grouping key.  Quantities
+    summed as exact BIGINT (integral-valued in the fixture) so the rollup
+    is partition-order-free."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               CAST(max(l_discount) AS DOUBLE) AS max_disc
+        FROM v_lineitem
+        GROUP BY ALL
+    """)
+
+
+def q_embed_kmeans(spark, sf_dir):
+    """Embedding k-means clustering surfaced as a first-class operator
+    (the partitioner behind IVF and SemDeDup bucketing): 16 deterministic
+    integer-Lloyd centroids, each vector assigned to its nearest, reduced
+    to per-cluster (size, id-sum) fingerprints.  Rows-only key: kmeans has
+    no SQL twin; determinism is pinned by the double-run contract check
+    and the integer-sum Lloyd design (bit-stable across partitionings)."""
+    from parquet_merger_spark.operators.simsearch import (
+        assign_buckets,
+        build_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = build_ivf_centroids(emb, nlist=16, iters=2)
+    assigned = assign_buckets(emb, centroids, n_assign=1)
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("cluster_id"), "n_vecs", "id_sum"
+        )
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub pass (emails / IPv4 / phone patterns): match counts on the
     original text plus the redacted text.  The synthetic corpus is
@@ -3720,6 +3838,64 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "keyness_terms": """
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2
+        ), tot AS (
+          SELECT source, CAST(sum(tf) AS BIGINT) AS src_tokens
+          FROM tf GROUP BY source
+        ), corp AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS tf_corpus
+          FROM tf GROUP BY term
+        ), total AS (
+          SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf
+        ), lifted AS (
+          SELECT tf.source, tf.term, tf.tf,
+                 CAST((tf.tf * total.total_tokens * CAST(1000000 AS BIGINT))
+                      // (tot.src_tokens * corp.tf_corpus) AS BIGINT) AS lift_ppm
+          FROM tf
+          JOIN tot USING (source)
+          JOIN corp USING (term)
+          CROSS JOIN total
+          WHERE tf.tf >= 5
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY lift_ppm DESC, tf DESC, term) AS rank
+          FROM lifted
+        )
+        SELECT source, term, tf, lift_ppm, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "url_functions": """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://www.' || source || '.example.com/docs/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                   || '&ref=r' || CAST(doc_id % 7 AS VARCHAR) AS url
+          FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                              '([^.]+\\.[^.]+)$', 1) AS domain,
+               regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]id=([^&]*)', 1) AS query_id,
+               regexp_replace(url, 'utm_[a-z]+=[^&]*&', '') AS clean_url
+        FROM u
+    """,
+    "sql_group_by_all": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(max(l_discount) AS DOUBLE) AS max_disc
+        FROM lineitem
+        GROUP BY ALL
+    """,
     "dup_passages": """
         WITH nt AS (
           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
@@ -4524,6 +4700,10 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dup_passages": q_dup_passages,
     "dedup_containment": q_dedup_containment,
+    "keyness_terms": q_keyness_terms,
+    "url_functions": q_url_functions,
+    "sql_group_by_all": q_sql_group_by_all,
+    "embed_kmeans": q_embed_kmeans,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
