@@ -189,65 +189,82 @@ def build_ivf_centroids(
     sample), refined with ``iters`` Lloyd (kmeans) iterations.  Returns
     (centroid_id, centroid) — nlist rows, always broadcastable.
 
-    Scale/determinism design:
-    - The seed selection is ``orderBy().limit(nlist)`` — a distributed
-      TakeOrderedAndProject (each partition keeps a local top-nlist, the
-      driver merges); no single-task global sort.
-    - Training runs on a deterministic hash-sample of at most
-      ``max_train_rows`` rows (centroid models never need the full corpus).
-    - Each Lloyd step sums the QUANTIZED (integer) vectors per bucket —
-      integer addition is order-insensitive, so the refined centroids are
-      bit-identical across runs/partitionings, unlike a double ``avg``.
+    Scale/determinism design (the FAISS shape: train the quantizer on a
+    bounded sample AT THE DRIVER, apply it distributed):
+    - ONE distributed job total: a TakeOrderedAndProject of the
+      ``max_train_rows`` training vectors by ``xxhash64(id)`` (each
+      partition keeps a local top-k, the driver merges — no global
+      sort), quantized IN SPARK so the grid rounding (HALF_UP on
+      doubles) is identical to the assignment path's.  Seeds are the
+      first ``nlist`` rows of the same hash order.
+    - The Lloyd refinement itself is numpy over that sample — a
+      model-sized computation (<= max_train_rows x dim).  The earlier
+      revision ran each iteration as a distributed assign + integer-sum
+      aggregate: two cluster round-trips per iteration to refine a model
+      that fits in driver memory by construction.  Per-iteration cost is
+      now zero Spark jobs; at 100 TB the sample collect is the same
+      bounded size.
+    - All arithmetic stays EXACT: grid elements and their pairwise
+      products are < 2^53, so float64 matmul dots are exact integers;
+      bucket sums over <= max_train_rows rows stay < 2^53; ties break by
+      smallest centroid id (argmax-first); zero-norm vectors score -2.0
+      — bit-identical semantics to the distributed assignment
+      expression, independent of partitioning and platform.
+    - New centroids are HALF-UP re-rounded onto the grid (matching what
+      Spark's ``quantize`` would do to them at assignment time), so the
+      returned model round-trips losslessly through parquet persistence.
     - The nlist centroids live on the driver as the quantizer "model"
       (exactly like Spark ML KMeans) and re-parallelize as a small
       broadcastable table.
     """
-    spark = corpus.sparkSession
-    vecs_only = corpus.select(F.col(id_col), F.col(vec_col))
+    import numpy as np
 
-    seed_rows = (
-        vecs_only.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(nlist)
+    spark = corpus.sparkSession
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(max(nlist, max_train_rows))
         .collect()
     )
-    centroid_vecs = [[float(x) for x in row[vec_col]] for row in seed_rows]
-    centroids = _centroids_df(spark, centroid_vecs)
-    if iters <= 0:
-        return centroids
-
-    n = vecs_only.count()
-    train = vecs_only
-    if n > max_train_rows:
-        # deterministic sample of AT MOST ~max_train_rows rows (ceiling
-        # division: flooring would let the sample run up to 2x the cap)
-        keep_mod = max(1, -(-n // max_train_rows))
-        train = vecs_only.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
-
-    for _ in range(iters):
-        assigned = assign_buckets(train, centroids, id_col, vec_col)
-        sums = (
-            assigned.select(
-                "bucket", F.posexplode(quantize(F.col(vec_col))).alias("pos", "qv")
+    if not sample_rows:
+        return _centroids_df(spark, [])
+    Q = np.array([[int(x) for x in r["q"]] for r in sample_rows], dtype=np.float64)
+    C = Q[:nlist].copy()
+    if iters > 0:
+        q2 = (Q * Q).sum(axis=1)
+        for _ in range(iters):
+            c2 = (C * C).sum(axis=1)
+            denom = np.sqrt(q2)[:, None] * np.sqrt(c2)[None, :]
+            sim = np.divide(
+                Q @ C.T,
+                denom,
+                out=np.full((len(Q), len(C)), -2.0),
+                where=denom > 0,
             )
-            .groupBy("bucket", "pos")
-            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        by_bucket: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_bucket.setdefault(r.bucket, {})[r.pos] = (r.s, r.c)
-        new_vecs = []
-        for cid, old in enumerate(centroid_vecs):
-            coords = by_bucket.get(cid)
-            if not coords:  # empty bucket keeps its previous centroid
-                new_vecs.append(old)
-                continue
-            new_vecs.append(
-                [coords[p][0] / (coords[p][1] * QUANT_SCALE) for p in range(len(old))]
-            )
-        centroid_vecs = new_vecs
-        centroids = _centroids_df(spark, centroid_vecs)
-    return centroids
+            bucket = np.argmax(sim, axis=1)
+            for cid in range(len(C)):
+                mask = bucket == cid
+                if mask.any():  # empty bucket keeps its previous centroid
+                    avg = Q[mask].sum(axis=0) / mask.sum()
+                    C[cid] = np.sign(avg) * np.floor(np.abs(avg) + 0.5)
+    out = _centroids_df(
+        spark, [[float(x) / QUANT_SCALE for x in row] for row in C]
+    )
+    # The quantized model is already known EXACTLY (C is integer-valued;
+    # Spark's quantize() of k/QUANT_SCALE round-trips to k for |k| far
+    # from any half boundary, which grid ints always are).  Attach it so
+    # the assignment/probe paths skip their re-quantize-and-collect job —
+    # a tiny LocalTableScan job, but TWO of them sat on the hot path of
+    # every in-session IVF build+probe (~1.5 s each on a loaded host).
+    out._pm_quantized = [
+        {
+            "centroid_id": i,
+            "__q": [int(x) for x in row],
+            "__q2": int((row * row).sum()),
+        }
+        for i, row in enumerate(C)
+    ]
+    return out
 
 
 # Above this many literal longs (nlist * dim) the codegen'd centroid
@@ -259,7 +276,15 @@ def _collect_quantized_centroids(centroids: DataFrame) -> list:
     """(centroid_id, qvec, q2) rows with quantization done IN SPARK so the
     driver-side literals are bit-identical to what the join path computes
     (Spark ``round`` is HALF_UP; Python ``round`` is HALF_EVEN — quantizing
-    in Python here would silently flip boundary elements)."""
+    in Python here would silently flip boundary elements).
+
+    Centroid frames built by :func:`build_ivf_centroids` carry the exact
+    quantized model as ``_pm_quantized`` (grid ints known at build time);
+    use it directly instead of launching a collect job.  Loaded/foreign
+    centroid frames (e.g. :func:`load_ivf_index`) take the Spark path."""
+    cached = getattr(centroids, "_pm_quantized", None)
+    if cached is not None:
+        return cached
     return (
         _with_quantized(centroids, "centroid")
         .select("centroid_id", "__q", "__q2")
@@ -275,17 +300,24 @@ def _nearest_centroids_expr(cen_rows: list, qcol: Column, q2col: Column, n: int)
 
     Tie-break matches the join path: sim desc, centroid_id asc (encoded as
     -cid so one descending sort_array orders both).  Null sims (zero-norm
-    vectors) coalesce to -2.0, below any real cosine."""
-    cen_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.array(*[F.lit(int(x)) for x in r["__q"]]).alias("cq"),
-                F.lit(int(r["__q2"])).alias("cq2"),
-            )
-            for r in cen_rows
-        ]
-    )
+    vectors) coalesce to -2.0, below any real cosine.
+
+    The literal array is built as ONE parsed SQL expression, not nested
+    ``F.lit``/``F.struct`` calls: nlist x dim literals as individual
+    Column objects cost a py4j round-trip EACH (~2 ms x 1000+ = seconds
+    of pure plan-construction latency before any data moves — the
+    client-side twin of the §9.7 plan-compile pathology; measured 5.9 s
+    -> 0.1 s for nlist=16, dim=64 at sf0.1).  The resulting expression
+    tree is identical either way."""
+    parts = [
+        "named_struct('cid',{cid},'cq',array({cq}),'cq2',{cq2}L)".format(
+            cid=int(r["centroid_id"]),
+            cq=",".join(f"{int(x)}L" for x in r["__q"]),
+            cq2=int(r["__q2"]),
+        )
+        for r in cen_rows
+    ]
+    cen_lit = F.expr("array(" + ",".join(parts) + ")")
     sims = F.transform(
         cen_lit,
         lambda c: F.struct(
@@ -807,24 +839,30 @@ def train_pq_codebooks(
     """Learn integer PQ codebooks: ``[m][n_codes][dim/m]`` on the
     QUANT_SCALE grid.
 
-    Seeds are the n_codes corpus vectors with smallest xxhash64(id)
-    (distributed TakeOrdered — no global sort), split into subvectors;
-    ``iters`` Lloyd steps refine each subspace independently, with
-    integer per-(subspace, code, position) sums so the result is
-    order-insensitive.  Training reads a deterministic hash-sample of at
-    most ~``max_train_rows`` rows; the model lives on the driver exactly
-    like Spark ML's KMeans model.
+    Seeds are the n_codes corpus vectors with smallest xxhash64(id),
+    split into subvectors; ``iters`` Lloyd steps refine each subspace
+    independently.  Like :func:`build_ivf_centroids`, training is the
+    FAISS shape: ONE distributed TakeOrdered collects the (quantized)
+    ``max_train_rows`` hash-sample, and the per-subspace Lloyd runs in
+    numpy at the driver — a model-sized computation that previously cost
+    two cluster round-trips per iteration.  All arithmetic is exact:
+    grid products and bounded sums stay < 2^53 in float64, assignment is
+    min squared-L2 with smallest-code tie-break (argmin-first), empty
+    codes keep their previous codeword, new codewords are
+    ``floor(mean + 0.5)`` — bit-identical to the distributed
+    expression semantics it replaces, independent of partitioning.
     """
-    import math
+    import numpy as np
 
     qv = corpus.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
-    seed_rows = (
+    sample_rows = (
         qv.orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(n_codes)
+        .limit(max(n_codes, max_train_rows))
         .collect()
     )
-    if not seed_rows:
+    if not sample_rows:
         raise ValueError("cannot train PQ codebooks on an empty corpus")
+    seed_rows = sample_rows[:n_codes]
     dim = len(seed_rows[0]["q"])
     splits = _pq_split(m, dim)
     books: list[list[list[int]]] = [
@@ -834,70 +872,20 @@ def train_pq_codebooks(
     if iters <= 0:
         return books
 
-    n = corpus.count()
-    train = qv
-    if n > max_train_rows:
-        keep_mod = max(1, -(-n // max_train_rows))
-        train = qv.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(keep_mod)) == 0)
-    # one row per (vector, subspace): the m subspaces train in parallel
-    # inside the same shuffles instead of m sequential jobs
-    sub_rows = train.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("q", st, ln).alias("sub"),
-                    )
-                    for s, (st, ln) in enumerate(splits)
-                ]
-            )
-        ).alias("e"),
-    ).select("id", F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    sub_rows = sub_rows.withColumn("sub2", quantized_dot(F.col("sub"), F.col("sub")))
-
-    spark = corpus.sparkSession
-    for _ in range(iters):
-        code_rows = [
-            (s, c, books[s][c], sum(x * x for x in books[s][c]))
-            for s in range(m)
-            for c in range(n_codes)
-        ]
-        codes_df = spark.createDataFrame(
-            code_rows, "s int, code int, cvec array<bigint>, cvec2 bigint"
-        )
-        assigned = (
-            sub_rows.join(F.broadcast(codes_df), "s")
-            .withColumn(
-                "dist",
-                F.col("sub2")
-                - 2 * quantized_dot(F.col("sub"), F.col("cvec"))
-                + F.col("cvec2"),
-            )
-            .groupBy("id", "s")
-            .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("mn"))
-            .select("id", "s", F.col("mn.code").alias("code"))
-        )
-        sums = (
-            sub_rows.join(assigned, ["id", "s"])
-            .select("s", "code", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("s", "code", "pos")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            acc.setdefault((r.s, r.code), {})[r.pos] = (r.sx, r.c)
-        for s in range(m):
+    Q = np.array([[int(x) for x in r["q"]] for r in sample_rows], dtype=np.float64)
+    for s, (st, ln) in enumerate(splits):
+        S = Q[:, st - 1 : st - 1 + ln]
+        s2 = (S * S).sum(axis=1)
+        B = np.array(books[s], dtype=np.float64)
+        for _ in range(iters):
+            b2 = (B * B).sum(axis=1)
+            dist = s2[:, None] - 2.0 * (S @ B.T) + b2[None, :]
+            code = np.argmin(dist, axis=1)
             for c in range(n_codes):
-                coords = acc.get((s, c))
-                if not coords:  # empty code keeps its previous codeword
-                    continue
-                books[s][c] = [
-                    int(math.floor(coords[p][0] / coords[p][1] + 0.5))
-                    for p in range(len(books[s][c]))
-                ]
+                mask = code == c
+                if mask.any():  # empty code keeps its previous codeword
+                    B[c] = np.floor(S[mask].sum(axis=0) / mask.sum() + 0.5)
+        books[s] = [[int(x) for x in row] for row in B]
     return books
 
 
