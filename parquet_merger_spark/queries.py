@@ -2482,6 +2482,147 @@ def q_stream_near_dedup(spark, sf_dir):
     )
 
 
+def q_stream_window_agg(spark, sf_dir):
+    """STREAMING tumbling-window aggregation driven end-to-end: events
+    replay in three mtime-pinned micro-batches split by EVENT TIME (time-
+    ordered arrival, so the 2 h watermark never drops a row), plus a
+    far-future sentinel event whose watermark advance closes every real
+    window; append mode then emits each window exactly once into the
+    memory sink.  Result = the same rows as the batch twin
+    (`window_agg_events`), certified by the SAME oracle — the equality
+    "append-mode stream over ordered batches == one batch aggregate" is
+    exactly the exactly-once window contract.
+
+    Scale: state is bounded by windows-per-watermark-horizon x key
+    cardinality; emitted windows evict.  The sentinel is the test-harness
+    twin of a real feed's continuing event flow."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import (
+        windowed_event_counts_stream,
+    )
+
+    base = _scratch_dir(spark, "stream_window_agg")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + span + span]
+    slices = [
+        e.filter(F.col("ts") < bounds[0]),
+        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.filter(F.col("ts") >= bounds[1]),
+        spark.createDataFrame(
+            [(int(-1), hi + __import__("datetime").timedelta(days=30), int(-1),
+              "__sentinel__", 0.0)],
+            e.schema,
+        ),
+    ]
+    for i, batch in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    name = f"swa_{uuid.uuid4().hex[:8]}"
+    q = windowed_event_counts_stream(
+        spark, src, os.path.join(base, "ckpt"),
+        window="1 hour", watermark="2 hours",
+        query_name=name, output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.col("window_start").cast("long").alias("ws_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_session_window(spark, sf_dir):
+    """STREAMING sessionization driven end-to-end: the native
+    ``session_window`` aggregate over three time-ordered mtime-pinned
+    micro-batches + a far-future sentinel that closes every real session
+    (append mode emits each session exactly once, state evicts at the
+    watermark).  Sessions spanning a micro-batch boundary MERGE in the
+    state store — the semantics batch re-aggregation gets for free and
+    streaming must actively implement; equality with the batch twin
+    (`session_window`, SAME oracle) certifies exactly that."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import session_window_stream
+
+    base = _scratch_dir(spark, "stream_session_window")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+
+    # second-granularity ts BEFORE writing the replay files so the
+    # streamed plan matches the batch `session_window` contract exactly
+    e = (
+        _events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("long").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + span + span]
+    slices = [
+        e.filter(F.col("ts") < bounds[0]),
+        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.filter(F.col("ts") >= bounds[1]),
+        spark.createDataFrame(
+            [(int(-1), hi + __import__("datetime").timedelta(days=30), int(-1),
+              "__sentinel__", 0.0)],
+            e.schema,
+        ),
+    ]
+    for i, batch in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = session_window_stream(
+        spark, src, os.path.join(base, "ckpt"),
+        gap_minutes=30, watermark="2 hours",
+        query_name=name, output_mode="append",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != -1)
+        .select(
+            "user_id",
+            F.col("session_start").cast("long").alias("session_start_epoch"),
+            F.col("session_end").cast("long").alias("session_end_epoch"),
+            "n_events",
+        )
+    )
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSON-lines sink + typed source round-trip: write 500 documents
     rows as JSONL (Spark's parallel directory write), read back with an
@@ -4597,6 +4738,15 @@ ORACLE_SQL["decontaminate_indexed"] = ORACLE_SQL["decontaminate"]
 # one-shot batch upsert — same oracle certifies the streaming path.
 ORACLE_SQL["stream_upsert"] = ORACLE_SQL["upsert_orders"]
 
+# append-mode stream over time-ordered micro-batches == the one-shot
+# batch window aggregate (the sentinel row is filtered on the Spark side
+# and never exists in the oracle's events table)
+ORACLE_SQL["stream_window_agg"] = ORACLE_SQL["window_agg_events"]
+
+# streamed sessions over ordered batches (with cross-batch session merge)
+# == the one-shot batch sessionization
+ORACLE_SQL["stream_session_window"] = ORACLE_SQL["session_window"]
+
 
 QUERIES: dict[str, QueryFn] = {
     "scan_parquet": q_scan_parquet,
@@ -4737,5 +4887,7 @@ QUERIES: dict[str, QueryFn] = {
     "ingest_quarantine": q_ingest_quarantine,
     "upsert_orders": q_upsert_orders,
     "stream_upsert": q_stream_upsert,
+    "stream_window_agg": q_stream_window_agg,
+    "stream_session_window": q_stream_session_window,
     "stream_near_dedup": q_stream_near_dedup,
 }
