@@ -2131,6 +2131,36 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-safe SALTED equi-join as an oracle-checked contract key: the
+    orders side is salted into 8 deterministic sub-keys and the customer
+    dim replicated once per salt, so a hot customer's rows spread over 8
+    tasks instead of one straggler.  The oracle is the PLAIN join — the
+    whole point of salting is output-invariance, and the hash equality
+    certifies it end-to-end (exact integer-cents rollup per segment).
+    Use when skew is known up front and a statically-planned pipeline
+    can't rely on AQE's runtime skew split."""
+    from parquet_merger_spark.operators.ranking import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(
+        o, c, ["o_custkey"], salt_from=F.xxhash64("o_orderkey"), n_salts=8
+    )
+    return (
+        j.withColumn("cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
 def q_keyness_terms(spark, sf_dir):
     """Per-source DISTINCTIVE terms (corpus keyness): for every source,
     the top-5 terms by integer lift_ppm = 1e6 * P(term|source) / P(term)
@@ -3979,6 +4009,13 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "skew_salted_join": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
     "keyness_terms": """
         WITH tok AS (
           SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
@@ -4851,6 +4888,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_passages": q_dup_passages,
     "dedup_containment": q_dedup_containment,
     "keyness_terms": q_keyness_terms,
+    "skew_salted_join": q_skew_salted_join,
     "url_functions": q_url_functions,
     "sql_group_by_all": q_sql_group_by_all,
     "embed_kmeans": q_embed_kmeans,

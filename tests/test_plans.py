@@ -328,3 +328,39 @@ def test_headline_plans_pass_scale_review(spark):
             allow_nested_loop=name in _BNLJ_VOUCHED,
             allow_single_partition=name in _SINGLE_VOUCHED,
         )
+
+
+def test_round3_new_operator_plans_pass_scale_review(spark):
+    """Plan pins for the round-3 additions that are not headline keys.
+
+    - dedup_containment: candidates come from an equi-join on the gram
+      hash (asymmetric prefix filter) — no cartesian, no nested loop.
+    - keyness_terms: the only nested-loop is the 1-row corpus-total
+      broadcast (model-tiny, vouched); per-source totals broadcast-join.
+    - url_functions: a pure scalar family — the plan must be entirely
+      shuffle-free (zero hash exchanges).
+    - skew_salted_join: salting must stay an equi-join (salt is part of
+      the join key, the right side replicates via explode, never a
+      nested-loop replicate).
+    - sql_group_by_all / dup_passages / embed_kmeans: standard review.
+    """
+    from parquet_merger_spark.plans.audit import assert_scalable
+    from parquet_merger_spark.queries import QUERIES
+
+    assert_scalable(QUERIES["dedup_containment"](spark, SF_DIR))
+    # nested-loop: the 1-row corpus-total broadcast; single-partition: the
+    # same global scalar aggregate (map-side partials -> one 1-row task,
+    # the vouched global-scalar-reduction family)
+    assert_scalable(
+        QUERIES["keyness_terms"](spark, SF_DIR),
+        allow_nested_loop=True,
+        allow_single_partition=True,
+    )
+    dig = assert_scalable(
+        QUERIES["url_functions"](spark, SF_DIR), max_hash_exchanges=0
+    )
+    assert dig["hash_exchanges"] == 0
+    assert_scalable(QUERIES["skew_salted_join"](spark, SF_DIR))
+    assert_scalable(QUERIES["sql_group_by_all"](spark, SF_DIR))
+    assert_scalable(QUERIES["dup_passages"](spark, SF_DIR))
+    assert_scalable(QUERIES["embed_kmeans"](spark, SF_DIR))
