@@ -84,3 +84,53 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .drop("__side")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """FORWARD as-of join: every ``left`` row gains ``right_cols`` from
+    the right row with the SMALLEST ``right_ts`` >= ``left_ts`` for the
+    same key — "what happened next" (next price tick, next user action,
+    the label-lookahead join in training-data builds), the mirror of
+    :func:`asof_join`'s "latest state so far".
+
+    Same union + single-window idiom and the same scale shape (one
+    shuffle on the key, no range-join blowup), with the frame reversed:
+    left rows tag side=0 so an equal-timestamp right row (side=1) sorts
+    at-or-after them inside the (ts, side) order, and
+    ``first(payload, ignorenulls=True)`` over [current row, unbounded
+    following) picks the nearest future right payload inclusively.
+    The right side must be unique per (on, right_ts), as in
+    :func:`asof_join`.
+    """
+    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__side", F.lit(0)
+    )
+    r_tagged = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__t"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        )
+        .withColumn("__side", F.lit(1))
+    )
+    combined = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = F.first("__r", ignorenulls=True).over(w)
+    out_cols: list[Column] = [carried[c].alias(c) for c in right_cols]
+    return (
+        combined.select(*left.columns, "__side", *out_cols)
+        .filter(F.col("__side") == 0)
+        .drop("__side")
+    )

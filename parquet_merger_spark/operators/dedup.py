@@ -1036,3 +1036,41 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id", "contained_in", F.round("containment", 6).alias("containment"))
     )
+
+
+def near_dedup_survivors_by(
+    df: DataFrame,
+    pairs: DataFrame,
+    order_by: list[Column],
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Survivor-POLICY variant of :func:`near_dedup_survivors`: keep the
+    best member of each near-dup cluster under an arbitrary ordering
+    (longest text, highest quality score, newest crawl...) instead of the
+    smallest id.  Production dedup pipelines almost never want
+    "smallest id wins" — they keep the most complete or highest-quality
+    copy; this makes the policy a first-class pluggable argument.
+
+    ``order_by``: ordering columns over ``df``'s columns, best first
+    (e.g. ``[F.desc("n_chars")]``); the id is always appended as the
+    final tie-break so the winner is total-order deterministic.
+
+    Scale: cluster resolution is the same iterative component pass;
+    policy selection is ONE window over cluster members only (documents
+    untouched by any pair bypass the window entirely via anti-join), so
+    the added cost is O(clustered docs), not O(corpus).
+    """
+    clusters = dup_clusters(pairs, id_a, id_b).select(
+        F.col("doc_id").alias("__m"), "cluster_id"
+    )
+    members = df.join(clusters, df[id_col] == F.col("__m"))
+    w = Window.partitionBy("cluster_id").orderBy(*order_by, F.col(id_col))
+    winners = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*df.columns)
+    )
+    untouched = df.join(clusters, df[id_col] == F.col("__m"), "left_anti")
+    return untouched.unionByName(winners)

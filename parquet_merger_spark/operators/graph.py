@@ -99,7 +99,7 @@ def pagerank_int(
     maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     if iterations <= 0:
         return vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         # one E-volume shuffle per iteration (the contribution aggregate
         # on dst); the rank sides are O(V) and broadcast by default (see
         # docstring), so cached E stays put
@@ -130,14 +130,20 @@ def pagerank_int(
                     )
                 ).cast("long").alias("rank_micro"),
             )
-            # Truncate lineage each pass: the r02 final plan unrolled all
-            # iterations (43 exchanges of repeated setup — executed jobs
-            # reused the cache, but the plan text defeated audits and
-            # re-optimized a tree that grows with the iteration count).
-            # Checkpointing the O(V) rank frame is cheap (~21k rows at
-            # sf0.1); under AQE the lazy checkpoint materializes when the
-            # loop builds the next pass, pulling the persisted invariants
-            # into cache on the first iteration.
-            .localCheckpoint(eager=False)
         )
+        # Truncate lineage EVERY SECOND pass, never after the last: the
+        # r02 final plan unrolled all iterations (43 exchanges of
+        # repeated setup — executed jobs reused the cache, but the plan
+        # text defeated audits and re-optimized a tree that grows with
+        # the iteration count).  Per-pass truncation over-corrected: each
+        # checkpoint is a materialization barrier (a job), and a 2-pass
+        # lineage is still a shallow, auditable plan — so the cadence
+        # halves the barrier count, and the final pass returns without
+        # one (its depth is at most 2 passes).  Checkpointing the O(V)
+        # rank frame is cheap (~21k rows at sf0.1); under AQE the lazy
+        # checkpoint materializes when the loop builds the next pass,
+        # pulling the persisted invariants into cache on the first
+        # iteration.
+        if it % 2 == 1 and it != iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -1661,6 +1661,84 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_join_forward(spark, sf_dir):
+    """FORWARD point-in-time join: each order gains the customer's FIRST
+    event at or after the order date — the "what happened next" mirror of
+    `asof_join` (label-lookahead joins, next-tick attribution).  Same
+    union + single-window idiom, frame reversed; one shuffle on the key,
+    no range-join blowup."""
+    from parquet_merger_spark.operators.asof import asof_join_forward
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+    )
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").cast("long").alias("event_epoch"),
+        "event_id",
+        "value",
+    )
+    # unique per (user, second): the smallest event_id wins (forward scan
+    # reads "the first thing that happened"), mirroring asof_join's dedup
+    w = Window.partitionBy("o_custkey", "event_epoch").orderBy("event_id")
+    e_uniq = e.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    joined = asof_join_forward(
+        o,
+        e_uniq,
+        on="o_custkey",
+        left_ts="order_epoch",
+        right_ts="event_epoch",
+        right_cols=["event_id", "event_epoch", "value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_epoch",
+        F.col("event_id").alias("next_event_id"),
+        F.col("event_epoch").alias("next_event_epoch"),
+        F.round("value", 2).alias("next_event_value"),
+    )
+
+
+def q_twap_user(spark, sf_dir):
+    """TIME-WEIGHTED average value per user (TWAP): each event's value
+    holds until the user's next event; the mean weighs values by their
+    holding duration, not their count — the standard fix for
+    irregularly-sampled series (a price quoted for 10 h must count 600x
+    a 1-minute blip).  Exactness: integer cents x integer seconds sum
+    exactly; the final division runs once on identical IEEE doubles.
+    One shuffle on user_id (window + aggregate share it); ties at the
+    same second are total-ordered by event_id so zero-duration rows are
+    deterministic."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = e.withColumn("dur", F.lead("t").over(w) - F.col("t")).filter(
+        F.col("dur").isNotNull()
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count("*").alias("n_holds"),
+        F.sum("dur").alias("held_seconds"),
+        F.sum(F.col("cents") * F.col("dur")).alias("__swd"),
+    )
+    return agg.filter(F.col("held_seconds") > 0).select(
+        "user_id",
+        "n_holds",
+        "held_seconds",
+        F.round(
+            F.col("__swd") / (F.col("held_seconds") * 100.0), 6
+        ).alias("twap"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Reproducible stratified sampling: per-language keep fractions (the
     corpus-mixture knob), hash-gated so membership is partition- and
@@ -1913,6 +1991,21 @@ def q_dedup_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
     return near_dedup_survivors(d, pairs).select("doc_id", "n_chars")
+
+
+def q_dedup_survivors_longest(spark, sf_dir):
+    """Survivor-POLICY dedup: per near-dup cluster keep the LONGEST
+    member (most complete copy; ties by smallest id) instead of the
+    smallest id — the policy production pipelines actually run.  Same
+    cluster resolution as dedup_survivors; the policy is one window over
+    cluster members only."""
+    from parquet_merger_spark.operators.dedup import near_dedup_survivors_by
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
+    return near_dedup_survivors_by(
+        d, pairs, order_by=[F.desc("n_chars")]
+    ).select("doc_id", "n_chars")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -4009,6 +4102,56 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "twap_user": """
+        WITH e AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                 event_id
+          FROM events
+        ), d AS (
+          SELECT user_id, cents,
+                 lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+          FROM e
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_holds,
+               CAST(sum(dur) AS BIGINT) AS held_seconds,
+               round(CAST(sum(cents * dur) AS BIGINT)
+                     / (CAST(sum(dur) AS BIGINT) * 100.0), 6) AS twap
+        FROM d WHERE dur IS NOT NULL
+        GROUP BY user_id HAVING sum(dur) > 0
+    """,
+    "asof_join_forward": """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+          FROM orders
+        ), e0 AS (
+          SELECT user_id,
+                 CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS event_epoch,
+                 event_id, value
+          FROM events
+        ), ed AS (
+          SELECT user_id, event_epoch, event_id, value FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_epoch ORDER BY event_id) AS rn
+            FROM e0
+          ) WHERE rn = 1
+        )
+        SELECT o_orderkey, o_custkey, order_epoch,
+               event_id AS next_event_id,
+               event_epoch AS next_event_epoch,
+               round(value, 2) AS next_event_value
+        FROM (
+          SELECT o.*, ed.event_id, ed.event_epoch, ed.value,
+                 row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY ed.event_epoch) AS rn
+          FROM o LEFT JOIN ed
+            ON o.o_custkey = ed.user_id AND ed.event_epoch >= o.order_epoch
+        ) WHERE rn = 1
+    """,
     "skew_salted_join": """
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
@@ -4176,6 +4319,48 @@ ORACLE_SQL: dict[str, str] = {
         losers AS (
           SELECT a AS doc_id FROM reach GROUP BY a
           HAVING least(a, min(b)) <> a
+        )
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    "dedup_survivors_longest": f"""
+        WITH RECURSIVE g AS ({_GRAMS}),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sz sa ON id_a = sa.doc_id
+          JOIN sz sb ON id_b = sb.doc_id
+          WHERE sh / (sa.n + sb.n - sh) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        clusters AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a
+        ),
+        winners AS (
+          SELECT doc_id FROM (
+            SELECT c.doc_id, row_number() OVER (
+              PARTITION BY c.cluster_id
+              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM clusters c JOIN documents d USING (doc_id)
+          ) WHERE rn = 1
+        ),
+        losers AS (
+          SELECT doc_id FROM clusters
+          WHERE doc_id NOT IN (SELECT doc_id FROM winners)
         )
         SELECT doc_id, n_chars FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM losers)
@@ -4889,6 +5074,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_containment": q_dedup_containment,
     "keyness_terms": q_keyness_terms,
     "skew_salted_join": q_skew_salted_join,
+    "asof_join_forward": q_asof_join_forward,
+    "dedup_survivors_longest": q_dedup_survivors_longest,
+    "twap_user": q_twap_user,
     "url_functions": q_url_functions,
     "sql_group_by_all": q_sql_group_by_all,
     "embed_kmeans": q_embed_kmeans,
