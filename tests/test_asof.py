@@ -236,3 +236,54 @@ def test_bucketed_range_join_empty_sides(spark):
     no_dims = dims.filter("band < 0")
     assert bucketed_range_join(no_facts, dims, "v", "lo", "hi", 4.0).count() == 0
     assert bucketed_range_join(facts, no_dims, "v", "lo", "hi", 4.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# asof_join_forward ("what happened next")
+# ---------------------------------------------------------------------------
+
+
+def _fwd_fixtures(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 400)],
+        "lid long, key long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 300, "b"), (20, 390, "c")],
+        "key long, rts long, tag string",
+    )
+    return left, right
+
+
+def test_asof_forward_picks_nearest_future(spark):
+    from parquet_merger_spark.operators.asof import asof_join_forward
+
+    left, right = _fwd_fixtures(spark)
+    got = {
+        r.lid: r.tag
+        for r in asof_join_forward(
+            left, right, on="key", left_ts="lts", right_ts="rts", right_cols=["tag"]
+        ).collect()
+    }
+    # lid=1 at ts 100: the EQUAL-ts right row matches (inclusive >=)
+    # lid=2 at ts 250: skips the past row (100), takes 300
+    # lid=3 at ts 400: no future right row -> null
+    assert got == {1: "a", 2: "b", 3: None}
+
+
+def test_asof_forward_carries_whole_row_not_stitched_columns(spark):
+    from parquet_merger_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([(1, 10, 0)], "lid long, key long, lts long")
+    right = spark.createDataFrame(
+        [(10, 5, None, "early"), (10, 9, 99, "late")],
+        "key long, rts long, x int, tag string",
+    )
+    # nearest future row (rts=5... both are past? no: lts=0, so rts=5 is
+    # future) has x=NULL: the NULL must be carried, not replaced by the
+    # later row's 99
+    row = asof_join_forward(
+        left, right, on="key", left_ts="lts", right_ts="rts",
+        right_cols=["x", "tag"],
+    ).collect()[0]
+    assert row.tag == "early" and row.x is None

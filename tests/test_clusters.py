@@ -308,3 +308,41 @@ def test_containment_threshold_filters(spark):
         for r in containment_pairs(d, shingle_words=2, threshold=0.9).collect()
     }
     assert (1, 2) in lo and not hi
+
+
+def test_survivors_by_policy_keeps_best_member(spark):
+    """Longest-text policy: cluster {1,2,3} keeps doc 2 (longest); doc 9
+    is untouched and passes through."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.dedup import near_dedup_survivors_by
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 50), (3, 20), (9, 1)], "doc_id long, n_chars long"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    kept = sorted(
+        r.doc_id
+        for r in near_dedup_survivors_by(
+            docs, pairs, order_by=[F.desc("n_chars")]
+        ).collect()
+    )
+    assert kept == [2, 9]
+
+
+def test_survivors_by_policy_tie_breaks_on_id(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.dedup import near_dedup_survivors_by
+
+    docs = spark.createDataFrame(
+        [(7, 10), (8, 10)], "doc_id long, n_chars long"
+    )
+    pairs = _pairs(spark, [(7, 8)])
+    kept = [
+        r.doc_id
+        for r in near_dedup_survivors_by(
+            docs, pairs, order_by=[F.desc("n_chars")]
+        ).collect()
+    ]
+    assert kept == [7]
