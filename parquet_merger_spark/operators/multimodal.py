@@ -468,3 +468,33 @@ def frame_sample_plan(
             F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def encode_png_rgb(pixels) -> bytes:
+    """Minimal PURE-PYTHON PNG encoder (stdlib zlib): 8-bit RGB,
+    non-interlaced, filter-0 scanlines — the writing twin of
+    :func:`_parse_png`, so a media pipeline in this PIL-free container can
+    round-trip real pixels end-to-end (and tests/queries can synthesize
+    genuine PNG payloads deterministically).  ``pixels``: numpy (h, w, 3)
+    uint8."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        c = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    stream = b"".join(b"\x00" + pixels[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )

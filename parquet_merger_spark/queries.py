@@ -2187,6 +2187,41 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_payload_meta(with_payload, "payload", "doc_id")
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode through the driver contract: 48 genuine PNG
+    payloads (synthesized deterministically with the engine's pure-Python
+    encoder) flow through the Arrow-batched ``decode_image`` mapInPandas
+    pipeline — actual IHDR dimensions and zlib-inflated pixels, not the
+    fake-decoder fallback (heights/widths vary 3-7 x 2-8 and must match
+    the encoded shapes exactly).  Rows-only: binary payloads have no SQL
+    twin; determinism is pinned by the double-run check and the
+    bit-fixed synthesis -> parse path."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import (
+        decode_image,
+        encode_png_rgb,
+    )
+
+    rows = []
+    for i in range(48):
+        h, w = 3 + (i % 5), 2 + (i % 7)
+        base = np.arange(h * w * 3, dtype=np.int64)
+        arr = ((base * (i + 7)) % 256).astype(np.uint8).reshape(h, w, 3)
+        rows.append((i, bytearray(encode_png_rgb(arr))))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dec = decode_image(media, thumb_side=2)
+    return dec.select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.round(
+            F.aggregate("thumb", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("thumb_sum"),
+    )
+
+
 def q_multimodal_meta_expr(spark, sf_dir):
     """Same metadata via pure JVM expressions (whole-stage codegen, no
     Python round-trip) — the fast path when no decode is needed."""
@@ -5077,6 +5112,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join_forward": q_asof_join_forward,
     "dedup_survivors_longest": q_dedup_survivors_longest,
     "twap_user": q_twap_user,
+    "multimodal_decode": q_multimodal_decode,
     "url_functions": q_url_functions,
     "sql_group_by_all": q_sql_group_by_all,
     "embed_kmeans": q_embed_kmeans,

@@ -357,3 +357,22 @@ def test_decode_audio_real_wav_samples(spark):
     expect = (samples.astype(np.float32) / 32768.0 / 2.0)[:4]
     assert np.allclose(out[1].waveform, expect)
     assert out[2].sample_rate == 16_000  # fake path
+
+
+def test_encode_png_rgb_roundtrips_through_parser():
+    """The engine's own encoder (filter-0, stdlib zlib) must parse back
+    bit-exactly through _parse_png — the pair gives PIL-free pipelines a
+    real pixel round-trip."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import (
+        _parse_png,
+        encode_png_rgb,
+    )
+
+    arr = ((np.arange(7 * 5 * 3, dtype=np.int64) * 13) % 256).astype(
+        np.uint8
+    ).reshape(7, 5, 3)
+    h, w, rgb = _parse_png(encode_png_rgb(arr))
+    assert (h, w) == (7, 5)
+    assert (rgb == arr).all()
