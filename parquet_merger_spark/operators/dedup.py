@@ -50,13 +50,37 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     deterministic, unlike ``dropDuplicates`` whose survivor depends on
     partition order.  One shuffle on the key.
 
-    The window order is made TOTAL by appending every remaining column
-    after ``order_col``: rows tying on ``order_col`` (same crawl
-    timestamp, say) would otherwise be ranked by partition-arrival order
-    — precisely the nondeterminism this operator exists to remove.  Rows
+    The window order is made TOTAL by appending every remaining
+    ORDERABLE column after ``order_col``: rows tying on ``order_col``
+    (same crawl timestamp, say) would otherwise be ranked by
+    partition-arrival order — precisely the nondeterminism this operator
+    exists to remove.  Map-typed columns (and containers holding maps)
+    are skipped — Spark rejects them in an order specification
+    (EXPRESSION_TYPE_IS_NOT_ORDERABLE), and a caller whose rows tie on
+    every orderable column AND differ only inside a map keeps an
+    arbitrary-but-single survivor among those residual ties.  Rows
     identical in every column remain interchangeable (either one IS the
-    same surviving row)."""
-    tiebreak = [c for c in df.columns if c not in key_cols and c != order_col]
+    same surviving row).  The payload columns do enter the per-key sort
+    key; when that cost matters, pre-project a narrower frame or make
+    ``order_col`` unique upstream."""
+    from pyspark.sql import types as T
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in key_cols
+        and f.name != order_col
+        and _orderable(f.dataType)
+    ]
     w = Window.partitionBy(*key_cols).orderBy(order_col, *tiebreak)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -950,6 +974,7 @@ def containment_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     threshold: float = 0.6,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """DIRECTIONAL containment near-dup pairs: C(A -> B) =
     |grams(A) & grams(B)| / |grams(A)| >= threshold.  Jaccard misses
@@ -971,6 +996,9 @@ def containment_pairs(
     TIERING AT SCALE: verification tier, same contract as
     :func:`ngram_jaccard_pairs` — at 100 TB run it on LSH candidates or
     audit samples; the headline candidate generator stays MinHash-LSH.
+    ``storage_level`` controls the persisted shingle table exactly as in
+    that operator (default MEMORY_AND_DISK; DISK_ONLY at cluster scale;
+    lives until the session ends or ``spark.catalog.clearCache()``).
     """
     from pyspark import StorageLevel
 
@@ -982,7 +1010,7 @@ def containment_pairs(
             shingle_words,
         )
         .select(F.col(id_col), "sh_hashes", F.size("sh_hashes").alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     )
     inv = sh.select(F.col(id_col), "n", F.explode("sh_hashes").alias("gram"))
 

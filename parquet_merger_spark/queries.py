@@ -2291,13 +2291,25 @@ def q_skew_salted_join(spark, sf_dir):
 
 def q_keyness_terms(spark, sf_dir):
     """Per-source DISTINCTIVE terms (corpus keyness): for every source,
-    the top-5 terms by integer lift_ppm = 1e6 * P(term|source) / P(term)
-    = (tf_src * total_tokens * 1e6) DIV (src_tokens * tf_corpus), with a
-    tf >= 5 noise floor.  The domain-signature signal a mixture-building
-    pipeline uses to characterize and weight sources — log-odds keyness
-    with the log dropped so the statistic stays EXACT integer arithmetic
-    (bit-stable across engines; ranking is order-isomorphic to the
-    log form since log is monotone).
+    the top-5 terms by integer lift_ppm ~ 1e6 * P(term|source) / P(term),
+    with a tf >= 5 noise floor.  The domain-signature signal a
+    mixture-building pipeline uses to characterize and weight sources —
+    log-odds keyness with the log dropped so the statistic stays EXACT
+    integer arithmetic (bit-stable across engines).
+
+    Overflow discipline (ANSI mode makes BIGINT overflow a hard error):
+    the single-expression form ``tf * total * 1e6 DIV (src * corp)``
+    blows past 2^63 once tf * total > 9.2e12 — reached by any stopword
+    in a ~1e10-token corpus.  So the ratio is computed in two bounded
+    ppm steps: ``share_ppm = tf*1e6 DIV src_tokens`` (<= 1e6),
+    ``corpus_ppm = max(1, tf_corpus*1e6 DIV total)`` (<= 1e6, floored at
+    1 so sub-ppm-rare terms don't divide by zero), ``lift_ppm =
+    share_ppm*1e6 DIV corpus_ppm`` (<= 1e12).  Every intermediate is
+    <= max(tf, tf_corpus) * 1e6 — safe until a single term exceeds
+    ~9.2e12 occurrences (ONE term's count, not the corpus size; switch
+    the literals to DECIMAL beyond that).  The two-step floor differs
+    from the one-shot ratio by at most rounding granularity; both
+    engines compute the identical formula.
 
     Scale: tf/totals are two chained aggregates over exploded tokens (one
     shuffle each on (source,term) then term); the 1-row corpus total and
@@ -2318,8 +2330,11 @@ def q_keyness_terms(spark, sf_dir):
         .withColumn(
             "lift_ppm",
             F.expr(
-                "(tf * total_tokens * CAST(1000000 AS BIGINT))"
-                " DIV (src_tokens * tf_corpus)"
+                "((tf * CAST(1000000 AS BIGINT)) DIV src_tokens"
+                " * CAST(1000000 AS BIGINT))"
+                " DIV greatest(CAST(1 AS BIGINT),"
+                "              (tf_corpus * CAST(1000000 AS BIGINT))"
+                "              DIV total_tokens)"
             ),
         )
         .withColumn(
@@ -2538,6 +2553,29 @@ def q_upsert_orders(spark, sf_dir):
     return upsert_by_key(o, updates, ["o_orderkey"])
 
 
+def _write_replay_batches(base: str, slices) -> str:
+    """Serialize ``slices`` (a list of DataFrames) as mtime-pinned
+    single-file micro-batches under ``base/src`` and return that dir.
+    The file streaming source orders micro-batches by modification time,
+    so pinning mtimes (one minute apart, fixed epoch) makes every replay
+    sequence deterministic — the contract all four ``q_stream_*`` replay
+    harnesses share."""
+    import shutil
+
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for i, batch in enumerate(slices):
+        stage = os.path.join(base, f"stage{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return src
+
+
 def q_stream_upsert(spark, sf_dir):
     """STREAMING keyed MERGE, driven end-to-end inside the contract: the
     same refresh semantics as ``upsert_orders`` (same oracle) but applied
@@ -2558,8 +2596,6 @@ def q_stream_upsert(spark, sf_dir):
 
     base = _scratch_dir(spark, "stream_upsert")
     shutil.rmtree(base, ignore_errors=True)
-    src = os.path.join(base, "src")
-    os.makedirs(src)
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -2570,16 +2606,7 @@ def q_stream_upsert(spark, sf_dir):
     fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
         "o_orderkey", F.col("o_orderkey") + 10_000_000
     )
-    for i, batch in enumerate([o, repriced, fresh]):
-        d = os.path.join(base, f"stage{i}")
-        batch.coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(
-            f for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copy(os.path.join(d, part), dst)
-        # the file source orders micro-batches by modification time
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    src = _write_replay_batches(base, [o, repriced, fresh])
 
     table = os.path.join(base, "table")
     q = stream_upsert_to_table(
@@ -2611,21 +2638,11 @@ def q_stream_near_dedup(spark, sf_dir):
 
     base = _scratch_dir(spark, "stream_near_dedup")
     shutil.rmtree(base, ignore_errors=True)
-    src = os.path.join(base, "src")
-    os.makedirs(src)
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(
-            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copy(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    src = _write_replay_batches(
+        base, [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    )
 
     table = os.path.join(base, "table")
     q = stream_near_dedup_to_table(
@@ -2663,8 +2680,6 @@ def q_stream_window_agg(spark, sf_dir):
 
     base = _scratch_dir(spark, "stream_window_agg")
     shutil.rmtree(base, ignore_errors=True)
-    src = os.path.join(base, "src")
-    os.makedirs(src)
 
     e = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -2682,13 +2697,7 @@ def q_stream_window_agg(spark, sf_dir):
             e.schema,
         ),
     ]
-    for i, batch in enumerate(slices):
-        stage = os.path.join(base, f"stage{i}")
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copy(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    src = _write_replay_batches(base, slices)
 
     name = f"swa_{uuid.uuid4().hex[:8]}"
     q = windowed_event_counts_stream(
@@ -2728,8 +2737,6 @@ def q_stream_session_window(spark, sf_dir):
 
     base = _scratch_dir(spark, "stream_session_window")
     shutil.rmtree(base, ignore_errors=True)
-    src = os.path.join(base, "src")
-    os.makedirs(src)
 
     # second-granularity ts BEFORE writing the replay files so the
     # streamed plan matches the batch `session_window` contract exactly
@@ -2751,13 +2758,7 @@ def q_stream_session_window(spark, sf_dir):
             e.schema,
         ),
     ]
-    for i, batch in enumerate(slices):
-        stage = os.path.join(base, f"stage{i}")
-        batch.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.copy(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    src = _write_replay_batches(base, slices)
 
     name = f"ssw_{uuid.uuid4().hex[:8]}"
     q = session_window_stream(
@@ -4210,8 +4211,11 @@ ORACLE_SQL: dict[str, str] = {
           SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf
         ), lifted AS (
           SELECT tf.source, tf.term, tf.tf,
-                 CAST((tf.tf * total.total_tokens * CAST(1000000 AS BIGINT))
-                      // (tot.src_tokens * corp.tf_corpus) AS BIGINT) AS lift_ppm
+                 CAST(((tf.tf * CAST(1000000 AS BIGINT)) // tot.src_tokens
+                       * CAST(1000000 AS BIGINT))
+                      // greatest(CAST(1 AS BIGINT),
+                                  (corp.tf_corpus * CAST(1000000 AS BIGINT))
+                                  // total.total_tokens) AS BIGINT) AS lift_ppm
           FROM tf
           JOIN tot USING (source)
           JOIN corp USING (term)

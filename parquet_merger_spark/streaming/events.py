@@ -490,7 +490,7 @@ def upsert_batch_apply(table_dir: str, key_cols: list[str]):
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        prior = _latest_table_version_before(table_dir, batch_id)
+        prior = _latest_version_before(table_dir, batch_id)
         if prior is not None:
             base = sess.read.parquet(os.path.join(table_dir, prior))
             merged = upsert_by_key(base, batch_df, key_cols)
@@ -506,16 +506,21 @@ def upsert_batch_apply(table_dir: str, key_cols: list[str]):
     return _apply
 
 
-def _latest_table_version_before(table_dir: str, batch_id: int) -> str | None:
-    """Newest ``v<id>`` directory with id strictly below ``batch_id`` —
-    the replay-safe base state (see :func:`stream_upsert_to_table`)."""
+def _latest_version_before(version_dir: str, batch_id: int) -> str | None:
+    """Newest ``v<id>`` directory with numeric id STRICTLY below
+    ``batch_id`` — the replay-safe definition of "what earlier batches
+    committed", shared by the upsert table (base state, see
+    :func:`stream_upsert_to_table`) and the near-dedup bucket store
+    (seen set, see :func:`stream_near_dedup_to_table`).  Never consults
+    ``_CURRENT``; the zero-padded ``v%020d`` names make the string
+    ``max()`` numerically correct."""
     import os
 
-    if not os.path.isdir(table_dir):
+    if not os.path.isdir(version_dir):
         return None
     prior = [
         d
-        for d in os.listdir(table_dir)
+        for d in os.listdir(version_dir)
         if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
     ]
     return max(prior) if prior else None
@@ -631,23 +636,6 @@ def stream_near_dedup_to_table(
     )
 
 
-def _latest_bucket_version_before(buckets_dir: str, batch_id: int) -> str | None:
-    """Newest bucket version directory with numeric id STRICTLY below
-    ``batch_id`` — the replay-safe definition of "what earlier batches
-    claimed".  Never consults ``_CURRENT`` (see idempotency note in
-    :func:`stream_near_dedup_to_table`)."""
-    import os
-
-    if not os.path.isdir(buckets_dir):
-        return None
-    prior = [
-        d
-        for d in os.listdir(buckets_dir)
-        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
-    ]
-    return max(prior) if prior else None
-
-
 def near_dedup_batch_apply(
     table_dir: str,
     id_col: str = "doc_id",
@@ -700,7 +688,7 @@ def near_dedup_batch_apply(
 
         # replay-safe: newest version strictly older than this batch, so a
         # replayed batch never reads (and then clobbers) its own output
-        prior = _latest_bucket_version_before(buckets_dir, batch_id)
+        prior = _latest_version_before(buckets_dir, batch_id)
         if prior is not None:
             seen = sess.read.parquet(os.path.join(buckets_dir, prior))
         else:

@@ -346,3 +346,17 @@ def test_survivors_by_policy_tie_breaks_on_id(spark):
         ).collect()
     ]
     assert kept == [7]
+
+
+def test_exact_dedup_skips_unorderable_tiebreak_columns(spark):
+    """Map-typed columns cannot enter an ORDER BY; the total-order
+    tiebreak must skip them (and containers holding them) instead of
+    raising EXPRESSION_TYPE_IS_NOT_ORDERABLE."""
+    from parquet_merger_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, 10, {"a": "x"}), (1, 5, {"b": "y"}), (2, 7, {"c": "z"})],
+        "k long, ts long, props map<string,string>",
+    )
+    out = {r.k: r.ts for r in exact_dedup(df, ["k"], "ts").collect()}
+    assert out == {1: 5, 2: 7}

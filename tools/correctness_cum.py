@@ -18,15 +18,19 @@ import sys
 
 def merge(repo_root: str) -> dict:
     cum: dict[str, dict] = {}
-    paths = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
-    for path in paths:
-        m = re.search(r"CORRECTNESS_(r\d+)\.json$", path)
-        if not m:
-            continue
+    # numeric round order, NOT lexicographic path order: sorted() on the
+    # filenames would place r100 before r99 and record the OLDER round as
+    # each key's "most recent appearance" once rounds reach 3 digits
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for n, path in sorted(rounds):
         with open(path) as fh:
             report = json.load(fh)
         for key, row in report.items():
-            cum[key] = {**row, "round": m.group(1)}
+            cum[key] = {**row, "round": f"r{n:02d}"}
     return dict(sorted(cum.items()))
 
 
