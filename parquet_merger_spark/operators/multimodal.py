@@ -498,3 +498,29 @@ def encode_png_rgb(pixels) -> bytes:
         + chunk(b"IDAT", zlib.compress(stream))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16_000) -> bytes:
+    """Minimal PURE-PYTHON WAV encoder (stdlib struct): mono 16-bit PCM —
+    the writing twin of :func:`_parse_wav`, completing the PIL/libsndfile-
+    free round trip for audio the way :func:`encode_png_rgb` does for
+    images.  ``samples``: numpy float array in [-1, 1] (clipped, scaled
+    to int16)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    n_ch, bits = 1, 16
+    byte_rate = sample_rate * n_ch * bits // 8
+    block_align = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, byte_rate, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -2222,6 +2222,129 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode through the driver contract: 32 genuine RIFF/WAVE
+    PCM16 payloads (engine's own stdlib encoder, deterministic sine-ish
+    integer waveforms) flow through the Arrow-batched ``decode_audio``
+    pipeline — true fmt-chunk sample rates and inflated sample counts,
+    not the fake fallback.  Rows-only like `multimodal_decode`."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    rows = []
+    for i in range(32):
+        n = 40 + 8 * (i % 5)
+        rate = 8_000 * (1 + i % 3)
+        # integer-grid waveform: k/64 steps are exact in float and int16
+        wave = (((np.arange(n, dtype=np.int64) * (i + 3)) % 129) - 64) / 64.0
+        rows.append((i, bytearray(encode_wav_pcm16(wave, rate))))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dec = decode_audio(media, max_samples=8)
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round(
+            F.aggregate("waveform", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("wave_sum"),
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING at-least-once dedup driven end-to-end: events replay in
+    three time-ordered micro-batches, each followed by a RE-DELIVERY
+    batch repeating a fifth of its rows; ``dropDuplicatesWithinWatermark``
+    must emit every event exactly once (first sight emits immediately;
+    re-deliveries are dropped by dedup state while within the watermark
+    and by the late-data filter beyond it — either way, never twice).
+    Oracle = the plain events projection: exactly-once delivery IS the
+    equality with the batch relation."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import streaming_distinct_events
+
+    base = _scratch_dir(spark, "stream_dedup")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + span + span]
+    slices = [
+        e.filter(F.col("ts") < bounds[0]),
+        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.filter(F.col("ts") >= bounds[1]),
+    ]
+    replay = []
+    for s in slices:
+        replay.append(s)
+        replay.append(s.filter(F.col("event_id") % 5 == 0))  # re-delivery
+    src = _write_replay_batches(base, replay)
+
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = streaming_distinct_events(
+        spark, src, os.path.join(base, "ckpt"), key_cols=["event_id"],
+        watermark="2 hours", query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value_r"),
+    )
+
+
+def q_stream_upsert_history(spark, sf_dir):
+    """TIME TRAVEL on the streaming MERGE table: replay the same three
+    micro-batches as `stream_upsert`, then read the RETAINED MIDDLE
+    version (v1 = after the re-pricing batch, before the inserts) —
+    oracle recomputes that state from the raw table.  Certifies that
+    batch-id-addressed versions are immutable history, not just a
+    _CURRENT pointer."""
+    import shutil
+
+    from parquet_merger_spark.streaming.events import (
+        read_upsert_table,
+        stream_upsert_to_table,
+    )
+
+    base = _scratch_dir(spark, "stream_upsert_history")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
+    )
+    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    src = _write_replay_batches(base, [o, repriced, fresh])
+
+    table = os.path.join(base, "table")
+    q = stream_upsert_to_table(
+        spark, src, table, os.path.join(base, "ckpt"), ["o_orderkey"]
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_upsert_table(spark, table, version=1)
+
+
 def q_multimodal_meta_expr(spark, sf_dir):
     """Same metadata via pure JVM expressions (whole-stage codegen, no
     Python round-trip) — the fast path when no decode is needed."""
@@ -4138,6 +4261,18 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "stream_dedup": """
+        SELECT event_id,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch,
+               user_id, event_type, round(value, 2) AS value_r
+        FROM events
+    """,
+    "stream_upsert_history": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    """,
     "twap_user": """
         WITH e AS (
           SELECT user_id,
@@ -5117,6 +5252,9 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_survivors_longest": q_dedup_survivors_longest,
     "twap_user": q_twap_user,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
+    "stream_dedup": q_stream_dedup,
+    "stream_upsert_history": q_stream_upsert_history,
     "url_functions": q_url_functions,
     "sql_group_by_all": q_sql_group_by_all,
     "embed_kmeans": q_embed_kmeans,

@@ -376,3 +376,17 @@ def test_encode_png_rgb_roundtrips_through_parser():
     h, w, rgb = _parse_png(encode_png_rgb(arr))
     assert (h, w) == (7, 5)
     assert (rgb == arr).all()
+
+
+def test_encode_wav_pcm16_roundtrips_through_parser():
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import (
+        _parse_wav,
+        encode_wav_pcm16,
+    )
+
+    wave = (((np.arange(120, dtype=np.int64) * 7) % 129) - 64) / 64.0
+    sr, n, parsed = _parse_wav(encode_wav_pcm16(wave, 22_050))
+    assert (sr, n) == (22_050, 120)
+    assert np.abs(parsed - wave).max() < 1e-4
