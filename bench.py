@@ -119,6 +119,14 @@ HEADLINE = [
     "corpus_pipeline",
     "sql_parameterized",
     "rare_token_stats",
+    "keyness_terms",
+    "url_functions",
+    "sql_group_by_all",
+    "skew_salted_join",
+    "asof_join_forward",
+    "twap_user",
+    "embed_kmeans",
+    "multimodal_decode",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "dedup_exact",
