@@ -127,6 +127,9 @@ HEADLINE = [
     "twap_user",
     "embed_kmeans",
     "multimodal_decode",
+    "cdc_apply",
+    "incremental_agg_refresh",
+    "vocab_encode",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "dedup_exact",

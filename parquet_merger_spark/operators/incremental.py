@@ -157,3 +157,48 @@ def scd2_from_snapshots(
         )
     )
     return versions.select(*key_cols, *tracked_cols, "valid_from", "valid_to")
+
+
+def apply_changes(
+    old: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` changelog to a snapshot — the CDC
+    CONSUMER side, closing the loop: ``apply_changes(old,
+    snapshot_diff(old, new, k), k) == new`` (the round-trip law the
+    differential oracle certifies).  Every changed key's old row is
+    dropped (one anti-join on the key — inserts anti-join nothing), then
+    the insert/update rows (which carry NEW values) union in.
+
+    Scale: one shuffle each for the anti-join and nothing else; the
+    changelog is typically tiny next to the snapshot, so AQE broadcasts
+    it into the anti-join.
+    """
+    changed_keys = changes.select(*key_cols).distinct()
+    kept = old.join(changed_keys, key_cols, "left_anti")
+    applied = changes.filter(F.col(change_col) != "delete").drop(change_col)
+    return kept.unionByName(applied)
+
+
+def refresh_groups(
+    old_agg: DataFrame,
+    changed_groups: DataFrame,
+    recomputed: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """INCREMENTAL AGGREGATE REFRESH stitch: keep ``old_agg`` rows whose
+    group is untouched, replace the rest with ``recomputed`` (the
+    aggregate rebuilt ONLY over the changed groups' base rows).  The
+    incremental-ETL contract — refresh cost scales with the CHANGED
+    partition count, not the table — reduced to one anti-join; the
+    caller proves equivalence to a full recompute via the differential
+    oracle.
+
+    ``changed_groups``: distinct group keys touched by the update batch
+    (typically derived from the changelog); tiny, so AQE broadcasts it.
+    ``recomputed`` must carry ``old_agg``'s schema.
+    """
+    kept = old_agg.join(changed_groups, group_cols, "left_anti")
+    return kept.unionByName(recomputed)

@@ -3085,6 +3085,118 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, ["o_orderkey"])
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC CONSUMER round trip: synthesize the same old/new snapshots as
+    `snapshot_diff`, diff them, then APPLY the changelog back onto the
+    old snapshot — the oracle recomputes the new snapshot directly, so
+    hash equality certifies the round-trip law
+    apply(old, diff(old, new)) == new end-to-end."""
+    from parquet_merger_spark.operators.incremental import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.5)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    return apply_changes(old, diff, ["o_orderkey"])
+
+
+def q_incremental_agg_refresh(spark, sf_dir):
+    """INCREMENTAL AGGREGATE REFRESH: a materialized daily revenue rollup
+    receives an update batch (repriced orders); only the AFFECTED days
+    are recomputed from the updated base and stitched over the old rows
+    (`refresh_groups` anti-join) — refresh cost scales with changed
+    partitions, not table size.  Oracle = the FULL recompute over the
+    updated table: equality is the incremental-maintenance contract."""
+    from parquet_merger_spark.operators.incremental import refresh_groups
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).cast("long")
+    updated = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.5)
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def daily_agg(df):
+        return (
+            df.withColumn("day_epoch", day)
+            .groupBy("day_epoch")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+
+    old_agg = daily_agg(o)
+    changed_days = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(day.alias("day_epoch"))
+        .distinct()
+    )
+    recomputed = daily_agg(
+        updated.join(F.broadcast(changed_days), day == F.col("day_epoch"), "left_semi")
+    )
+    return refresh_groups(old_agg, changed_days, recomputed, ["day_epoch"])
+
+
+def q_vocab_encode(spark, sf_dir):
+    """Tokenizer-style VOCABULARY build + corpus encode: dense term ids
+    by (frequency desc, term asc) — assigned with the window-free global
+    numbering (quantile buckets + offsets; a bare row_number() over the
+    whole vocab would funnel it through one task) — then every document
+    re-expressed as its id sequence (space-joined for the hash compare).
+    The id-ification step every training-data pipeline runs before
+    tensorization."""
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    vocab = assign_row_ids(
+        counts.withColumn("neg_tf", -F.col("tf")),
+        key_col="neg_tf",
+        tiebreak_cols=["term"],
+        row_id_col="term_id",
+    ).select("term", "tf", "term_id")
+    enc = (
+        tok.join(vocab.select("term", "term_id"), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "term_id"))
+                    ),
+                    lambda s: s["term_id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+        )
+    )
+    return enc.select("doc_id", "n_tokens", "ids")
+
+
 def q_event_attribution(spark, sf_dir):
     """Interval self-join (`streaming.events.correlate_events_batch`):
     click→view pairs per user within a 4-hour horizon — the batch twin
@@ -4261,6 +4373,43 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz sb ON id_b = sb.doc_id
         WHERE sh / (sa.n + sb.n - sh) >= 0.8
     """,
+    "cdc_apply": """
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    "incremental_agg_refresh": """
+        SELECT CAST(FLOOR(epoch(date_trunc('day', o_orderdate))) AS BIGINT)
+                 AS day_epoch,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_totalprice + 1.5
+                              ELSE o_totalprice END), 2) AS revenue
+        FROM orders GROUP BY 1
+    """,
+    "vocab_encode": """
+        WITH tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term
+        ), vocab AS (
+          SELECT term, tf,
+                 CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT)
+                   AS term_id
+          FROM counts
+        )
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(CAST(v.term_id AS VARCHAR), ' ' ORDER BY t.pos) AS ids
+        FROM tok t JOIN vocab v USING (term)
+        GROUP BY t.doc_id
+    """,
     "stream_dedup": """
         SELECT event_id,
                CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch,
@@ -5255,6 +5404,9 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_upsert_history": q_stream_upsert_history,
+    "cdc_apply": q_cdc_apply,
+    "incremental_agg_refresh": q_incremental_agg_refresh,
+    "vocab_encode": q_vocab_encode,
     "url_functions": q_url_functions,
     "sql_group_by_all": q_sql_group_by_all,
     "embed_kmeans": q_embed_kmeans,
