@@ -2306,6 +2306,49 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_stream_enrich(spark, sf_dir):
+    """STREAM-STATIC enrichment driven end-to-end: events replay in three
+    mtime-pinned micro-batches and each batch broadcast-joins the static
+    customer dimension as it arrives (STATELESS — no watermark, no join
+    state; rows emit immediately in append mode, so no sentinel needed).
+    Oracle = the one-shot batch join: stream-static equality IS the
+    enrichment contract."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import enrich_stream
+
+    base = _scratch_dir(spark, "stream_enrich")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = _write_replay_batches(
+        base, [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+
+    name = f"sen_{uuid.uuid4().hex[:8]}"
+    q = enrich_stream(
+        spark, src, dim, os.path.join(base, "ckpt"),
+        key="user_id", query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+
+
 def q_stream_upsert_history(spark, sf_dir):
     """TIME TRAVEL on the streaming MERGE table: replay the same three
     micro-batches as `stream_upsert`, then read the RETAINED MIDDLE
@@ -4416,6 +4459,11 @@ ORACLE_SQL: dict[str, str] = {
                user_id, event_type, round(value, 2) AS value_r
         FROM events
     """,
+    "stream_enrich": """
+        SELECT event_id, user_id, event_type, c_mktsegment,
+               CAST(c_nationkey AS BIGINT) AS c_nationkey
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
     "stream_upsert_history": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.5
@@ -5404,6 +5452,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "stream_dedup": q_stream_dedup,
     "stream_upsert_history": q_stream_upsert_history,
+    "stream_enrich": q_stream_enrich,
     "cdc_apply": q_cdc_apply,
     "incremental_agg_refresh": q_incremental_agg_refresh,
     "vocab_encode": q_vocab_encode,

@@ -299,6 +299,8 @@ _BNLJ_VOUCHED = {
     # same 1-row-codebook broadcast shape as simsearch_pq, probed from
     # the persisted index
     "simsearch_pq_indexed",
+    # 1-row corpus-total broadcast (see the round-3 operator review test)
+    "keyness_terms",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -308,6 +310,8 @@ _SINGLE_VOUCHED = {
     "profile_table",
     "data_quality_report",
     "corr_matrix",
+    # global corpus-token total: map-side partials -> one 1-row task
+    "keyness_terms",
 }
 
 
