@@ -175,9 +175,21 @@ def apply_changes(
     Scale: one shuffle each for the anti-join and nothing else; the
     changelog is typically tiny next to the snapshot, so AQE broadcasts
     it into the anti-join.
+
+    NULL keys: the anti-join is NULL-SAFE (``eqNullSafe`` per key
+    column), so the law holds even for the null-key rows
+    :func:`snapshot_diff` labels delete+insert — a plain equi-anti-join
+    would KEEP the old null-key row while the insert row unions in,
+    duplicating it.
     """
-    changed_keys = changes.select(*key_cols).distinct()
-    kept = old.join(changed_keys, key_cols, "left_anti")
+    changed_keys = changes.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+    ).distinct()
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in key_cols],
+    )
+    kept = old.join(changed_keys, cond, "left_anti")
     applied = changes.filter(F.col(change_col) != "delete").drop(change_col)
     return kept.unionByName(applied)
 

@@ -504,14 +504,21 @@ def encode_wav_pcm16(samples, sample_rate: int = 16_000) -> bytes:
     """Minimal PURE-PYTHON WAV encoder (stdlib struct): mono 16-bit PCM —
     the writing twin of :func:`_parse_wav`, completing the PIL/libsndfile-
     free round trip for audio the way :func:`encode_png_rgb` does for
-    images.  ``samples``: numpy float array in [-1, 1] (clipped, scaled
-    to int16)."""
+    images.  ``samples``: numpy float array in [-1, 1].
+
+    Quantization is ROUND-to-nearest on the symmetric /32768 grid —
+    the exact inverse of :func:`_parse_wav`'s ``/32768`` decode, so any
+    sample on a k/32768 grid point in [-1, 1) round-trips BIT-EXACTLY
+    (+1.0 itself saturates to 32767/32768 — int16 has no +32768); truncation with an asymmetric 32767 scale
+    would bias every sample up to 2 LSB low."""
     import struct
 
     import numpy as np
 
     pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
-    data = (pcm * 32767.0).astype("<i2").tobytes()
+    data = (
+        np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    )
     n_ch, bits = 1, 16
     byte_rate = sample_rate * n_ch * bits // 8
     block_align = n_ch * bits // 8

@@ -2239,7 +2239,7 @@ def q_multimodal_audio_decode(spark, sf_dir):
     for i in range(32):
         n = 40 + 8 * (i % 5)
         rate = 8_000 * (1 + i % 3)
-        # integer-grid waveform: k/64 steps are exact in float and int16
+        # k/64 grid: exact on the encoder's k/32768 round-to-nearest grid
         wave = (((np.arange(n, dtype=np.int64) * (i + 3)) % 129) - 64) / 64.0
         rows.append((i, bytearray(encode_wav_pcm16(wave, rate))))
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -2365,16 +2365,7 @@ def q_stream_upsert_history(spark, sf_dir):
 
     base = _scratch_dir(spark, "stream_upsert_history")
     shutil.rmtree(base, ignore_errors=True)
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
-    )
-    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10_000_000
-    )
+    o, repriced, fresh = _upsert_fixture_frames(spark, sf_dir)
     src = _write_replay_batches(base, [o, repriced, fresh])
 
     table = os.path.join(base, "table")
@@ -2697,6 +2688,25 @@ def q_csv_roundtrip(spark, sf_dir):
     )
 
 
+def _upsert_fixture_frames(spark, sf_dir):
+    """The shared upsert fixture: (base, repriced, fresh) order frames.
+    THREE keys' oracles depend on these exact literals staying in sync
+    (`upsert_orders`, `stream_upsert`, `stream_upsert_history`) — one
+    definition, not three copies.  +1.5 not *1.1: double addition is the
+    identical IEEE result in any engine, while round(x*1.1, 2) diverges
+    on half-cent boundaries."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
+    )
+    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    return o, repriced, fresh
+
+
 def q_upsert_orders(spark, sf_dir):
     """Keyed upsert: a synthetic refresh batch (10% of orders re-priced
     +10%, plus new high-key rows) merged into the base — rows not in the
@@ -2704,17 +2714,7 @@ def q_upsert_orders(spark, sf_dir):
     the (small) update key set."""
     from parquet_merger_spark.operators.incremental import upsert_by_key
 
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    # +1.5 not *1.1: double addition is the identical IEEE result in any
-    # engine, while round(x*1.1, 2) diverges on half-cent boundaries
-    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
-    )
-    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10_000_000
-    )
+    o, repriced, fresh = _upsert_fixture_frames(spark, sf_dir)
     updates = repriced.unionByName(fresh)
     return upsert_by_key(o, updates, ["o_orderkey"])
 
@@ -2762,16 +2762,7 @@ def q_stream_upsert(spark, sf_dir):
 
     base = _scratch_dir(spark, "stream_upsert")
     shutil.rmtree(base, ignore_errors=True)
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
-    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(1.5)
-    )
-    fresh = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10_000_000
-    )
+    o, repriced, fresh = _upsert_fixture_frames(spark, sf_dir)
     src = _write_replay_batches(base, [o, repriced, fresh])
 
     table = os.path.join(base, "table")
@@ -3202,12 +3193,22 @@ def q_incremental_agg_refresh(spark, sf_dir):
 
 def q_vocab_encode(spark, sf_dir):
     """Tokenizer-style VOCABULARY build + corpus encode: dense term ids
-    by (frequency desc, term asc) — assigned with the window-free global
-    numbering (quantile buckets + offsets; a bare row_number() over the
-    whole vocab would funnel it through one task) — then every document
-    re-expressed as its id sequence (space-joined for the hash compare).
+    by (frequency desc, term asc) for terms with tf >= 2 — assigned with
+    the window-free global numbering (quantile buckets + offsets; a bare
+    row_number() over the whole vocab would funnel it through one task)
+    — then every document re-expressed as its id sequence (space-joined
+    for the hash compare), out-of-vocabulary tokens mapping to UNK id 0.
     The id-ification step every training-data pipeline runs before
-    tensorization."""
+    tensorization.
+
+    The min-frequency cutoff is the real tokenizer contract AND the
+    skew guard: assign_row_ids buckets on the numeric sort key (neg_tf),
+    and equal keys share a bucket — on a Zipfian corpus the hapax mass
+    (tf=1, often ~half the vocabulary) would all land in ONE bucket's
+    window sort.  Culling it to UNK keeps every tf-equivalence class
+    that reaches the ranking small; at extreme scale raise min_tf
+    further or switch the tie-break to a hashed key (sacrificing the
+    lexicographic contract, and with it the SQL oracle)."""
     from parquet_merger_spark.operators.ranking import assign_row_ids
 
     d = _t(spark, sf_dir, "documents")
@@ -3216,22 +3217,21 @@ def q_vocab_encode(spark, sf_dir):
     )
     counts = tok.groupBy("term").agg(F.count("*").alias("tf"))
     vocab = assign_row_ids(
-        counts.withColumn("neg_tf", -F.col("tf")),
+        counts.filter(F.col("tf") >= 2).withColumn("neg_tf", -F.col("tf")),
         key_col="neg_tf",
         tiebreak_cols=["term"],
         row_id_col="term_id",
     ).select("term", "tf", "term_id")
     enc = (
-        tok.join(vocab.select("term", "term_id"), "term")
+        tok.join(vocab.select("term", "term_id"), "term", "left")
+        .withColumn("tid", F.coalesce("term_id", F.lit(0)))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "term_id"))
-                    ),
-                    lambda s: s["term_id"].cast("string"),
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
                 ),
                 " ",
             ).alias("ids"),
@@ -4446,11 +4446,12 @@ ORACLE_SQL: dict[str, str] = {
           SELECT term, tf,
                  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT)
                    AS term_id
-          FROM counts
+          FROM counts WHERE tf >= 2
         )
         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-               string_agg(CAST(v.term_id AS VARCHAR), ' ' ORDER BY t.pos) AS ids
-        FROM tok t JOIN vocab v USING (term)
+               string_agg(CAST(coalesce(v.term_id, 0) AS VARCHAR),
+                          ' ' ORDER BY t.pos) AS ids
+        FROM tok t LEFT JOIN vocab v USING (term)
         GROUP BY t.doc_id
     """,
     "stream_dedup": """

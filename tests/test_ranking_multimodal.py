@@ -386,7 +386,10 @@ def test_encode_wav_pcm16_roundtrips_through_parser():
         encode_wav_pcm16,
     )
 
-    wave = (((np.arange(120, dtype=np.int64) * 7) % 129) - 64) / 64.0
+    wave = (((np.arange(120, dtype=np.int64) * 7) % 128) - 64) / 64.0
     sr, n, parsed = _parse_wav(encode_wav_pcm16(wave, 22_050))
     assert (sr, n) == (22_050, 120)
-    assert np.abs(parsed - wave).max() < 1e-4
+    # k/64 grid points in [-1, 1) sit exactly on the k/32768 encode
+    # grid: the round-to-nearest symmetric quantizer round-trips them
+    # BIT-EXACTLY (+1.0 would saturate to 32767/32768)
+    assert np.abs(parsed.astype(np.float64) - wave).max() == 0.0
