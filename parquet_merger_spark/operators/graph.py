@@ -44,6 +44,7 @@ def pagerank_int(
     dst_col: str = "dst",
     assume_distinct: bool = False,
     broadcast_ranks: bool = True,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list; returns
     ``(vertex, rank_micro)`` after ``iterations`` power steps.
@@ -53,50 +54,60 @@ def pagerank_int(
     it adds one scalar aggregate per pass).  ``damping_pct`` is an
     integer percentage so the damping multiply stays exact.  Pass
     ``assume_distinct=True`` when the caller already dedups edges — it
-    elides a full shuffle of E.
+    elides a full shuffle of E.  Pass ``assume_symmetric=True`` when
+    every vertex appears as a src (undirected graphs stored as both
+    directions): the vertex set then falls out of the degree table for
+    free instead of a distinct over 2|E| rows.
 
     ``broadcast_ranks`` (default) ships the O(V) rank/contribution
     frames to every executor each pass, so the cached O(E) side NEVER
     re-shuffles — per iteration: one map-side join over cached E, one
     contribution aggregate (the only E-volume shuffle), one broadcast
-    join back onto the vertex set.  Set it False when V itself is too
+    join back onto the vertex set.  The degree table is O(V) and rides
+    the same broadcast fast path.  Set it False when V itself is too
     big to broadcast (billions of vertices at 100 TB): the loop then
     relies on co-partitioned shuffle joins — pre-bucket E and the rank
     table on the vertex key so those joins stay exchange-free.
-    """
-    from pyspark.sql import Window
 
+    The loop invariants (degree-annotated edges, vertex set) are
+    persisted AND EAGERLY materialized (one count() each) before the
+    loop.  Lazy persists were measured 2x slower end-to-end: the final
+    action's concurrent broadcast stages all see a cold cache and RACE
+    to recompute the degree shuffle over E (9.6s -> 5.3s at sf0.1 from
+    the eager counts alone; the same pathology as dup_clusters' edge
+    checkpoint).
+    """
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    # Degree-annotated edges and the vertex set are loop INVARIANTS:
-    # persist them once or every iteration (and the final 3-deep plan)
-    # re-runs the setup shuffles from the raw scan.  Degrees come from a
-    # sort-free count window over src — ONE shuffle of E and no
-    # edges-degrees self-join (the groupBy+join shape scans E twice).
-    # persist (not localCheckpoint) ON PURPOSE: the cached plan keeps its
-    # stats, so AQE still broadcasts the O(V) rank side of the loop join;
-    # checkpointing E here was measured SLOWER (forced materialization of
-    # the full edge frame) and starves the join planner of stats.
-    # At memory pressure Spark spills the cache; at true 100 TB swap
-    # persist for a checkpoint table.
-    e_deg = e.withColumn(
-        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).persist()
-    vertices = (
-        e_deg.select(F.col("src").alias("vertex"))
-        .union(e_deg.select(F.col("dst").alias("vertex")))
-        .distinct()
-        .persist()
-    )
+    # Degrees via groupBy + broadcast join back onto E: the groupBy
+    # shuffles E down to O(V) partials map-side, and the join is
+    # map-side against the broadcast degree table — cheaper than the
+    # earlier count-window (hash shuffle + SORT of all of E by src;
+    # measured 5.3s -> 4.0s at sf0.1).  With broadcast_ranks=False the
+    # degree join falls back to a co-partitioned shuffle join, keyed on
+    # the same vertex key as the loop joins.
+    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    e_deg = e.join(maybe_b(deg), "src").persist()
+    e_deg.count()
+    if assume_symmetric:
+        vertices = deg.select(F.col("src").alias("vertex")).persist()
+    else:
+        vertices = (
+            e_deg.select(F.col("src").alias("vertex"))
+            .union(e_deg.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .persist()
+        )
+    vertices.count()
     base = (100 - damping_pct) * SCALE // 100
 
     # uniform SCALE init; ranks stays None while the loop can still fold
     # the constant into a projection (first pass), and iterations=0
     # returns the explicit uniform frame below
     ranks = None
-    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     if iterations <= 0:
         return vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
     for it in range(iterations):

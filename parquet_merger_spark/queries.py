@@ -706,12 +706,26 @@ def q_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    edges = li.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
-        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    # both directions from ONE explode pass — a self-union of li would
+    # execute the distinct shuffle once per branch
+    edges = (
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("p").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
     # li is distinct and the two directions live in disjoint id ranges,
-    # so the union is already duplicate-free — skip the operator's dedup
-    return pagerank_int(edges, iterations=3, assume_distinct=True)
+    # so the exploded pairs are already duplicate-free — skip the
+    # operator's dedup; every vertex appears as a src (symmetric), so
+    # the vertex set falls out of the degree table
+    return pagerank_int(
+        edges, iterations=3, assume_distinct=True, assume_symmetric=True
+    )
 
 
 def q_window_functions(spark, sf_dir):
