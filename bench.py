@@ -130,8 +130,14 @@ HEADLINE = [
     "cdc_apply",
     "incremental_agg_refresh",
     "vocab_encode",
+    "promo_revenue",
+    "disjunctive_pushdown",
+    "late_supplier_orders",
+    "idle_customers",
+    "bm25_rank",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
+    "graph_triangles",
     "dedup_exact",
     # dup-passage coverage: positional-gram inverted index (Lee et al.
     # 2021-style exact-substring signal) — scale-critical like the other

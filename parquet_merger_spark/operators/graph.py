@@ -158,3 +158,95 @@ def pagerank_int(
         if it % 2 == 1 and it != iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact global triangle count over an undirected edge list, by
+    DEGREE-ORDERED ORIENTATION (the classic wedge-check algorithm:
+    Schank & Wagner 2005 forward/compact-forward; the MapReduce variant
+    is Suri & Vassilvitskii 2011).  Returns ONE row:
+    ``(n_vertices, n_edges, n_wedges, n_triangles)`` — all exact BIGINTs,
+    so the result hash-matches any engine.
+
+    Why orientation is THE 100 TB move: counting wedges (2-paths) around
+    high-degree hubs is O(sum deg^2) — a celebrity node with 10M
+    neighbors yields 5*10^13 wedges.  Orienting every edge from its
+    lower-(degree, id) endpoint to the higher one makes each triangle
+    countable exactly once (it has a unique lowest-rank apex) AND bounds
+    every node's ORIENTED out-degree by O(sqrt(E)), so the wedge join is
+    O(E^1.5) worst-case instead of O(sum deg^2).  Everything is
+    equi-joins: wedges pair oriented edges on their apex, and the
+    closing edge check is one left-semi equi-join back onto the oriented
+    edge set — no cartesian anywhere; AQE handles residual skew.
+
+    Ties in degree break by node id, so the orientation — and every
+    intermediate — is fully deterministic.
+    """
+    u, v = F.col(src_col), F.col(dst_col)
+    # canonical undirected edges (a < b), self-loops dropped
+    e = (
+        edges.select(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # materialized once: degrees AND orientation both scan it, and
+        # the upstream pair-generation plan may be expensive
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    # orient low-(deg, id) -> high-(deg, id); carry the target's rank key
+    # so the wedge join can order its two legs without re-joining degrees
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+            F.when(lower_first, F.col("degb"))
+            .otherwise(F.col("dega"))
+            .alias("degt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = oriented.select(
+        F.col("s"), F.col("t").alias("t1"), F.col("degt").alias("d1")
+    )
+    o2 = oriented.select(
+        F.col("s"), F.col("t").alias("t2"), F.col("degt").alias("d2")
+    )
+    # wedges at the apex s: the two legs ordered by the same (deg, id)
+    # rank that oriented the edges, so each unordered leg pair appears
+    # exactly once
+    wedges = o1.join(o2, "s").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    )
+    triangles = wedges.join(closing, ["t1", "t2"], "left_semi")
+    counts = (
+        e.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+    return counts.select("n_vertices", "n_edges", "n_wedges", "n_triangles")

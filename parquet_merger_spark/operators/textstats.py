@@ -298,3 +298,85 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text — the canonical exact-dup key after normalization."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a FIXED query term list
+    (Robertson & Spärck Jones probabilistic retrieval; the scoring
+    function behind Lucene/Elasticsearch defaults) — the ranking tier of
+    a retrieval/RAG pipeline, next to the ANN tier in simsearch.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    Cross-engine determinism contract (differential-oracle safe):
+
+    - idf is the RATIO variant, ``(N - df + 0.5) / (df + 0.5)`` WITHOUT
+      the log — same deliberate trade as ``tfidf_top_terms``' linear idf
+      (a transcendental would differ in last ulps across engines; the
+      ratio is one IEEE divide of exact integers, bit-identical, and
+      preserves the idf ORDERING that log would).
+    - the per-term sum runs in FIXED, listed order via one pivoted
+      column per term (`+` chains left-to-right in Spark and SQL alike),
+      never an engine-ordered SUM() over doubles.
+    - tf, dl, df, N are exact integers; avgdl is one IEEE divide.
+
+    Scale shape: tokenize + explode + filter to the query terms (the
+    filter drops ~everything BEFORE the shuffle — per-doc state is the
+    tiny (doc, term, tf) set), one O(terms) docfreq aggregate broadcast
+    back, doc length computed row-locally (no explode), corpus stats as
+    a broadcast 1-row frame.  One shuffle of the filtered tf rows; at
+    100 TB the flow is scan-local except for that filtered aggregate.
+    """
+    assert terms, "bm25_scores needs at least one query term"
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    # pivot to one column per term so the final sum is in LISTED order
+    per_term = scored.groupBy(id_col).pivot("term", terms).agg(F.max("s"))
+    total = None
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        total = c if total is None else total + c
+    return (
+        df.select(F.col(id_col))
+        .join(per_term, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.coalesce(total, F.lit(0.0)), 6).alias("bm25"),
+        )
+    )

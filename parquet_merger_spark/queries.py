@@ -5511,3 +5511,386 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_window": q_stream_session_window,
     "stream_near_dedup": q_stream_near_dedup,
 }
+
+
+# --------------------------------------------------------------------------
+# Round-3 widening: TPC-H analytic shapes (Q14/Q19/Q21/Q22), graph
+# triangles, BM25 retrieval ranking, stream-stream interval join
+# --------------------------------------------------------------------------
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: per ship-month share of promotional revenue —
+    conditional aggregation over a broadcast part join.  The pct is
+    computed from the ROUNDED month sums, so the ratio is bit-stable
+    across engines (the unrounded double sums are order-sensitive in the
+    last ulp; the rounded inputs are identical by the sum contract the
+    whole pricing family already relies on)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    m = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+def q_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape: an OR of (brand, size-range, quantity-range)
+    conjunctions across the lineitem-part join — the classic test that
+    the optimizer pushes each disjunct's single-table predicates to the
+    scans (part prunes on brand/size, lineitem on quantity) instead of
+    evaluating the whole OR post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q, s, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#15") & s.between(1, 20) & q.between(1, 15))
+        | ((br == "Brand#23") & s.between(10, 35) & q.between(10, 30))
+        | ((br == "Brand#21") & s.between(20, 50) & q.between(25, 50))
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+def q_late_supplier_orders(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting), reformulated Spark-first: instead of the textbook
+    double-correlated EXISTS / NOT EXISTS (two extra probes of the full
+    lineitem), ONE pass computes per-(order, supplier) lateness, one
+    per-order rollup counts suppliers and late suppliers, and the blame
+    filter is a broadcast-friendly join — same semantics, one lineitem
+    scan.  late = shipped more than 75 days after the order date."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        > 75
+    ).cast("int")
+    per_os = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers gone idle (no order since
+    2000) — a scalar aggregate subquery (global positive-balance
+    average, broadcast as a 1-row frame) gating an ANTI join against the
+    recent order keys, rolled up by nation.  The recency filter scopes
+    the anti-join side (the fixtures give every customer SOME order, so
+    the textbook never-ordered variant returns zero rows and would
+    check nothing)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle census of the part co-purchase graph (parts
+    appearing in the same order are connected).  The degree-ordered
+    orientation bounds the wedge join at O(E^1.5) — see
+    :func:`operators.graph.triangle_count` for the 100 TB argument.
+    All-integer output, hash-exact across engines."""
+    from parquet_merger_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 retrieval ranking of the corpus against a fixed query term
+    set — the lexical tier of a retrieval/RAG stack (the ANN family is
+    the semantic tier).  Deterministic across engines: ratio idf, fixed
+    per-term summation order, rounded once (see
+    :func:`operators.textstats.bm25_scores`)."""
+    from parquet_merger_spark.operators.textstats import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, ["spark", "merge", "query"])
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+def q_stream_interval_join(spark, sf_dir):
+    """STREAM-STREAM interval join driven end-to-end: events replay in
+    three mtime-pinned micro-batches through
+    :func:`streaming.events.correlate_streams` (each click joined to the
+    same user's views in the next 30 minutes).  The replay watermark is
+    set far past the fixture horizon so no row is ever evicted
+    mid-replay and the stream provably equals the batch interval join
+    (the oracle); production bounds state with a real watermark —
+    state is O(rate x horizon), the pattern that makes stream-stream
+    joins bounded at all."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import correlate_streams
+
+    base = _scratch_dir(spark, "stream_ijoin")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = _write_replay_batches(
+        base, [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    )
+    name = f"sij_{uuid.uuid4().hex[:8]}"
+    q = correlate_streams(
+        spark,
+        src,
+        os.path.join(base, "ckpt"),
+        left_type="click",
+        right_type="view",
+        horizon_minutes=30,
+        watermark="36500 days",
+        query_name=name,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        "left_id",
+        "right_id",
+        F.unix_timestamp("left_ts").alias("left_epoch"),
+        F.unix_timestamp("right_ts").alias("right_epoch"),
+    )
+
+
+ORACLE_SQL["promo_revenue"] = """
+    WITH m AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             round(sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END), 2) AS promo_revenue,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM m
+"""
+
+ORACLE_SQL["disjunctive_pushdown"] = """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 35 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)
+    GROUP BY p_brand
+"""
+
+ORACLE_SQL["late_supplier_orders"] = """
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                     CAST(l_shipdate AS DATE)) > 75
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), per_o AS (
+      SELECT l_orderkey,
+             count(*) AS n_supp,
+             sum(late) AS n_late
+      FROM per_os GROUP BY 1
+    ), blamed AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      FROM per_os JOIN per_o USING (l_orderkey)
+      WHERE late = 1 AND n_supp > 1 AND n_late = 1
+      GROUP BY 1
+    )
+    SELECT s_name, numwait
+    FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+"""
+
+ORACLE_SQL["idle_customers"] = """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+"""
+
+ORACLE_SQL["graph_triangles"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS s,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS t,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN db.deg ELSE da.deg END AS degt
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    wedges AS (
+      SELECT o1.t AS t1, o2.t AS t2
+      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      WHERE o1.degt < o2.degt OR (o1.degt = o2.degt AND o1.t < o2.t)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges w
+             WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2)
+           ) AS n_triangles
+"""
+
+ORACLE_SQL["bm25_rank"] = """
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ('spark', 'merge', 'query')
+      GROUP BY 1, 2
+    ),
+    df_t AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    sc AS (
+      SELECT tf.doc_id, tf.term,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+      FROM tf JOIN df_t USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    pv AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+           + coalesce(max(CASE WHEN term = 'merge' THEN s END), 0.0)
+           + coalesce(max(CASE WHEN term = 'query' THEN s END), 0.0) AS tot
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id, round(coalesce(pv.tot, 0.0), 6) AS bm25
+    FROM documents d LEFT JOIN pv USING (doc_id)
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 50
+"""
+
+ORACLE_SQL["stream_interval_join"] = """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    l AS (SELECT user_id, event_id AS left_id, ts AS lts FROM e WHERE event_type = 'click'),
+    r AS (SELECT user_id, event_id AS right_id, ts AS rts FROM e WHERE event_type = 'view')
+    SELECT l.user_id, left_id, right_id,
+           CAST(FLOOR(epoch(lts)) AS BIGINT) AS left_epoch,
+           CAST(FLOOR(epoch(rts)) AS BIGINT) AS right_epoch
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND rts > lts
+     AND rts <= lts + INTERVAL 30 MINUTE
+"""
+
+QUERIES["promo_revenue"] = q_promo_revenue
+QUERIES["disjunctive_pushdown"] = q_disjunctive_pushdown
+QUERIES["late_supplier_orders"] = q_late_supplier_orders
+QUERIES["idle_customers"] = q_idle_customers
+QUERIES["graph_triangles"] = q_graph_triangles
+QUERIES["bm25_rank"] = q_bm25_rank
+QUERIES["stream_interval_join"] = q_stream_interval_join

@@ -360,3 +360,16 @@ def test_exact_dedup_skips_unorderable_tiebreak_columns(spark):
     )
     out = {r.k: r.ts for r in exact_dedup(df, ["k"], "ts").collect()}
     assert out == {1: 5, 2: 7}
+
+
+def test_dup_clusters_step_grouping_invariant(spark):
+    """The multi-step round composition is an optimization, not a
+    semantics change: any steps_per_round reaches the same fixpoint on a
+    long chain (diameter >> steps)."""
+    from parquet_merger_spark.operators.dedup import dup_clusters
+
+    chain = [(i, i + 1) for i in range(12)] + [(20, 21), (21, 22)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    expect = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, steps_per_round=1).collect()}
+    assert expect == {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, steps_per_round=3).collect()}
+    assert expect[12] == 0 and expect[22] == 20

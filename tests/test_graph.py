@@ -53,3 +53,54 @@ def test_pagerank_dangling_node_keeps_base_rank(spark):
     # sink mass evaporates (simple variant): 9 never contributes, and its
     # own rank is base + damped share of 1's contributions only
     assert got[9] > 0
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from parquet_merger_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _tri(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return triangle_count(e).collect()[0].asDict()
+
+
+def test_triangle_count_k4(spark):
+    """K4: 4 vertices, 6 edges, C(4,3)=4 triangles; oriented wedge count
+    for a complete graph is also C(4,3) * ... pinned by enumeration."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _tri(spark, k4)
+    assert got["n_vertices"] == 4
+    assert got["n_edges"] == 6
+    assert got["n_triangles"] == 4
+
+
+def test_triangle_count_square_plus_diagonal(spark):
+    # square 0-1-2-3 with diagonal 0-2 => two triangles (0,1,2) (0,2,3)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    got = _tri(spark, edges)
+    assert got["n_edges"] == 5
+    assert got["n_triangles"] == 2
+
+
+def test_triangle_count_triangle_free_cycle(spark):
+    """4-cycle: orientation (all degrees tie, id breaks) gives vertex 0
+    out-edges {1, 3} — exactly one oriented wedge, and no closing edge.
+    (A path would show ZERO oriented wedges: endpoints have degree 1, so
+    every edge points inward and no apex keeps two out-edges — the very
+    hub-taming effect the orientation exists for.)"""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = _tri(spark, edges)
+    assert got["n_triangles"] == 0
+    assert got["n_wedges"] == 1  # the (1,3) wedge at apex 0, unclosed
+
+
+def test_triangle_count_ignores_direction_dupes_and_loops(spark):
+    """Symmetric duplicates, reversed edges, and self-loops must not
+    change the census: edges canonicalize to undirected distinct."""
+    base = [(0, 1), (1, 2), (0, 2)]
+    noisy = base + [(1, 0), (2, 1), (2, 0), (0, 0), (1, 1), (0, 1)]
+    assert _tri(spark, base) == _tri(spark, noisy)
+    assert _tri(spark, base)["n_triangles"] == 1

@@ -301,6 +301,11 @@ _BNLJ_VOUCHED = {
     "simsearch_pq_indexed",
     # 1-row corpus-total broadcast (see the round-3 operator review test)
     "keyness_terms",
+    # 1-row global aggregates on a broadcast: avg-balance gate, corpus
+    # (n_docs, avgdl) stats, and the 4-counter triangle census
+    "idle_customers",
+    "bm25_rank",
+    "graph_triangles",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -312,6 +317,10 @@ _SINGLE_VOUCHED = {
     "corr_matrix",
     # global corpus-token total: map-side partials -> one 1-row task
     "keyness_terms",
+    # same global-scalar-reduction family as above
+    "idle_customers",
+    "bm25_rank",
+    "graph_triangles",
 }
 
 
@@ -368,3 +377,54 @@ def test_round3_new_operator_plans_pass_scale_review(spark):
     assert_scalable(QUERIES["sql_group_by_all"](spark, SF_DIR))
     assert_scalable(QUERIES["dup_passages"](spark, SF_DIR))
     assert_scalable(QUERIES["embed_kmeans"](spark, SF_DIR))
+
+
+def test_round3_widening_plans_pass_scale_review(spark):
+    """Plan pins for the round-3 widening batch.
+
+    - promo_revenue / disjunctive_pushdown: part dim broadcast, no
+      cartesian; Q19's OR-of-conjunctions must still keep the join an
+      equi-join on partkey.
+    - late_supplier_orders: one lineitem scan, aggregates + equi-joins
+      (no correlated re-probe of lineitem).
+    - idle_customers / bm25_rank / graph_triangles: the only nested-loop
+      / single-partition nodes are 1-row global aggregates riding a
+      broadcast (the vouched global-scalar family).
+    """
+    from parquet_merger_spark.plans.audit import assert_scalable
+    from parquet_merger_spark.queries import QUERIES
+
+    assert_scalable(QUERIES["promo_revenue"](spark, SF_DIR))
+    assert_scalable(QUERIES["disjunctive_pushdown"](spark, SF_DIR))
+    assert_scalable(QUERIES["late_supplier_orders"](spark, SF_DIR))
+    assert_scalable(
+        QUERIES["idle_customers"](spark, SF_DIR),
+        allow_nested_loop=True,
+        allow_single_partition=True,
+    )
+    assert_scalable(
+        QUERIES["bm25_rank"](spark, SF_DIR),
+        allow_nested_loop=True,
+        allow_single_partition=True,
+    )
+    assert_scalable(
+        QUERIES["graph_triangles"](spark, SF_DIR),
+        allow_nested_loop=True,
+        allow_single_partition=True,
+    )
+
+
+def test_disjunctive_predicates_reach_scans(spark):
+    """Q19 shape: each disjunct's single-table predicates must be pushed
+    to the scans — part scans with a brand/size residual, lineitem with
+    a quantity residual (Catalyst extracts the common OR factors)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    df = QUERIES["disjunctive_pushdown"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the OR tree over p_brand must sit in the part-side scan filter,
+    # not above the join
+    assert "PushedFilters" in plan or "Filter" in plan
+    lower = plan.lower()
+    assert "p_brand" in lower and "l_quantity" in lower
+    assert "CartesianProduct" not in plan

@@ -166,3 +166,57 @@ def test_normalize_quantize_zero_vector_guard(spark):
     assert nz[0] == math.floor(30000 * 127 / 50000)
     assert nz[1] == math.floor(40000 * 127 / 50000)
     assert nz[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# bm25_scores
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed_single_term(spark):
+    """One query term, two docs: score follows the BM25 formula with the
+    ratio idf exactly (hand computation)."""
+    from parquet_merger_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark other word"),      # tf=2, dl=4
+            (2, "spark plain text here here"),  # tf=1, dl=5
+            (3, "nothing relevant at all"),     # tf=0, dl=4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    n, df_t = 3, 2
+    k1, b = 1.2, 0.75
+    avgdl = (4 + 5 + 4) / 3
+    idf = (n - df_t + 0.5) / (df_t + 0.5)
+
+    def s(tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == round(s(2, 4), 6)
+    assert got[2] == round(s(1, 5), 6)
+    assert got[3] == 0.0
+
+
+def test_bm25_sums_terms_in_listed_order_and_covers_all_docs(spark):
+    """Multi-term score is the fixed-order sum of per-term scores, and
+    every input doc appears (zero when no term matches)."""
+    from parquet_merger_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["alpha beta", "beta gamma beta", "delta", "alpha alpha gamma"]
+        )],
+        "doc_id long, text string",
+    )
+    both = bm25_scores(docs, ["alpha", "beta"])
+    assert both.count() == 4
+    a = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["alpha"]).collect()}
+    bt = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["beta"]).collect()}
+    ab = {r["doc_id"]: r["bm25"] for r in both.collect()}
+    for d in ab:
+        # rounding happens once at the end, so compare loosely here
+        assert abs(ab[d] - (a[d] + bt[d])) < 2e-6
+    assert ab[2] == 0.0  # "delta" matches neither term
