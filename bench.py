@@ -148,6 +148,9 @@ HEADLINE = [
     # Jaccard is the verification/audit tier (it stays oracle-checked in
     # CORRECTNESS); the headline near-dup path at scale is MinHash-LSH.
     "dedup_minhash_lsh",
+    # the composed headline pipeline: LSH pairs -> connected components
+    # -> survivors, in one key
+    "dedup_pipeline_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "decontaminate",

@@ -5894,3 +5894,26 @@ QUERIES["idle_customers"] = q_idle_customers
 QUERIES["graph_triangles"] = q_graph_triangles
 QUERIES["bm25_rank"] = q_bm25_rank
 QUERIES["stream_interval_join"] = q_stream_interval_join
+
+
+def q_dedup_pipeline_lsh(spark, sf_dir):
+    """The COMPOSED headline dedup pipeline, end to end: MinHash-LSH
+    candidate pairs -> connected-component cluster resolution ->
+    smallest-id survivor per cluster — i.e. exactly what a 100 TB corpus
+    dedup runs (the per-stage keys ``dedup_minhash_lsh``,
+    ``dedup_clusters``, ``dedup_survivors`` each verify one stage; this
+    key verifies the composition).  Rows-only (xxhash64-seeded LSH has
+    no DuckDB twin); deterministic, and pinned in
+    tests/test_clusters.py against an independent union-find replay of
+    the same pairs."""
+    from parquet_merger_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_survivors,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
+    return near_dedup_survivors(d, pairs).select("doc_id", "n_chars")
+
+
+QUERIES["dedup_pipeline_lsh"] = q_dedup_pipeline_lsh

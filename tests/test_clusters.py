@@ -373,3 +373,31 @@ def test_dup_clusters_step_grouping_invariant(spark):
     expect = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, steps_per_round=1).collect()}
     assert expect == {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, steps_per_round=3).collect()}
     assert expect[12] == 0 and expect[22] == 20
+
+
+def test_dedup_pipeline_lsh_matches_union_find_replay(spark):
+    """The composed LSH->clusters->survivors key equals an independent
+    driver-side union-find over the SAME candidate pairs."""
+    from parquet_merger_spark.operators.dedup import minhash_lsh_pairs
+    from parquet_merger_spark.queries import QUERIES, _t
+
+    sf = "/root/testdata/sf0.01"
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["id_a"]), find(r["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    losers = {x for x in parent if find(x) != x}
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    expect = all_ids - losers
+    got = {r["doc_id"] for r in QUERIES["dedup_pipeline_lsh"](spark, sf).collect()}
+    assert got == expect
