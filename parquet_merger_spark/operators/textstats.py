@@ -380,3 +380,84 @@ def bm25_scores(
             F.round(F.coalesce(total, F.lit(0.0)), 6).alias("bm25"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn the first ``k`` BPE merge rules over the corpus (Sennrich et
+    al. 2016, the tokenizer-training primitive): start from character
+    symbols, repeatedly merge the globally most frequent adjacent symbol
+    pair.  Returns ``[(step, left, right, merged, pair_count), ...]`` —
+    fully deterministic (tie-break: count desc, then (left, right) asc).
+
+    Spark shape (the 100 TB argument): the loop state is the WORD
+    VOCABULARY — ``(word, n, syms)``, one row per distinct word with its
+    corpus frequency — never the corpus.  The corpus is scanned ONCE to
+    build it (token explode -> groupBy word); every merge iteration then
+    runs on the vocab table: adjacent pairs via a row-local ``zip_with``
+    explode, one O(pairs) aggregate, a distributed TakeOrdered(1) for
+    the winning rule, and a row-local fold applying the merge.  Merge
+    application is left-to-right non-overlapping by construction of the
+    fold: the merged symbol ``left+right`` is strictly longer than
+    ``left``, so it can never left-match the same rule again within the
+    pass ("aaa" + (a,a) -> [aa, a]).  Stops early when no pair reaches
+    ``min_pair_count``.
+
+    The higher-order fold is interpreted Catalyst eval (the known
+    pathology from minhash — SURVEY §9); it runs over VOCAB rows, not
+    corpus rows, so at web scale (vocab ~1e7, |word| ~ 10) it stays
+    billions of times smaller than the corpus scan.  Swap the fold for
+    an Arrow kernel if vocab itself becomes huge.
+    """
+    from pyspark.sql.functions import col, lit
+
+    vocab = (
+        df.select(F.explode_outer(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("syms", F.split("w", ""))
+        .localCheckpoint(eager=True)
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    for step in range(k):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(col("syms"), F.lit(1), F.size("syms") - 1),
+                    F.slice(col("syms"), F.lit(2), F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        ab = a + b
+        merged = F.aggregate(
+            col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, lit(-1)) == lit(a))
+                & (s == lit(b)),
+                F.concat(
+                    F.slice(acc, lit(1), F.size(acc) - 1), F.array(lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=True)
+        rules.append((step, a, b, ab, cnt))
+    return rules

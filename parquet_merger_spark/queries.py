@@ -5917,3 +5917,39 @@ def q_dedup_pipeline_lsh(spark, sf_dir):
 
 
 QUERIES["dedup_pipeline_lsh"] = q_dedup_pipeline_lsh
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (first 8 merge rules over the corpus) —
+    the iterative-algorithm class applied to text: loop state is the
+    word vocabulary, never the corpus (see
+    :func:`operators.textstats.bpe_learn_merges`).  Rows-only: the
+    merge loop is not SQL-expressible without unrolling; determinism is
+    total (count desc, pair asc tie-break) and the exact rule sequence
+    is pinned against a pure-Python BPE replay in
+    tests/test_textstats_ext.py."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_merger_spark.operators.textstats import bpe_learn_merges
+
+    d = _t(spark, sf_dir, "documents")
+    rules = bpe_learn_merges(d, k=8)
+    schema = StructType(
+        [
+            StructField("step", IntegerType()),
+            StructField("left", StringType()),
+            StructField("right", StringType()),
+            StructField("merged", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rules, schema)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges

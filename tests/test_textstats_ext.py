@@ -220,3 +220,76 @@ def test_bm25_sums_terms_in_listed_order_and_covers_all_docs(spark):
         # rounding happens once at the end, so compare loosely here
         assert abs(ab[d] - (a[d] + bt[d])) < 2e-6
     assert ab[2] == 0.0  # "delta" matches neither term
+
+
+# ---------------------------------------------------------------------------
+# bpe_learn_merges
+# ---------------------------------------------------------------------------
+
+
+def _bpe_replay(word_counts: dict[str, int], k: int, min_pair: int = 2):
+    """Pure-Python BPE reference: same rule (count desc, pair asc)."""
+    vocab = {w: list(w) for w in word_counts}
+    rules = []
+    for step in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair:
+            break
+        ab = a + b
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+        rules.append((step, a, b, ab, cnt))
+    return rules
+
+
+def test_bpe_learn_merges_tiny_known(spark):
+    from parquet_merger_spark.operators.textstats import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "lowest low")], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(docs, k=3)
+    expect = _bpe_replay({"low": 4, "lower": 1, "lowest": 1}, 3)
+    assert got == expect
+    # first merge must be the most frequent adjacent pair: (l, o) count 6
+    assert got[0][1:] == ("l", "o", "lo", 6)
+
+
+def test_bpe_learn_merges_matches_python_replay_on_fixture(spark):
+    from parquet_merger_spark.operators.textstats import bpe_learn_merges
+    from parquet_merger_spark.queries import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    wc = {}
+    for r in d.collect():
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    assert bpe_learn_merges(d, k=8) == _bpe_replay(wc, 8)
+
+
+def test_bpe_overlapping_pairs_merge_left_to_right(spark):
+    from parquet_merger_spark.operators.textstats import bpe_learn_merges
+
+    # "aaaa" x3: pair (a,a) counts 3*3=9; after merge words become
+    # [aa, aa]; next merge (aa, aa)
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    got = bpe_learn_merges(docs, k=2)
+    assert got[0] == (0, "a", "a", "aa", 9)
+    assert got[1] == (1, "aa", "aa", "aaaa", 3)
