@@ -387,7 +387,8 @@ def bpe_learn_merges(
     k: int = 8,
     text_col: str = "text",
     min_pair_count: int = 2,
-) -> list[tuple[int, str, str, str, int]]:
+    return_vocab: bool = False,
+):
     """Learn the first ``k`` BPE merge rules over the corpus (Sennrich et
     al. 2016, the tokenizer-training primitive): start from character
     symbols, repeatedly merge the globally most frequent adjacent symbol
@@ -412,6 +413,12 @@ def bpe_learn_merges(
     corpus rows, so at web scale (vocab ~1e7, |word| ~ 10) it stays
     billions of times smaller than the corpus scan.  Swap the fold for
     an Arrow kernel if vocab itself becomes huge.
+
+    ``return_vocab=True`` additionally returns the post-merge vocabulary
+    frame ``(w, n, syms)`` — each distinct word's final subword
+    segmentation, the dictionary :func:`bpe_encode_docs` broadcasts to
+    tokenize the corpus without ever running the merge fold over corpus
+    rows.
     """
     from pyspark.sql.functions import col, lit
 
@@ -460,4 +467,57 @@ def bpe_learn_merges(
         )
         vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=True)
         rules.append((step, a, b, ab, cnt))
+    if return_vocab:
+        return rules, vocab
     return rules
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a freshly trained BPE model: learn ``k``
+    merges (:func:`bpe_learn_merges`), then re-express every document as
+    its subword sequence.  Returns ``(id_col, n_words, n_subwords,
+    subwords)`` with ``subwords`` space-joined for a stable compare.
+
+    The Spark-first encode: the merge loop's final vocabulary already
+    holds each distinct WORD's segmentation, so encoding the corpus is a
+    BROADCAST DICTIONARY JOIN (token -> subword array) plus a row-local
+    re-assembly — the fold never touches corpus rows.  This is how
+    production tokenizers run at scale (dictionary-encode the hot
+    vocabulary, compute per-word work once).  Re-assembly keeps token
+    order with a ``sort_array`` over (position, subwords) structs —
+    no window, no per-doc state.
+    """
+    rules, vocab = bpe_learn_merges(
+        df, k=k, text_col=text_col, return_vocab=True
+    )
+    seg = vocab.select(F.col("w"), F.col("syms"))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    joined = toks.join(F.broadcast(seg), "w")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("syms")))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("__sub"),
+        )
+        .select(
+            F.col(id_col),
+            "n_words",
+            F.size("__sub").alias("n_subwords"),
+            F.array_join("__sub", " ").alias("subwords"),
+        )
+    )

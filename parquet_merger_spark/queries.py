@@ -5953,3 +5953,18 @@ def q_bpe_merges(spark, sf_dir):
 
 
 QUERIES["bpe_merges"] = q_bpe_merges
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Corpus tokenization with the trained BPE model (the encode half
+    of `bpe_merges`): broadcast word->subwords dictionary join + ordered
+    row-local re-assembly; the merge fold never touches corpus rows.
+    Rows-only (depends on the iterative training loop); pinned against
+    the pure-Python replay in tests/test_textstats_ext.py."""
+    from parquet_merger_spark.operators.textstats import bpe_encode_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_docs(d, k=8)
+
+
+QUERIES["bpe_encode"] = q_bpe_encode

@@ -293,3 +293,41 @@ def test_bpe_overlapping_pairs_merge_left_to_right(spark):
     got = bpe_learn_merges(docs, k=2)
     assert got[0] == (0, "a", "a", "aa", 9)
     assert got[1] == (1, "aa", "aa", "aaaa", 3)
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    from parquet_merger_spark.operators.textstats import bpe_encode_docs
+    from parquet_merger_spark.queries import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    wc: dict[str, int] = {}
+    texts = {}
+    for r in d.collect():
+        texts[r["doc_id"]] = r["text"]
+        for w in r["text"].split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    rules = _bpe_replay(wc, 8)
+
+    def segment(word: str) -> list[str]:
+        syms = list(word)
+        for _, a, b, ab, _c in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["subwords"])
+        for r in bpe_encode_docs(d, k=8).collect()
+    }
+    for doc_id, text in texts.items():
+        words = [w for w in text.split(" ") if w]
+        subs = [s for w in words for s in segment(w)]
+        assert got[doc_id] == (len(words), len(subs), " ".join(subs)), doc_id
