@@ -211,13 +211,20 @@ def triangle_count(
         # the upstream pair-generation plan may be expensive
         .localCheckpoint(eager=True)
     )
+    # persisted + eagerly materialized: THREE consumers (the da/db
+    # broadcasts and the n_vertices count) would otherwise each rerun
+    # the 2|E| explode+groupBy — differently-aliased projections defeat
+    # ReuseExchange, and concurrent broadcast builds race a cold cache
+    # (the pagerank_int / dup_clusters pathology)
     deg = (
         e.select(
             F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
+    deg.count()
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
     # orient low-(deg, id) -> high-(deg, id); carry the target's rank key

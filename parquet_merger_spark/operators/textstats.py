@@ -501,7 +501,7 @@ def bpe_encode_docs(
         F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "w"),
     ).filter(F.length("w") > 0)
     joined = toks.join(F.broadcast(seg), "w")
-    return (
+    encoded = (
         joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -519,5 +519,19 @@ def bpe_encode_docs(
             "n_words",
             F.size("__sub").alias("n_subwords"),
             F.array_join("__sub", " ").alias("subwords"),
+        )
+    )
+    # blank/whitespace-only docs produce no tokens and would vanish from
+    # the inner-join aggregate; join them back as empty encodings so the
+    # output covers every input row (same every-doc contract as
+    # bm25_scores)
+    return (
+        df.select(F.col(id_col))
+        .join(encoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).alias("n_subwords"),
+            F.coalesce("subwords", F.lit("")).alias("subwords"),
         )
     )

@@ -5634,8 +5634,14 @@ def q_idle_customers(spark, sf_dir):
         .select("o_custkey")
         .distinct()
     )
+    # the gate average is ROUNDED to cents before comparing: the raw
+    # IEEE avg is aggregation-order-sensitive in its last ulp, and a
+    # balance sitting between two engines' averages would flip
+    # membership (same determinism contract as promo_revenue's rounded
+    # sums; balances are 2-decimal, so post-round boundary ties compare
+    # identically in both engines)
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -5660,11 +5666,13 @@ def q_graph_triangles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # no .distinct() here: pairs are already canonical (pa < pb) and
+    # triangle_count dedups internally — a query-level distinct would
+    # shuffle the same key set twice
     pairs = (
         a.join(b, "k")
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
     )
     return triangle_count(pairs)
 
@@ -5786,7 +5794,7 @@ ORACLE_SQL["late_supplier_orders"] = """
 
 ORACLE_SQL["idle_customers"] = """
     WITH avg_bal AS (
-      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+      SELECT round(avg(c_acctbal), 2) AS avg_bal FROM customer WHERE c_acctbal > 0
     )
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
            CAST(count(*) AS BIGINT) AS numcust,

@@ -331,3 +331,17 @@ def test_bpe_encode_matches_python_replay(spark):
         words = [w for w in text.split(" ") if w]
         subs = [s for w in words for s in segment(w)]
         assert got[doc_id] == (len(words), len(subs), " ".join(subs)), doc_id
+
+
+def test_bpe_encode_keeps_blank_docs(spark):
+    from parquet_merger_spark.operators.textstats import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, " ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"], r["subwords"])
+           for r in bpe_encode_docs(docs, k=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, "")
+    assert got[3] == (0, 0, "")
+    assert got[1][0] == 2 and got[1][1] >= 2
