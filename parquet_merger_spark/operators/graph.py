@@ -187,17 +187,13 @@ def triangle_count(
     Ties in degree break by node id, so the orientation — and every
     intermediate — is fully deterministic.
 
-    ``broadcast_edge_limit``: when the ORIENTED edge set (two longs +
-    a degree per row, ~24 B) fits under this row count, both the wedge
-    expansion and the closing-edge probe run as broadcast hash joins —
-    the (potentially huge) wedge stream then never leaves its stage: it
-    is generated, probed, and counted inside one codegen pipeline with
-    ZERO wedge-volume shuffles (measured 13.8s -> ~4s at sf0.1: 41M
-    wedges over 1.2M edges).  Above the limit — the true 100 TB regime,
-    where E itself is sharded — both joins fall back to shuffle
-    equi-joins on the apex / edge key, which is exactly the
-    Suri-Vassilvitskii partitioned formulation; orientation keeps that
-    shuffle O(E^1.5)-bounded.
+    ``broadcast_edge_limit``: when the ORIENTED edge set fits under this
+    row count, the adjacency-array joins run as broadcast hash joins and
+    the whole count stays in one stage.  Above the limit — the true
+    100 TB regime, where E itself is sharded — they fall back to shuffle
+    equi-joins on the vertex key; orientation bounds every out-neighbor
+    array at O(sqrt E), so the per-row intersect work — and the total
+    O(E^1.5) — survives the scale-up.
     """
     u, v = F.col(src_col), F.col(dst_col)
     # canonical undirected edges (a < b), self-loops dropped
@@ -244,47 +240,56 @@ def triangle_count(
         )
         .localCheckpoint(eager=True)
     )
+    # EDGE-ITERATOR counting (compact-forward's DataFrame shape): build
+    # each node's oriented out-neighbor ARRAY (O(V) rows), then for
+    # every oriented edge (s, t) count |N+(s) ∩ N+(t)| with one
+    # row-local array_intersect.  A triangle x<y<z (rank order) is found
+    # exactly once — on its apex-leg edge (x, y), where z sits in both
+    # out-sets.  The wedge COUNT collapses to arithmetic
+    # (sum C(outdeg, 2)), so the O(E^1.5) wedge stream is never
+    # materialized at all: the earlier explicit wedge join pushed 41M
+    # rows through a join at sf0.1 (8.8s warm); this shape keeps the
+    # pipeline at |E| rows with O(deg) row-local work (~2s).
     # the checkpoint makes this count a cheap cached scan; it decides the
-    # broadcast-vs-shuffle join strategy below
+    # broadcast-vs-shuffle strategy for the adjacency joins below (above
+    # the limit both become shuffle equi-joins on the vertex key — the
+    # sharded regime; orientation still bounds every array at O(sqrt E))
     n_oriented = oriented.count()
     maybe_b = (
         F.broadcast if n_oriented <= broadcast_edge_limit else (lambda df: df)
     )
-    o1 = oriented.select(
-        F.col("s"), F.col("t").alias("t1"), F.col("degt").alias("d1")
+    out_nbrs = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("t")).alias("nb"),
+        F.count(F.lit(1)).alias("od"),
     )
-    o2 = oriented.select(
-        F.col("s"), F.col("t").alias("t2"), F.col("degt").alias("d2")
+    wedge_count = out_nbrs.agg(
+        F.sum(F.expr("od * (od - 1L) div 2")).alias("n_wedges")
     )
-    # wedges at the apex s: the two legs ordered by the same (deg, id)
-    # rank that oriented the edges, so each unordered leg pair appears
-    # exactly once
-    wedges = o1.join(maybe_b(o2), "s").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2")))
-    )
-    # ONE pass over the wedge join for both counters: a left join against
-    # the (distinct) oriented edge set marks closed wedges, and a single
-    # aggregate counts wedges and triangles together.  The earlier
-    # two-consumer shape (count(wedges) + count(wedges LEFT-SEMI close))
-    # executed the wedge join twice.
-    closing = oriented.select(
-        F.col("s").alias("t1"),
-        F.col("t").alias("t2"),
-        F.lit(1).alias("__closed"),
-    )
-    wedge_counts = (
-        wedges.join(maybe_b(closing), ["t1", "t2"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_wedges"),
-            F.count("__closed").alias("n_triangles"),
+    ns = out_nbrs.select(F.col("s"), F.col("nb").alias("ns"))
+    nt = out_nbrs.select(F.col("s").alias("t"), F.col("nb").alias("nt"))
+    tri_count = (
+        oriented.join(maybe_b(ns), "s")
+        # left join: the highest-rank node of a component has no
+        # out-neighbors and is absent from out_nbrs
+        .join(maybe_b(nt), "t", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("ns"),
+                    # empty array of ns's element type, whatever the id
+                    # type is (slice keeps the array type)
+                    F.coalesce(F.col("nt"), F.slice(F.col("ns"), 1, 0)),
+                )
+            ).alias("c")
         )
+        .agg(F.sum("c").alias("n_triangles"))
     )
     counts = (
         e.agg(
             F.count(F.lit(1)).alias("n_edges"),
         )
         .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
-        .crossJoin(wedge_counts)
+        .crossJoin(wedge_count)
+        .crossJoin(tri_count)
     )
     return counts.select("n_vertices", "n_edges", "n_wedges", "n_triangles")
