@@ -157,18 +157,7 @@ def pagerank_int(
         # iteration.
         if it % 2 == 1 and it != iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
-    # materialize the O(V) result and RELEASE the loop-invariant caches:
-    # the caller's session (the driver runs the whole 160+-query contract
-    # in one application) would otherwise accumulate one cached E per
-    # pagerank call for its lifetime.  The eager checkpoint runs the
-    # final pass now — the same jobs the caller's first action would
-    # have run — and the checkpointed RDD is dropped by the context
-    # cleaner when the returned frame is garbage collected.
-    out = ranks.localCheckpoint(eager=True)
-    e_deg.unpersist()
-    deg.unpersist()
-    vertices.unpersist()
-    return out
+    return ranks
 
 
 def triangle_count(
@@ -303,12 +292,4 @@ def triangle_count(
         .crossJoin(wedge_count)
         .crossJoin(tri_count)
     )
-    # materialize the 1-row census now and release the degree cache (the
-    # e/oriented checkpoints are context-cleaned once unreferenced) — in
-    # a long-lived session one cached O(V) table per census call would
-    # otherwise pile up
-    out = counts.select(
-        "n_vertices", "n_edges", "n_wedges", "n_triangles"
-    ).localCheckpoint(eager=True)
-    deg.unpersist()
-    return out
+    return counts.select("n_vertices", "n_edges", "n_wedges", "n_triangles")
