@@ -178,11 +178,13 @@ def triangle_count(
     neighbors yields 5*10^13 wedges.  Orienting every edge from its
     lower-(degree, id) endpoint to the higher one makes each triangle
     countable exactly once (it has a unique lowest-rank apex) AND bounds
-    every node's ORIENTED out-degree by O(sqrt(E)), so the wedge join is
-    O(E^1.5) worst-case instead of O(sum deg^2).  Everything is
-    equi-joins: wedges pair oriented edges on their apex, and the
-    closing edge check is one left-semi equi-join back onto the oriented
-    edge set — no cartesian anywhere; AQE handles residual skew.
+    every node's ORIENTED out-degree by O(sqrt(E)), so total work is
+    O(E^1.5) worst-case instead of O(sum deg^2).  Counting is
+    EDGE-ITERATOR style: per oriented edge (s, t), triangles closing
+    through it are |N+(s) ∩ N+(t)| — one row-local array_intersect over
+    out-neighbor arrays joined on the vertex key; the wedge count is
+    pure arithmetic (sum C(outdeg, 2)).  No cartesian anywhere, and the
+    O(E^1.5) wedge stream is never materialized as rows.
 
     Ties in degree break by node id, so the orientation — and every
     intermediate — is fully deterministic.
@@ -223,8 +225,7 @@ def triangle_count(
     deg.count()
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
-    # orient low-(deg, id) -> high-(deg, id); carry the target's rank key
-    # so the wedge join can order its two legs without re-joining degrees
+    # orient low-(deg, id) -> high-(deg, id)
     lower_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
@@ -234,9 +235,6 @@ def triangle_count(
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
-            F.when(lower_first, F.col("degb"))
-            .otherwise(F.col("dega"))
-            .alias("degt"),
         )
         .localCheckpoint(eager=True)
     )
@@ -258,12 +256,26 @@ def triangle_count(
     maybe_b = (
         F.broadcast if n_oriented <= broadcast_edge_limit else (lambda df: df)
     )
-    out_nbrs = oriented.groupBy("s").agg(
-        F.sort_array(F.collect_list("t")).alias("nb"),
-        F.count(F.lit(1)).alias("od"),
+    # persisted + eagerly materialized: THREE consumers (the wedge-count
+    # aggregate and the differently-aliased ns/nt broadcast projections)
+    # would otherwise each rerun the O(E) collect_list shuffle — aliased
+    # projections defeat ReuseExchange and concurrent broadcast builds
+    # race a cold cache (SURVEY §9.9)
+    out_nbrs = (
+        oriented.groupBy("s")
+        .agg(
+            F.sort_array(F.collect_list("t")).alias("nb"),
+            F.count(F.lit(1)).alias("od"),
+        )
+        .persist()
     )
+    out_nbrs.count()
+    # coalesce: sum over an EMPTY out_nbrs (no orientable edges at all)
+    # is NULL, but the census contract is exact BIGINTs — return 0
     wedge_count = out_nbrs.agg(
-        F.sum(F.expr("od * (od - 1L) div 2")).alias("n_wedges")
+        F.coalesce(
+            F.sum(F.expr("od * (od - 1L) div 2")), F.lit(0).cast("long")
+        ).alias("n_wedges")
     )
     ns = out_nbrs.select(F.col("s"), F.col("nb").alias("ns"))
     nt = out_nbrs.select(F.col("s").alias("t"), F.col("nb").alias("nt"))
@@ -282,7 +294,9 @@ def triangle_count(
                 )
             ).alias("c")
         )
-        .agg(F.sum("c").alias("n_triangles"))
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_triangles")
+        )
     )
     counts = (
         e.agg(

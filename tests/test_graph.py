@@ -104,3 +104,16 @@ def test_triangle_count_ignores_direction_dupes_and_loops(spark):
     noisy = base + [(1, 0), (2, 1), (2, 0), (0, 0), (1, 1), (0, 1)]
     assert _tri(spark, base) == _tri(spark, noisy)
     assert _tri(spark, base)["n_triangles"] == 1
+
+
+def test_triangle_count_self_loops_only_returns_zeros(spark):
+    """Sums over an empty oriented set must coalesce to exact 0 (the
+    all-BIGINT census contract), never NULL."""
+    edges = [(1, 1), (2, 2)]
+    got = _tri(spark, edges)
+    assert got == {
+        "n_vertices": 0,
+        "n_edges": 0,
+        "n_wedges": 0,
+        "n_triangles": 0,
+    }

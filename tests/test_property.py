@@ -42,8 +42,8 @@ def test_triangle_count_matches_bruteforce(spark):
         undirected = {
             (min(a, b), max(a, b)) for a, b in edges if a != b
         }
-        if not undirected:
-            return
+        # empty after self-loop drop is a legal input: the census must
+        # return exact zeros, never NULL sums
         nodes = sorted({v for e in undirected for v in e})
         brute = sum(
             1
