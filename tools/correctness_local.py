@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Full-coverage local replication of the driver's CORRECTNESS compare.
+
+The driver samples a subset of contract keys per round; this tool runs
+EVERY ``queries()`` key at sf0.01 against its ``oracle_sql()`` twin
+(row count + schema + order-insensitive canonical value hash — the same
+compare ``tests/test_oracle.py`` parameterizes) and writes the result in
+the driver's row format to ``CORRECTNESS_local_r{N}.json`` so coverage
+is auditable even for keys the driver never sampled.  Rows-only keys
+(no oracle) are executed and recorded with ``err: "no_oracle"`` plus
+their row count, mirroring the driver's weaker check.
+
+Run from the repo root:  python tools/correctness_local.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_cell(v) -> str:
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.10g}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def _canon_hash(df) -> str:
+    cols = sorted(df.columns)
+    rows = sorted(
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> None:
+    import duckdb
+
+    from parquet_merger_spark.queries import ORACLE_SQL, QUERIES
+    from parquet_merger_spark.session import get_spark
+
+    spark = get_spark("pm-correctness-local", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    out: dict[str, dict] = {}
+    for name in sorted(QUERIES):
+        row: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            sdf = QUERIES[name](spark, SF_DIR).toPandas()
+            row["spark_rows"] = int(len(sdf))
+            if name in ORACLE_SQL:
+                ddf = con.execute(ORACLE_SQL[name]).df()
+                row["oracle_rows"] = int(len(ddf))
+                row["rows_match"] = len(sdf) == len(ddf)
+                row["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+                row["hash_match"] = (
+                    row["rows_match"]
+                    and row["schema_match"]
+                    and _canon_hash(sdf) == _canon_hash(ddf)
+                )
+            else:
+                row["err"] = "no_oracle"
+        except Exception as ex:  # noqa: BLE001 — record, keep sweeping
+            row["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        out[name] = row
+        status = (
+            "PASS" if row["hash_match"]
+            else ("rows-only" if row["err"] == "no_oracle" else "FAIL")
+        )
+        print(f"{name}: {status} ({row['spark_rows']} rows)", flush=True)
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(ROOT)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    path = os.path.join(ROOT, f"CORRECTNESS_local_r{n:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    n_pass = sum(1 for r in out.values() if r["hash_match"])
+    n_ro = sum(1 for r in out.values() if r["err"] == "no_oracle")
+    n_fail = len(out) - n_pass - n_ro
+    print(f"\n{path}: {n_pass} pass, {n_ro} rows-only, {n_fail} fail")
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
