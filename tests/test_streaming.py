@@ -630,3 +630,88 @@ def test_stream_upsert_replay_is_idempotent(spark, tmp_path):
     apply_fn(b1, 1)  # replay while _CURRENT points at v1
     again = {r.k: r.v for r in read_upsert_table(spark, table).collect()}
     assert again == first
+
+
+def test_windowed_stream_on_rocksdb_state_store(spark, event_files, tmp_path):
+    """The SAME windowed aggregation on the PRODUCTION state backend:
+    RocksDB state store (what a 100 TB deployment runs — state spills to
+    local disk instead of living on the executor heap).  Results must be
+    identical to the default (HDFS-backed in-memory) provider; the conf
+    is per-query via the session, restored afterwards."""
+    events_dir, real = event_files
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = windowed_event_counts_stream(
+            spark,
+            events_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_rocks"),
+            window="1 hour",
+            watermark="2 hours",
+            query_name="win_rocks",
+            output_mode="append",
+        )
+        try:
+            q.processAllAvailable()
+            # the running query's state store provider is the one under test
+            assert "RocksDB" in spark.conf.get(key)
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = spark.table("win_rocks").filter("event_type <> 'sentinel'")
+    expected = windowed_event_counts_batch(
+        spark.createDataFrame(real), window="1 hour"
+    )
+    assert _canon(got) == _canon(expected)
+
+
+def test_windowed_stream_available_now_trigger(spark, event_files, tmp_path):
+    """Trigger.AvailableNow — the production catch-up pattern (process
+    everything present, in rate-limited micro-batches, then STOP on its
+    own): same results as the continuous processAllAvailable runs, and
+    the query terminates without an explicit stop."""
+    import os as _os
+
+    from pyspark.sql import functions as SF
+
+    events_dir, real = event_files
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(SF.window("ts", "1 hour"), SF.col("event_type"))
+        .agg(SF.count(SF.lit(1)).alias("n_events"))
+        .select(
+            SF.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_avnow")
+        .option("checkpointLocation", _os.path.join(str(tmp_path), "ckpt_avnow"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    got = spark.table("win_avnow").filter("event_type <> 'sentinel'")
+    expected = (
+        windowed_event_counts_batch(spark.createDataFrame(real), window="1 hour")
+        .select("window_start", "event_type", "n_events")
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in expected.collect()
+    )
