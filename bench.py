@@ -191,6 +191,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # per-query cache isolation: earlier queries' persisted frames
+        # pile up in the CacheManager, and every subsequent plan
+        # analysis walks those entries — measured +85% on the
+        # persist-heavy pagerank after just 40 prior keys (5.7s vs 3.1s
+        # cleared).  Clearing between keys measures each query's OWN
+        # cost; persisted ON-DISK indexes (the *_indexed keys) are
+        # untouched.  The clear runs outside the timed window.
+        spark.catalog.clearCache()
         # time build + action together: queries that materialize inside
         # their builder (iterative operators with lazy localCheckpoint,
         # index-building paths) would otherwise run their real work

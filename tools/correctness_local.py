@@ -80,6 +80,9 @@ def main() -> None:
             "spark_rows": None, "oracle_rows": None, "err": None,
         }
         try:
+            # per-key cache isolation (see bench.py): keeps the sweep's
+            # plan-analysis cost flat across 160+ keys
+            spark.catalog.clearCache()
             sdf = QUERIES[name](spark, SF_DIR).toPandas()
             row["spark_rows"] = int(len(sdf))
             if name in ORACLE_SQL:
