@@ -135,6 +135,9 @@ HEADLINE = [
     "late_supplier_orders",
     "idle_customers",
     "bm25_rank",
+    "market_share",
+    "top_supplier",
+    "parts_supplier_count",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -5976,3 +5976,166 @@ def q_bpe_encode(spark, sf_dir):
 
 
 QUERIES["bpe_encode"] = q_bpe_encode
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a regional market's
+    order volume, per order year — 6-table star join with every
+    dimension broadcast, conditional aggregation, and the share ratio
+    computed from the ROUNDED yearly sums (the promo_revenue determinism
+    rule).  Market = customers of region AMERICA; contender =
+    suppliers of NATION_1."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    market_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp_n = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(market_cust, o.o_custkey == market_cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("nation_volume"),
+            F.round(F.sum(rev), 2).alias("market_volume"),
+        )
+        .select(
+            "yr",
+            "nation_volume",
+            "market_volume",
+            F.round(
+                F.col("nation_volume") / F.col("market_volume"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over a ship
+    window, then the supplier(s) achieving the MAXIMUM — an
+    aggregate-of-an-aggregate via a broadcast 1-row max, the
+    decorrelated form of Q15's scalar view subquery."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+    )
+
+
+def q_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size-band), EXCLUDING a supplier set via NOT IN (decorrelates to a
+    broadcast anti-join) — the exclusion set here is suppliers in
+    arrears (negative balance), standing in for Q16's comment filter
+    (the fixtures carry no s_comment)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            "p_type",
+            (F.floor(F.col("p_size") / 10) * 10).alias("size_band"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+ORACLE_SQL["market_share"] = """
+    WITH market_cust AS (
+      SELECT c_custkey FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    ), supp_n AS (
+      SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+    ), yearly AS (
+      SELECT year(o_orderdate) AS yr,
+             round(sum(CASE WHEN supp_nation = 'NATION_1'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END), 2) AS nation_volume,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS market_volume
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supp_n ON l_suppkey = s_suppkey
+      WHERE o_custkey IN (SELECT c_custkey FROM market_cust)
+      GROUP BY 1
+    )
+    SELECT yr, nation_volume, market_volume,
+           round(nation_volume / market_volume, 6) AS mkt_share
+    FROM yearly
+"""
+
+ORACLE_SQL["top_supplier"] = """
+    WITH per_supp AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+"""
+
+ORACLE_SQL["parts_supplier_count"] = """
+    SELECT p_brand, p_type,
+           CAST(floor(p_size / 10) * 10 AS BIGINT) AS size_band,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2, 3
+"""
+
+QUERIES["market_share"] = q_market_share
+QUERIES["top_supplier"] = q_top_supplier
+QUERIES["parts_supplier_count"] = q_parts_supplier_count

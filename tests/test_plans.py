@@ -302,10 +302,12 @@ _BNLJ_VOUCHED = {
     # 1-row corpus-total broadcast (see the round-3 operator review test)
     "keyness_terms",
     # 1-row global aggregates on a broadcast: avg-balance gate, corpus
-    # (n_docs, avgdl) stats, and the 4-counter triangle census
+    # (n_docs, avgdl) stats, the 4-counter triangle census, and the
+    # Q15 revenue-maximum scalar
     "idle_customers",
     "bm25_rank",
     "graph_triangles",
+    "top_supplier",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -321,6 +323,7 @@ _SINGLE_VOUCHED = {
     "idle_customers",
     "bm25_rank",
     "graph_triangles",
+    "top_supplier",
 }
 
 
