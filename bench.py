@@ -138,6 +138,7 @@ HEADLINE = [
     "market_share",
     "top_supplier",
     "parts_supplier_count",
+    "rolling_wau",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

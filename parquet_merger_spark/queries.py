@@ -6139,3 +6139,60 @@ ORACLE_SQL["parts_supplier_count"] = """
 QUERIES["market_share"] = q_market_share
 QUERIES["top_supplier"] = q_top_supplier
 QUERIES["parts_supplier_count"] = q_parts_supplier_count
+
+
+def q_rolling_wau(spark, sf_dir):
+    """7-day rolling distinct active users per day (WAU) — the rolling
+    DISTINCT idiom: window frames cannot express COUNT(DISTINCT), so
+    each (day, user) activity row is EXPLODED to the 7 target days it
+    contributes to (day .. day+6) and the rollup is a plain
+    groupBy+count_distinct.  Scale shape: the explode is a bounded x7
+    row-local fan-out of the already-deduplicated (day, user) pairs
+    (NOT raw events), and the aggregate is one hash shuffle — no
+    per-day self-joins, no window state.  Days with no active window
+    are absent (no zero-fill; gapfill_locf covers that idiom)."""
+    e = _events(spark, sf_dir)
+    day_user = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("target_day"),
+        "user_id",
+    )
+    # clip to the observed day domain so trailing days past the last
+    # event (pure artifacts of the fan-out) are excluded
+    max_day = day_user.agg(F.max("day").alias("max_day"))
+    return (
+        contrib.crossJoin(F.broadcast(max_day))
+        .filter(F.col("target_day") <= F.col("max_day"))
+        .groupBy(F.col("target_day").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+ORACLE_SQL["rolling_wau"] = """
+    WITH day_user AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             user_id
+      FROM events
+    ), contrib AS (
+      SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS target_day,
+             user_id
+      FROM day_user
+    )
+    SELECT CAST(target_day AS VARCHAR) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib
+    WHERE target_day <= (SELECT max(day) FROM day_user)
+    GROUP BY 1
+"""
+
+QUERIES["rolling_wau"] = q_rolling_wau

@@ -308,6 +308,8 @@ _BNLJ_VOUCHED = {
     "bm25_rank",
     "graph_triangles",
     "top_supplier",
+    # 1-row max-day clip broadcast in the rolling-WAU fan-out
+    "rolling_wau",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -324,6 +326,7 @@ _SINGLE_VOUCHED = {
     "bm25_rank",
     "graph_triangles",
     "top_supplier",
+    "rolling_wau",
 }
 
 
