@@ -55,8 +55,15 @@ def windowed_event_counts_stream(
     watermark: str = "2 hours",
     query_name: str = "windowed_events",
     output_mode: str = "update",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """File-source streaming windowed aggregate -> memory sink.
+
+    ``available_now=True`` runs with ``Trigger.AvailableNow`` — process
+    everything currently present (still rate-limited into micro-batches
+    by ``maxFilesPerTrigger``) and then STOP on its own: the production
+    catch-up pattern.  Wait with ``query.awaitTermination(timeout)``
+    instead of ``processAllAvailable()``.
 
     Watermark bounds state: windows older than (max event time - watermark)
     finalize and EVICT from the state store.  That claim is only true in
@@ -78,13 +85,15 @@ def windowed_event_counts_stream(
         .parquet(events_dir)
     )
     agg = _windowed_agg(stream.withWatermark("ts", watermark), window, slide)
-    return (
+    writer = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -9,7 +9,6 @@ hashes values, so near-equality is not good enough.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -19,45 +18,23 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from parquet_merger_spark.oracle import canon_rows, register_views  # noqa: E402
 from parquet_merger_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    register_views(con, SF_DIR)
     yield con
     con.close()
 
 
-def _canon_cell(v):
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "<null>"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
-        return f"{v:.10g}"
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return str(v)
-
-
 def _canon(df: pd.DataFrame) -> list[tuple]:
-    cols = sorted(df.columns)
-    rows = [
-        tuple(_canon_cell(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    ]
-    return sorted(rows)
+    # shared with tools/correctness_local.py via parquet_merger_spark.oracle
+    return canon_rows(df)
 
 
 ORACLE_KEYS = sorted(ORACLE_SQL)

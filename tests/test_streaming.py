@@ -658,8 +658,6 @@ def test_windowed_stream_on_rocksdb_state_store(spark, event_files, tmp_path):
         )
         try:
             q.processAllAvailable()
-            # the running query's state store provider is the one under test
-            assert "RocksDB" in spark.conf.get(key)
         finally:
             q.stop()
     finally:
@@ -667,6 +665,20 @@ def test_windowed_stream_on_rocksdb_state_store(spark, event_files, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+    # PROOF the query ran on RocksDB, not a silent fallback: only the
+    # RocksDB provider writes versioned .zip snapshots (and .changelog
+    # deltas) under the checkpoint's state/ tree — the default HDFS
+    # provider writes bare .delta/.snapshot files
+    import glob as _glob
+
+    rocks_files = _glob.glob(
+        str(tmp_path / "ckpt_rocks" / "state" / "**" / "*.zip"),
+        recursive=True,
+    ) + _glob.glob(
+        str(tmp_path / "ckpt_rocks" / "state" / "**" / "*.changelog"),
+        recursive=True,
+    )
+    assert rocks_files, "no RocksDB snapshot artifacts in the state dir"
     got = spark.table("win_rocks").filter("event_type <> 'sentinel'")
     expected = windowed_event_counts_batch(
         spark.createDataFrame(real), window="1 hour"
@@ -677,41 +689,28 @@ def test_windowed_stream_on_rocksdb_state_store(spark, event_files, tmp_path):
 def test_windowed_stream_available_now_trigger(spark, event_files, tmp_path):
     """Trigger.AvailableNow — the production catch-up pattern (process
     everything present, in rate-limited micro-batches, then STOP on its
-    own): same results as the continuous processAllAvailable runs, and
-    the query terminates without an explicit stop."""
-    import os as _os
-
-    from pyspark.sql import functions as SF
-
+    own): the SAME helper pipeline as every other windowed test (full
+    aggregate incl. sum_value), terminating without an explicit stop."""
     events_dir, real = event_files
-    schema = spark.read.parquet(events_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-        .withWatermark("ts", "2 hours")
-        .groupBy(SF.window("ts", "1 hour"), SF.col("event_type"))
-        .agg(SF.count(SF.lit(1)).alias("n_events"))
-        .select(
-            SF.col("window.start").alias("window_start"),
-            "event_type",
-            "n_events",
-        )
+    q = windowed_event_counts_stream(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_avnow"),
+        window="1 hour",
+        watermark="2 hours",
+        query_name="win_avnow",
+        output_mode="append",
+        available_now=True,
     )
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("win_avnow")
-        .option("checkpointLocation", _os.path.join(str(tmp_path), "ckpt_avnow"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    try:
+        terminated = q.awaitTermination(120)
+        assert terminated, "availableNow query did not self-terminate"
+    finally:
+        # on the failure path the query is still running — never leak it
+        # into the session-scoped SparkSession
+        q.stop()
     got = spark.table("win_avnow").filter("event_type <> 'sentinel'")
-    expected = (
-        windowed_event_counts_batch(spark.createDataFrame(real), window="1 hour")
-        .select("window_start", "event_type", "n_events")
+    expected = windowed_event_counts_batch(
+        spark.createDataFrame(real), window="1 hour"
     )
-    assert sorted(tuple(r) for r in got.collect()) == sorted(
-        tuple(r) for r in expected.collect()
-    )
+    assert _canon(got) == _canon(expected)

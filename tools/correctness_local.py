@@ -15,9 +15,7 @@ Run from the repo root:  python tools/correctness_local.py
 
 from __future__ import annotations
 
-import hashlib
 import json
-import math
 import os
 import re
 import sys
@@ -25,38 +23,10 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+from parquet_merger_spark.oracle import canon_hash as _canon_hash  # noqa: E402
+from parquet_merger_spark.oracle import register_views  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _canon_cell(v) -> str:
-    import pandas as pd
-
-    if v is None or (isinstance(v, float) and math.isnan(v)):
-        return "<null>"
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return f"{v:.6f}"
-        return f"{v:.10g}"
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return str(v)
-
-
-def _canon_hash(df) -> str:
-    cols = sorted(df.columns)
-    rows = sorted(
-        tuple(_canon_cell(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    )
-    h = hashlib.sha256()
-    for r in rows:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
 
 
 def main() -> None:
@@ -68,10 +38,7 @@ def main() -> None:
     spark = get_spark("pm-correctness-local", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    register_views(con, SF_DIR)
 
     out: dict[str, dict] = {}
     for name in sorted(QUERIES):
