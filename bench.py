@@ -139,6 +139,7 @@ HEADLINE = [
     "top_supplier",
     "parts_supplier_count",
     "rolling_wau",
+    "basket_lift",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -6196,3 +6196,74 @@ ORACLE_SQL["rolling_wau"] = """
 """
 
 QUERIES["rolling_wau"] = q_rolling_wau
+
+
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association metrics (the Apriori step-1 / FP-growth
+    output shape): for frequently co-purchased part pairs, support,
+    confidence and lift from EXACT basket counts.  Baskets = orders;
+    pair generation is the same self-join-on-basket shape as
+    graph_triangles (bounded by small per-order line counts, never
+    all-pairs over the catalog); min-support prunes BEFORE the metric
+    join.  Ratios are exact-count divisions rounded once — deterministic
+    across engines.  Top 50 by (lift desc, pa, pb) for a stable frame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_baskets = li.select("l_orderkey").distinct().count()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pair_counts = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    item_counts = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    ia = item_counts.select(F.col("item").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = item_counts.select(F.col("item").alias("pb"), F.col("n_item").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * F.lit(float(n_baskets)))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(50)
+    )
+
+
+ORACLE_SQL["basket_lift"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+    pair_counts AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    item_counts AS (
+      SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS n_item FROM li GROUP BY 1
+    )
+    SELECT pa, pb, n_ab,
+           round(n_ab / CAST(n_baskets AS DOUBLE), 6) AS support,
+           round(n_ab / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+           round((n_ab * CAST(n_baskets AS DOUBLE)) / (ia.n_item * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+    FROM pair_counts
+    JOIN item_counts ia ON ia.item = pa
+    JOIN item_counts ib ON ib.item = pb
+    CROSS JOIN nb
+    ORDER BY lift DESC, pa, pb
+    LIMIT 50
+"""
+
+QUERIES["basket_lift"] = q_basket_lift
