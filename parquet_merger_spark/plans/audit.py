@@ -106,3 +106,34 @@ def assert_scalable(
             "plan fails scale review: " + "; ".join(problems) + f"\ndigest={d}"
         )
     return d
+
+
+def final_plan_digest(df: DataFrame) -> dict[str, int]:
+    """Digest of the RUNTIME-FINAL adaptive plan: executes ``df`` via
+    ``collect()`` (the one action that finalizes the frame's OWN query
+    execution — a sink write runs a separate QueryExecution and leaves
+    this frame's adaptive plan at ``isFinalPlan=false``), then counts
+    nodes in the ``== Final Plan ==`` section — under AQE that is the
+    tree after skew-join splits, shuffle coalescing, and SMJ->BHJ
+    demotions, i.e. what actually ran (``plan_digest`` sees only the
+    INITIAL plan of an unexecuted frame; its docstring details the gap).
+    Whole-stage codegen spans are counted from the final tree's
+    ``*(n)`` ids, which AQE only assigns at runtime — so this is also
+    the one place codegen width is measurable with adaptive enabled.
+
+    COLLECTS the frame to the driver — audit/test use on bounded or
+    aggregated frames only, never on a production hot path.
+    """
+    import re
+
+    df.collect()
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    # the AQE explain appends the pre-execution tree after the final one;
+    # digest only what ran
+    plan = plan.split("== Initial Plan ==")[0]
+    d = {name: plan.count(marker) for name, marker in _MARKERS.items()}
+    d["whole_stage_codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    return d

@@ -408,3 +408,29 @@ def test_disjunctive_predicates_reach_scans(spark):
     assert "Or(" in part_pushed and "p_brand" in part_pushed
     assert "Or(" in li_pushed and "l_quantity" in li_pushed
     assert "CartesianProduct" not in plan
+
+
+def test_final_plan_digest_sees_runtime_adaptive_plan(spark):
+    """final_plan_digest audits what actually RAN: under AQE the
+    executed tree carries runtime codegen spans (invisible on the
+    initial plan, where plan_digest reads 0), and the scale red lines
+    hold on the final tree too — pinned on a broadcast star join and on
+    the pagerank loop output."""
+    from parquet_merger_spark.plans.audit import final_plan_digest, plan_digest
+    from parquet_merger_spark.queries import QUERIES
+
+    df = QUERIES["nation_revenue"](spark, SF_DIR)
+    initial = plan_digest(df)
+    final = final_plan_digest(df)
+    # AQE assigns codegen ids at runtime: initial reads 0, final must not
+    assert initial["whole_stage_codegen"] == 0
+    assert final["whole_stage_codegen"] >= 1
+    # red lines hold on the plan that actually ran
+    assert final["cartesian_products"] == 0
+    assert final["broadcast_hash_joins"] >= 2  # the broadcast dims
+    # AQE only ever REMOVES exchanges relative to the initial plan
+    assert final["hash_exchanges"] <= initial["hash_exchanges"]
+
+    pr = QUERIES["pagerank"](spark, SF_DIR)
+    fpr = final_plan_digest(pr)
+    assert fpr["cartesian_products"] == 0
