@@ -6208,7 +6208,12 @@ def q_basket_lift(spark, sf_dir):
     join.  Ratios are exact-count divisions rounded once — deterministic
     across engines.  Top 50 by (lift desc, pa, pb) for a stable frame."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_baskets = li.select("l_orderkey").distinct().count()
+    # basket total as a LAZY broadcast 1-row frame (the tfidf_top_terms
+    # pattern) — an eager .count() here would run a driver-blocking job
+    # at query-build time
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     pair_counts = (
@@ -6226,14 +6231,15 @@ def q_basket_lift(spark, sf_dir):
     return (
         pair_counts.join(F.broadcast(ia), "pa")
         .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_baskets))
         .select(
             "pa",
             "pb",
             "n_ab",
-            F.round(F.col("n_ab") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
             F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
             F.round(
-                (F.col("n_ab") * F.lit(float(n_baskets)))
+                (F.col("n_ab") * F.col("n_baskets"))
                 / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("lift"),

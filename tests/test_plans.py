@@ -310,6 +310,8 @@ _BNLJ_VOUCHED = {
     "top_supplier",
     # 1-row max-day clip broadcast in the rolling-WAU fan-out
     "rolling_wau",
+    # 1-row basket-total broadcast (lazy tfidf-pattern scalar)
+    "basket_lift",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -327,6 +329,7 @@ _SINGLE_VOUCHED = {
     "graph_triangles",
     "top_supplier",
     "rolling_wau",
+    "basket_lift",
 }
 
 
