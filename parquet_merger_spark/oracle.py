@@ -59,3 +59,21 @@ def register_views(con, sf_dir: str) -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+
+
+def next_round(root: str) -> int:
+    """Round number for locally-produced artifacts: one past the newest
+    DRIVER correctness artifact (``CORRECTNESS_r{N}.json``) in ``root``
+    — the single definition both sweep tools share (``bench.py`` keeps
+    its own refresh-in-place variant deliberately: it also considers its
+    prior LOCAL artifacts so a rerun before the next driver round lands
+    updates the same file)."""
+    import os
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(root)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return (max(rounds) + 1) if rounds else 1

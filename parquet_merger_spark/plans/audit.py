@@ -127,10 +127,7 @@ def final_plan_digest(df: DataFrame) -> dict[str, int]:
     import re
 
     df.collect()
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    plan = df._jdf.queryExecution().explainString(jmode)
+    plan = _explain(df)
     # the AQE explain appends the pre-execution tree after the final one;
     # digest only what ran
     plan = plan.split("== Initial Plan ==")[0]

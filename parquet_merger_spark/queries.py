@@ -6207,7 +6207,16 @@ def q_basket_lift(spark, sf_dir):
     all-pairs over the catalog); min-support prunes BEFORE the metric
     join.  Ratios are exact-count divisions rounded once — deterministic
     across engines.  Top 50 by (lift desc, pa, pb) for a stable frame."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # eagerly checkpointed: FOUR consumers (basket total, both pair-join
+    # sides, item counts) would otherwise re-run the scan+distinct
+    # shuffle per branch — the cold-cache race triangle_count documents
+    # for the identical pair-generation shape
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # basket total as a LAZY broadcast 1-row frame (the tfidf_top_terms
     # pattern) — an eager .count() here would run a driver-blocking job
     # at query-build time
@@ -6228,9 +6237,15 @@ def q_basket_lift(spark, sf_dir):
     )
     ia = item_counts.select(F.col("item").alias("pa"), F.col("n_item").alias("n_a"))
     ib = item_counts.select(F.col("item").alias("pb"), F.col("n_item").alias("n_b"))
+    # NO forced broadcast on the item-count sides: they are
+    # catalog-sized (one row per distinct part — ~2e10 at 100 TB), so a
+    # broadcast hint would be an OOM at scale; these are keyed
+    # equi-joins AQE freely broadcasts when the side is actually small
+    # (it is, at every test SF).  Only the 1-row basket total rides a
+    # forced broadcast.
     return (
-        pair_counts.join(F.broadcast(ia), "pa")
-        .join(F.broadcast(ib), "pb")
+        pair_counts.join(ia, "pa")
+        .join(ib, "pb")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "pa",

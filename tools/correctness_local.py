@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -73,12 +72,9 @@ def main() -> None:
         )
         print(f"{name}: {status} ({row['spark_rows']} rows)", flush=True)
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(ROOT)
-        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    n = (max(rounds) + 1) if rounds else 1
+    from parquet_merger_spark.oracle import next_round
+
+    n = next_round(ROOT)
     path = os.path.join(ROOT, f"CORRECTNESS_local_r{n:02d}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,12 +45,9 @@ def main() -> None:
             out[name] = {"err": f"{type(ex).__name__}: {ex}"[:200]}
         print(name, "ok" if "err" not in out[name] else out[name]["err"], flush=True)
 
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(ROOT)
-        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    n = (max(rounds) + 1) if rounds else 1
+    from parquet_merger_spark.oracle import next_round
+
+    n = next_round(ROOT)
     path = os.path.join(ROOT, f"PLANS_r{n:02d}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
