@@ -140,6 +140,7 @@ HEADLINE = [
     "parts_supplier_count",
     "rolling_wau",
     "basket_lift",
+    "drift_cusum",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -6288,3 +6288,62 @@ ORACLE_SQL["basket_lift"] = """
 """
 
 QUERIES["basket_lift"] = q_basket_lift
+
+
+def q_drift_cusum(spark, sf_dir):
+    """CUSUM drift detection per event type (the monitoring-family
+    primitive: cumulative sum of mean-centered values flags sustained
+    level shifts long before per-point outlier tests fire).  Per type:
+    center values on the type mean (broadcast per-type stats), running
+    total in deterministic (ts, event_id) order, flag where the ROUNDED
+    |cusum| clears the ROUNDED 3-sigma threshold — both sides of the
+    comparison rounded first, so the flag decision is identical across
+    engines even at boundary values.  Scale shape: one stats aggregate
+    broadcast back + one per-type ordered window — state is a running
+    scalar per partition, no self-joins."""
+    e = _events(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # + 0.0 after the round: the full-series centered sum lands at
+    # +-1e-10 with an engine-dependent SIGN, so round() yields -0.0 on
+    # one engine and +0.0 on the other; IEEE -0.0 + 0.0 = +0.0
+    # normalizes both
+    cusum = F.round(F.sum(F.col("value") - F.col("mu")).over(w), 6) + F.lit(0.0)
+    thresh = F.round(F.lit(3.0) * F.col("sigma"), 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            cusum.alias("cusum"),
+            (F.abs(cusum) > thresh).alias("drifted"),
+        )
+    )
+
+
+ORACLE_SQL["drift_cusum"] = """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY 1
+    ), scored AS (
+      SELECT event_id, e.event_type,
+             round(sum(value - mu) OVER (
+               PARTITION BY e.event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ), 6) + 0.0 AS cusum,
+             round(3.0 * sigma, 6) AS thresh
+      FROM events e JOIN stats USING (event_type)
+    )
+    SELECT event_id, event_type, cusum, abs(cusum) > thresh AS drifted
+    FROM scored
+"""
+
+QUERIES["drift_cusum"] = q_drift_cusum
