@@ -630,6 +630,11 @@ def dup_clusters(
     once per step) and swap ``localCheckpoint`` for a checkpoint table.
     Convergence is checked on round boundaries, so ``max_iters`` bounds
     ROUNDS (``max_iters * steps_per_round`` propagation steps).
+    COMPATIBILITY NOTE: before the ``steps_per_round`` default moved to
+    2, ``max_iters`` bounded individual propagation steps — callers who
+    tuned ``max_iters`` against graph diameter now get twice the step
+    budget (and the 2^(k-1) intermediate-re-execution trade above)
+    unless they pin ``steps_per_round=1``.
     Deterministic: pure min over a fixed edge set, any step grouping
     yields the same fixpoint.
 

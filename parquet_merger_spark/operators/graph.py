@@ -81,6 +81,18 @@ def pagerank_int(
     e = edges.select(src.alias("src"), dst.alias("dst"))
     if not assume_distinct:
         e = e.distinct()
+    if iterations <= 0:
+        # vertex set only — before the degree table and its eager
+        # materialization jobs, which this path never needs
+        if assume_symmetric:
+            verts = e.select(F.col("src").alias("vertex")).distinct()
+        else:
+            verts = (
+                e.select(F.col("src").alias("vertex"))
+                .union(e.select(F.col("dst").alias("vertex")))
+                .distinct()
+            )
+        return verts.withColumn("rank_micro", F.lit(SCALE).cast("long"))
     # Degrees via groupBy + broadcast join back onto E: the groupBy
     # shuffles E down to O(V) partials map-side, and the join is
     # map-side against the broadcast degree table — cheaper than the
@@ -105,11 +117,8 @@ def pagerank_int(
     base = (100 - damping_pct) * SCALE // 100
 
     # uniform SCALE init; ranks stays None while the loop can still fold
-    # the constant into a projection (first pass), and iterations=0
-    # returns the explicit uniform frame below
+    # the constant into a projection (first pass)
     ranks = None
-    if iterations <= 0:
-        return vertices.withColumn("rank_micro", F.lit(SCALE).cast("long"))
     for it in range(iterations):
         # one E-volume shuffle per iteration (the contribution aggregate
         # on dst); the rank sides are O(V) and broadcast by default (see
@@ -157,6 +166,15 @@ def pagerank_int(
         # iteration.
         if it % 2 == 1 and it != iterations - 1:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the final O(V) rank frame, then RELEASE the loop
+    # invariants: without this, deg/e_deg/vertices stay pinned in the
+    # CacheManager across calls (every later plan analysis walks them —
+    # the +85% tax documented in SURVEY §9.10), and only a caller-side
+    # clearCache() would mitigate it.  The checkpoint makes the returned
+    # frame self-contained, so the unpersists cannot force a recompute.
+    ranks = ranks.localCheckpoint(eager=True)
+    for inv in (deg, e_deg, vertices):
+        inv.unpersist()
     return ranks
 
 
@@ -170,8 +188,14 @@ def triangle_count(
     DEGREE-ORDERED ORIENTATION (the classic wedge-check algorithm:
     Schank & Wagner 2005 forward/compact-forward; the MapReduce variant
     is Suri & Vassilvitskii 2011).  Returns ONE row:
-    ``(n_vertices, n_edges, n_wedges, n_triangles)`` — all exact BIGINTs,
-    so the result hash-matches any engine.
+    ``(n_vertices, n_edges, n_oriented_wedges, n_triangles)`` — all
+    exact BIGINTs, so the result hash-matches any engine computing the
+    same statistics.  NOTE: the wedge column counts wedges OVER THE
+    DEGREE-ORDERED ORIENTATION (sum over nodes of C(outdeg, 2) — the
+    algorithm's actual work bound), NOT the conventional undirected
+    2-path census sum C(deg, 2): a 4-cycle has 1 oriented wedge but 4
+    undirected ones.  The name says so to keep it from being compared
+    against standard graph stats.
 
     Why orientation is THE 100 TB move: counting wedges (2-paths) around
     high-degree hubs is O(sum deg^2) — a celebrity node with 10M
@@ -275,7 +299,7 @@ def triangle_count(
     wedge_count = out_nbrs.agg(
         F.coalesce(
             F.sum(F.expr("od * (od - 1L) div 2")), F.lit(0).cast("long")
-        ).alias("n_wedges")
+        ).alias("n_oriented_wedges")
     )
     ns = out_nbrs.select(F.col("s"), F.col("nb").alias("ns"))
     nt = out_nbrs.select(F.col("s").alias("t"), F.col("nb").alias("nt"))
@@ -306,4 +330,13 @@ def triangle_count(
         .crossJoin(wedge_count)
         .crossJoin(tri_count)
     )
-    return counts.select("n_vertices", "n_edges", "n_wedges", "n_triangles")
+    result = counts.select(
+        "n_vertices", "n_edges", "n_oriented_wedges", "n_triangles"
+    )
+    # 1-row census: materialize it, then release the persisted
+    # intermediates so they don't pin CacheManager entries across calls
+    # (same rationale as pagerank_int's exit path)
+    result = result.localCheckpoint(eager=True)
+    deg.unpersist()
+    out_nbrs.unpersist()
+    return result

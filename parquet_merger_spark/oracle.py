@@ -63,17 +63,33 @@ def register_views(con, sf_dir: str) -> None:
 
 def next_round(root: str) -> int:
     """Round number for locally-produced artifacts: one past the newest
-    DRIVER correctness artifact (``CORRECTNESS_r{N}.json``) in ``root``
-    — the single definition both sweep tools share (``bench.py`` keeps
-    its own refresh-in-place variant deliberately: it also considers its
-    prior LOCAL artifacts so a rerun before the next driver round lands
-    updates the same file)."""
+    round visible in ``root`` — considering the DRIVER correctness
+    artifacts (``CORRECTNESS_r{N}.json``) AND the committed local
+    artifacts (``CORRECTNESS_local_r{N}.json`` / ``PLANS_r{N}.json``),
+    so a fresh clone where the driver files happen to be absent still
+    numbers past the committed history instead of restarting at r01.
+    (``bench.py`` keeps its own refresh-in-place variant deliberately:
+    it also refreshes the current round's local artifact before the next
+    driver round lands.)"""
     import os
     import re
 
-    rounds = [
+    files = os.listdir(root)
+    driver = [
         int(m.group(1))
-        for f in os.listdir(root)
+        for f in files
         if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
     ]
-    return (max(rounds) + 1) if rounds else 1
+    local = [
+        int(m.group(1))
+        for f in files
+        if (m := re.match(r"(?:CORRECTNESS_local_r|PLANS_r)(\d+)\.json$", f))
+    ]
+    nxt = (max(driver) + 1) if driver else 1
+    if local and max(local) >= nxt:
+        # the newest local artifact has no driver twin yet: this run
+        # belongs to the SAME round — refresh that artifact in place
+        # (also covers the fresh-clone case where driver artifacts are
+        # absent entirely: continue the committed local numbering)
+        nxt = max(local)
+    return nxt

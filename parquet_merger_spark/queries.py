@@ -5839,7 +5839,7 @@ ORACLE_SQL["graph_triangles"] = """
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
            (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
-           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_oriented_wedges,
            (SELECT CAST(count(*) AS BIGINT) FROM wedges w
              WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.t1 AND o.t = w.t2)
            ) AS n_triangles
@@ -6302,8 +6302,15 @@ def q_drift_cusum(spark, sf_dir):
     broadcast back + one per-type ordered window — state is a running
     scalar per partition, no self-joins."""
     e = _events(spark, sf_dir)
+    # mu is ROUNDED before centering: avg() reduces in engine-specific
+    # order, so the raw means differ by ulps across engines — and an
+    # unrounded mu's ulp error accumulates LINEARLY with row count in
+    # the running sum, eroding the 6-decimal rounding margin at larger
+    # event volumes.  Centering on the rounded constant keeps the prefix
+    # sums bit-comparable at any scale (the window order is total, so
+    # the summation order itself is already deterministic).
     stats = e.groupBy("event_type").agg(
-        F.avg("value").alias("mu"),
+        F.round(F.avg("value"), 6).alias("mu"),
         F.stddev_samp("value").alias("sigma"),
     )
     w = (
@@ -6330,7 +6337,8 @@ def q_drift_cusum(spark, sf_dir):
 
 ORACLE_SQL["drift_cusum"] = """
     WITH stats AS (
-      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      SELECT event_type, round(avg(value), 6) AS mu,
+             stddev_samp(value) AS sigma
       FROM events GROUP BY 1
     ), scored AS (
       SELECT event_id, e.event_type,

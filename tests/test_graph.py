@@ -94,7 +94,7 @@ def test_triangle_count_triangle_free_cycle(spark):
     edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
     got = _tri(spark, edges)
     assert got["n_triangles"] == 0
-    assert got["n_wedges"] == 1  # the (1,3) wedge at apex 0, unclosed
+    assert got["n_oriented_wedges"] == 1  # the (1,3) wedge at apex 0, unclosed
 
 
 def test_triangle_count_ignores_direction_dupes_and_loops(spark):
@@ -114,6 +114,6 @@ def test_triangle_count_self_loops_only_returns_zeros(spark):
     assert got == {
         "n_vertices": 0,
         "n_edges": 0,
-        "n_wedges": 0,
+        "n_oriented_wedges": 0,
         "n_triangles": 0,
     }
