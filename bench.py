@@ -141,6 +141,17 @@ HEADLINE = [
     "rolling_wau",
     "basket_lift",
     "drift_cusum",
+    # ---- round-4 widening ----
+    "shipping_priority",
+    "forecast_revenue",
+    "returned_items",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "gopher_quality_rules",
+    "length_trim_corpus",
+    "token_fertility",
+    "heavy_hitters",
+    "hard_negatives",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -162,6 +162,61 @@ def brute_force_topk(
     )
 
 
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label —
+    maximally confusable negatives, the standard retrieval/embedding
+    fine-tuning pair source (e.g. DPR / contrastive learning setups).
+
+    Same scale shape as :func:`brute_force_topk` (broadcast query side,
+    integer-quantized dots so the doubles are bit-stable cross-engine,
+    deterministic id tie-break); the label-mismatch predicate rides the
+    broadcast join.  At 100 TB corpus the exact scan is the verification
+    tier — route candidate generation through the IVF/PQ index and apply
+    the same label filter on the shortlist."""
+    c = _with_quantized(corpus, vec_col).select(
+        F.col(id_col),
+        F.col(label_col).alias("__cl"),
+        F.col("__q").alias("cq"),
+        F.col("__q2").alias("cq2"),
+    )
+    q = _with_quantized(queries, vec_col).select(
+        F.col(query_id_col),
+        F.col(label_col).alias("__ql"),
+        F.col("__q").alias("qq"),
+        F.col("__q2").alias("qq2"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__cl") != F.col("__ql"))
+        .withColumn(
+            "cosine",
+            quantized_cosine(F.col("qq"), F.col("cq"), F.col("qq2"), F.col("cq2")),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("__cl").alias("neg_label"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 _CENTROID_SCHEMA = T.StructType(
     [
         T.StructField("centroid_id", T.IntegerType(), False),

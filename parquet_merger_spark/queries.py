@@ -72,6 +72,40 @@ from parquet_merger_spark.streaming.events import (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Per-micro-batch progress of the last run of each stream_* key, captured
+# by _drain_stream: the raw material for the committed streaming-latency
+# artifact (tools/streaming_latency.py).  Keys overwrite on re-run.
+STREAM_PROGRESS: dict[str, list[dict]] = {}
+
+
+def _drain_stream(q, key: str) -> None:
+    """``processAllAvailable`` + ``stop`` with progress capture.
+
+    Every stream_* harness replays mtime-pinned micro-batches through a
+    real StreamingQuery; this shared drain records each micro-batch's
+    observed latency (batchId, input rows, the phase durations Spark
+    reports — addBatch is the per-batch processing latency) so streaming
+    keys have round-over-round diffable wall numbers, not just
+    correctness proofs.  Capture happens BEFORE stop() — stopping drops
+    the progress buffer on some versions."""
+    import json as _json
+
+    try:
+        q.processAllAvailable()
+        prog = []
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else _json.loads(p.json)
+            prog.append(
+                {
+                    "batch_id": d.get("batchId"),
+                    "input_rows": d.get("numInputRows"),
+                    "duration_ms": d.get("durationMs", {}),
+                }
+            )
+        STREAM_PROGRESS[key] = prog
+    finally:
+        q.stop()
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_oracle_confs(spark)
@@ -2307,10 +2341,7 @@ def q_stream_dedup(spark, sf_dir):
         spark, src, os.path.join(base, "ckpt"), key_cols=["event_id"],
         watermark="2 hours", query_name=name,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_dedup")
     return spark.table(name).select(
         "event_id",
         F.col("ts").cast("long").alias("ts_epoch"),
@@ -2350,10 +2381,7 @@ def q_stream_enrich(spark, sf_dir):
         spark, src, dim, os.path.join(base, "ckpt"),
         key="user_id", query_name=name,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_enrich")
     return spark.table(name).select(
         "event_id",
         "user_id",
@@ -2386,10 +2414,7 @@ def q_stream_upsert_history(spark, sf_dir):
     q = stream_upsert_to_table(
         spark, src, table, os.path.join(base, "ckpt"), ["o_orderkey"]
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_upsert_history")
     return read_upsert_table(spark, table, version=1)
 
 
@@ -2783,10 +2808,7 @@ def q_stream_upsert(spark, sf_dir):
     q = stream_upsert_to_table(
         spark, src, table, os.path.join(base, "ckpt"), ["o_orderkey"]
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_upsert")
     return read_upsert_table(spark, table)
 
 
@@ -2819,10 +2841,7 @@ def q_stream_near_dedup(spark, sf_dir):
     q = stream_near_dedup_to_table(
         spark, src, table, checkpoint_dir=os.path.join(base, "ckpt")
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_near_dedup")
     return read_near_dedup_survivors(spark, table).select(
         "doc_id", "lang", "n_chars"
     )
@@ -2876,10 +2895,7 @@ def q_stream_window_agg(spark, sf_dir):
         window="1 hour", watermark="2 hours",
         query_name=name, output_mode="append",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_window_agg")
     return (
         spark.table(name)
         .filter(F.col("event_type") != "__sentinel__")
@@ -2937,10 +2953,7 @@ def q_stream_session_window(spark, sf_dir):
         gap_minutes=30, watermark="2 hours",
         query_name=name, output_mode="append",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_session_window")
     return (
         spark.table(name)
         .filter(F.col("user_id") != -1)
@@ -5728,10 +5741,7 @@ def q_stream_interval_join(spark, sf_dir):
         watermark="36500 days",
         query_name=name,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_stream(q, "stream_interval_join")
     return spark.table(name).select(
         "user_id",
         "left_id",
@@ -6355,3 +6365,477 @@ ORACLE_SQL["drift_cusum"] = """
 """
 
 QUERIES["drift_cusum"] = q_drift_cusum
+
+
+# ---------------------------------------------------------------------------
+# round-4 widening: remaining TPC-H join shapes + curation-rule operators
+# ---------------------------------------------------------------------------
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped BUILDING orders by open revenue
+    at the 1998-06-15 cutoff.  Star join (broadcast customer dim onto
+    orders, then one key shuffle against lineitem), filters pushed to
+    all three scans, total order (revenue DESC, orderdate, orderkey)
+    for a deterministic limit."""
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(
+            o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SQL["shipping_priority"] = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue delta from discount elimination — a pure
+    scan-side filter + single global sum, the canonical predicate-
+    pushdown probe (all four predicates reach the parquet scan; the agg
+    is map-side partials into one scalar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("forecast_revenue")
+    )
+
+
+ORACLE_SQL["forecast_revenue"] = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    1997Q1 — lineitem filtered to returnflag R joins the quarter's
+    orders (key shuffle), then the customer+nation dims broadcast on."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(rev), 2).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_SQL["returned_items"] = """
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS lost_revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue opportunity from small-quantity
+    Brand#12 orders — the correlated-average subquery expressed as a
+    per-part aggregate broadcast back onto its own lineitems (two scans
+    of the filtered join, zero correlation loops).  The per-part avg is
+    rounded to 6dp before the 0.2x comparison so the filter decision is
+    engine-stable at boundary quantities."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+ORACLE_SQL["small_qty_revenue"] = """
+    WITH li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#12'
+    ), a AS (
+      SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+      FROM li GROUP BY 1
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM li JOIN a USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers who placed orders totalling > 175
+    units — the HAVING-subquery expressed as a lineitem aggregate
+    (one key shuffle) semi-joined back onto orders + broadcast
+    customer.  Total order for the deterministic limit."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 175)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_SQL["large_volume_customers"] = """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 175
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+def q_gopher_quality_rules(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021) rule-based quality gate: per doc,
+    word-count bounds, mean-word-length bounds, stopword floor, and a
+    repetition cap (max single-token share), plus the conjunctive pass
+    flag.  ENTIRELY row-local JVM expressions — the token share uses a
+    max-run scan over the SORTED token array (higher-order aggregate),
+    so the operator is shuffle-free at any corpus size (the oracle
+    computes the same share by unnest+count, same result)."""
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / n_words,
+        6,
+    )
+    stops = ["the", "a", "and", "of", "is", "to", "in"]
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(stops))
+    ).cast("long")
+    # max run length over the sorted array == max token multiplicity
+    run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_share = F.round(run.cast("double") / n_words, 6)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        top_share.alias("top_token_share"),
+    )
+    words_ok = (F.col("n_words") >= 25) & (F.col("n_words") <= 90)
+    len_ok = (F.col("mean_word_len") >= 4.0) & (F.col("mean_word_len") <= 5.0)
+    stop_ok = F.col("stop_hits") >= 2
+    rep_ok = F.col("top_token_share") <= 0.08
+    return d.select(
+        "*",
+        (words_ok & len_ok & stop_ok & rep_ok).alias("pass"),
+    )
+
+
+ORACLE_SQL["gopher_quality_rules"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), shares AS (
+      SELECT doc_id, max(c) AS top_count FROM (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+      ) GROUP BY 1
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                                w -> length(w))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS mean_word_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','and','of','is','to','in'], t)))
+                  AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT s.doc_id, n_words, mean_word_len, stop_hits,
+           round(CAST(top_count AS DOUBLE) / n_words, 6) AS top_token_share,
+           (n_words BETWEEN 25 AND 90)
+             AND (mean_word_len BETWEEN 4.0 AND 5.0)
+             AND stop_hits >= 2
+             AND round(CAST(top_count AS DOUBLE) / n_words, 6) <= 0.08 AS pass
+    FROM s JOIN shares USING (doc_id)
+"""
+
+
+def q_length_trim_corpus(spark, sf_dir):
+    """Per-language percentile length trim (keep docs whose token count
+    sits in the [P05, P95] cume_dist band) — the standard outlier trim
+    before mixture sampling.  Scale shape: cume_dist is computed on the
+    per-(lang, n_tokens) COUNT table (bounded cardinality — at most
+    langs x distinct lengths rows), not by windowing the corpus through
+    5 lang partitions; the band membership broadcasts back.  Rank
+    arithmetic only (no quantile interpolation), so the boundary
+    decision is identical in any engine."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    counts = d.groupBy("lang", "n_tokens").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("lang")
+    cd = (
+        F.sum("c").over(w).cast("double") / F.sum("c").over(wt)
+    )
+    band = counts.withColumn("cd", F.round(cd, 6)).filter(
+        (F.col("cd") >= 0.05) & (F.col("cd") <= 0.95)
+    ).select("lang", "n_tokens", "cd")
+    return d.join(F.broadcast(band), ["lang", "n_tokens"]).select(
+        "doc_id", "lang", "n_tokens", "cd"
+    )
+
+
+ORACLE_SQL["length_trim_corpus"] = """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), counts AS (
+      SELECT lang, n_tokens, count(*) AS c FROM d GROUP BY 1, 2
+    ), banded AS (
+      SELECT lang, n_tokens,
+             round(CAST(sum(c) OVER (PARTITION BY lang ORDER BY n_tokens
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE)
+                   / sum(c) OVER (PARTITION BY lang), 6) AS cd
+      FROM counts
+    )
+    SELECT doc_id, d.lang, d.n_tokens, cd
+    FROM d JOIN banded USING (lang, n_tokens)
+    WHERE cd >= 0.05 AND cd <= 0.95
+"""
+
+
+def q_token_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (BPE-proxy tokens per whitespace
+    word) — the budget planner's number for multilingual mixtures.
+    Reuses the corpus-wide text-stats kernel (row-local), one tiny
+    groupBy(lang); fertility is computed from the exact integer sums so
+    the ratio is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    stats = with_text_stats(d).select("lang", "n_tokens", "n_tokens_bpe")
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("words"),
+            F.sum("n_tokens_bpe").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "words",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("words"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+ORACLE_SQL["token_fertility"] = r"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             END AS n_tokens,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(list_sum(list_transform(
+                         string_split_regex(trim(text), '\s+'),
+                         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+             END AS n_tokens_bpe
+      FROM documents
+    )
+    SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS words,
+           CAST(sum(n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(n_tokens_bpe) AS DOUBLE) / sum(n_tokens), 6)
+             AS fertility
+    FROM s GROUP BY 1
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters: tokens whose frequency exceeds
+    support 1/1000 of total token volume.  The groupBy is the
+    distributive wordcount shape (map-side partial aggregation, vocab-
+    sized shuffle); the support threshold rides a 1-row total broadcast
+    (the vouched scalar pattern).  At streaming/one-pass scale the same
+    contract is served by Misra-Gries or count-min with this exact
+    operator as the verification tier."""
+    d = _t(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = tok_counts.agg(F.sum("n").alias("total"))
+    return (
+        tok_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 1000 > F.col("total"))
+        .select(
+            "token",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+ORACLE_SQL["heavy_hitters"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+    ), t AS (SELECT sum(n) AS total FROM counts)
+    SELECT token, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM counts, t WHERE n * 1000 > total
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Top-5 hard negatives (most-similar different-label vectors) per
+    query vector — contrastive fine-tuning pair mining over the
+    embeddings table via :func:`operators.simsearch.hard_negatives_topk`
+    (broadcast query side, integer-quantized cosine)."""
+    from parquet_merger_spark.operators.simsearch import hard_negatives_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return hard_negatives_topk(e, queries, k=5)
+
+
+ORACLE_SQL["hard_negatives"] = f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             {_QUANT} AS qe,
+             CAST(list_sum(list_transform(list_zip({_QUANT}, {_QUANT}),
+                                          p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT) AS q2
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, label AS qlabel, qe AS qqe, q2 AS qq2
+      FROM q WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT query_id, c.vec_id, c.label AS neg_label,
+             CAST(list_sum(list_transform(list_zip(qqe, c.qe),
+                                          p -> struct_extract(p, 1) * struct_extract(p, 2))) AS BIGINT)
+               / (sqrt(qq2) * sqrt(c.q2)) AS cosine
+      FROM queries CROSS JOIN q c WHERE c.label <> qlabel
+    ), r AS (
+      SELECT query_id, vec_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, neg_label, round(cosine, 6) AS cosine,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+"""
+
+
+QUERIES["shipping_priority"] = q_shipping_priority
+QUERIES["forecast_revenue"] = q_forecast_revenue
+QUERIES["returned_items"] = q_returned_items
+QUERIES["small_qty_revenue"] = q_small_qty_revenue
+QUERIES["large_volume_customers"] = q_large_volume_customers
+QUERIES["gopher_quality_rules"] = q_gopher_quality_rules
+QUERIES["length_trim_corpus"] = q_length_trim_corpus
+QUERIES["token_fertility"] = q_token_fertility
+QUERIES["heavy_hitters"] = q_heavy_hitters
+QUERIES["hard_negatives"] = q_hard_negatives

@@ -312,6 +312,11 @@ _BNLJ_VOUCHED = {
     "rolling_wau",
     # 1-row basket-total broadcast (lazy tfidf-pattern scalar)
     "basket_lift",
+    # 1-row token-total broadcast gating the support threshold
+    "heavy_hitters",
+    # broadcast query side of the exact different-label top-k (same
+    # shape as simsearch_topk)
+    "hard_negatives",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -330,6 +335,10 @@ _SINGLE_VOUCHED = {
     "top_supplier",
     "rolling_wau",
     "basket_lift",
+    # global scalar reductions (1-row aggregates)
+    "forecast_revenue",
+    "small_qty_revenue",
+    "heavy_hitters",
 }
 
 

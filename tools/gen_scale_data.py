@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Generate a 10x scale-up of the sf0.1 fixtures for scaling measurements.
+
+/root/testdata is read-only and the driver recipe is not published, so
+the sf1-equivalent lives under the repo (gitignored):
+``.localdata/sf1/{lineitem,documents,embeddings}.parquet`` — only the
+tables the scaling elephants read (graph_triangles / pagerank: lineitem;
+dedup_pipeline_lsh: documents; semdedup / knn elephants: embeddings).
+
+Construction = K=10 key-offset replicas of sf0.1, which preserves the
+sf0.1 per-key distributions exactly while scaling global volume 10x —
+the same shape real TPC-H scaling has (order count AND part count grow
+with sf, per-order/per-part fan-out stays constant):
+
+- lineitem: l_orderkey / l_partkey / l_suppkey offset per replica, so
+  the co-occurrence graph gains 10x vertices and edges at constant
+  degree structure (10 isomorphic components).
+- documents: doc_id offset; every whitespace token gets a per-replica
+  suffix, so shingle vocabularies are DISJOINT across replicas —
+  in-replica near-dup structure is preserved verbatim and no artificial
+  cross-replica duplicate pairs appear (plain replication would hand
+  LSH 10 exact twins of every doc and explode the pair count).
+- embeddings: vec_id offset; per-replica deterministic sign flips per
+  dimension — cosine is sign-flip invariant within a replica (in-replica
+  kNN/semdedup structure identical) while cross-replica similarities
+  scramble like fresh corpus growth.
+
+Deterministic throughout (seeded from the replica index), pure
+pandas/pyarrow, no Spark needed.
+
+Run from the repo root:  python tools/gen_scale_data.py [K]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+DST = os.path.join(ROOT, ".localdata", "sf1")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    os.makedirs(DST, exist_ok=True)
+
+    li = pd.read_parquet(os.path.join(SRC, "lineitem.parquet"))
+    okey_span = int(li["l_orderkey"].max()) + 1
+    pkey_span = int(li["l_partkey"].max()) + 1
+    skey_span = int(li["l_suppkey"].max()) + 1
+    reps = []
+    for i in range(k):
+        r = li.copy()
+        r["l_orderkey"] = r["l_orderkey"] + i * okey_span
+        r["l_partkey"] = r["l_partkey"] + i * pkey_span
+        r["l_suppkey"] = r["l_suppkey"] + i * skey_span
+        reps.append(r)
+    big = pd.concat(reps, ignore_index=True)
+    big.to_parquet(os.path.join(DST, "lineitem.parquet"), index=False)
+    print(f"lineitem: {len(li)} -> {len(big)} rows", flush=True)
+
+    d = pd.read_parquet(os.path.join(SRC, "documents.parquet"))
+    did_span = int(d["doc_id"].max()) + 1
+    reps = []
+    for i in range(k):
+        r = d.copy()
+        r["doc_id"] = r["doc_id"] + i * did_span
+        if i > 0:
+            suf = f"·{i}"  # one char that never appears in fixture text
+            r["text"] = [
+                " ".join(t + suf for t in s.split(" ")) for s in r["text"]
+            ]
+            r["n_chars"] = [len(s) for s in r["text"]]
+        reps.append(r)
+    big = pd.concat(reps, ignore_index=True)
+    big.to_parquet(os.path.join(DST, "documents.parquet"), index=False)
+    print(f"documents: {len(d)} -> {len(big)} rows", flush=True)
+
+    e = pd.read_parquet(os.path.join(SRC, "embeddings.parquet"))
+    vid_span = int(e["vec_id"].max()) + 1
+    dim = len(e["embedding"].iloc[0])
+    reps = []
+    for i in range(k):
+        r = e.copy()
+        r["vec_id"] = r["vec_id"] + i * vid_span
+        if i > 0:
+            signs = np.where(
+                np.random.default_rng(1000 + i).random(dim) < 0.5, -1.0, 1.0
+            ).astype(np.float32)
+            mat = np.stack(r["embedding"].to_numpy()) * signs
+            r["embedding"] = list(mat)
+        reps.append(r)
+    big = pd.concat(reps, ignore_index=True)
+    big.to_parquet(os.path.join(DST, "embeddings.parquet"), index=False)
+    print(f"embeddings: {len(e)} -> {len(big)} rows (dim {dim})", flush=True)
+    print(f"wrote {DST}")
+
+
+if __name__ == "__main__":
+    main()

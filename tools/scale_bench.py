@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Measured sf0.1 -> sf1 scaling for the wall-clock elephants.
+
+The elephants carry design claims (triangle census O(E^1.5) via
+degree-ordered orientation, semdedup O(n*k*nb) blocked GEMM, pagerank
+one E-shuffle/iteration, LSH pipeline O(docs*bands) candidates); this
+tool converts the claims into measured evidence: each key runs at sf0.1
+(/root/testdata) and at the 10x replica set (.localdata/sf1, from
+tools/gen_scale_data.py), best-of-``reps`` runs in one warmed session,
+and the artifact records the 10x wall ratio and the implied scaling
+exponent (ratio 10 == exponent 1.0 == linear in data).
+
+Writes SCALING_r{N}.json.  Run AFTER gen_scale_data.py, on a quiet host
+(the documented +-50% wall variance applies; best-of-N in one session
+damps it).
+
+Run from the repo root:  python tools/scale_bench.py [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+KEYS = ["graph_triangles", "pagerank", "semdedup", "dedup_pipeline_lsh"]
+SF_SMALL = "/root/testdata/sf0.1"
+SF_BIG = os.path.join(ROOT, ".localdata", "sf1")
+FACTOR = 10.0  # data ratio between the two dirs
+
+
+def main() -> None:
+    from parquet_merger_spark.queries import QUERIES
+    from parquet_merger_spark.session import get_spark
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark("pm-scale-bench", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm JVM + python workers (same rationale as bench.py)
+    spark.read.parquet(os.path.join(SF_SMALL, "region.parquet")).count()
+    spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, "id long").count()
+
+    def best(name: str, sf_dir: str) -> float:
+        t_best = math.inf
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t_best = min(t_best, time.perf_counter() - t0)
+        return round(t_best, 3)
+
+    out: dict[str, dict] = {}
+    for name in KEYS:
+        t_small = best(name, SF_SMALL)
+        t_big = best(name, SF_BIG)
+        ratio = round(t_big / t_small, 2)
+        # exponent e such that wall ~ data^e: ratio = FACTOR^e
+        exponent = round(math.log(max(ratio, 1e-9)) / math.log(FACTOR), 2)
+        out[name] = {
+            "sf0.1_s": t_small,
+            "sf1_s": t_big,
+            "wall_ratio_10x_data": ratio,
+            "scaling_exponent": exponent,
+        }
+        print(f"{name}: {t_small}s -> {t_big}s  ratio {ratio} exp {exponent}", flush=True)
+
+    from parquet_merger_spark.oracle import next_round
+
+    n = next_round(ROOT)
+    path = os.path.join(ROOT, f"SCALING_r{n:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"\nwrote {path}")
+
+
+if __name__ == "__main__":
+    main()
