@@ -36,14 +36,21 @@ def assign_row_ids(
     Two-phase plan, every stage distributed:
 
     1. Split the key range into ``n_buckets`` contiguous buckets at
-       sampled quantile boundaries (``approxQuantile`` — one cheap
-       aggregate job; boundaries become literals, so bucket assignment
-       is row-local).  Equal keys always share a bucket (strict ``<``
-       against boundaries), so cross-bucket order is total.
+       sampled quantile boundaries (``percentile_approx`` as a 1-row
+       broadcast aggregate inside the SAME plan — no separate builder
+       job; bucket assignment is a row-local array scan against the
+       broadcast boundaries).  Equal keys always share a bucket (strict
+       ``<`` against boundaries), so cross-bucket order is total.
     2. Rank within each bucket (window PARTITIONED by bucket — parallel),
-       then add per-bucket offsets: bucket counts are ≤ n_buckets rows,
-       collected to the driver and folded into a literal map — same
-       model-not-data move as the IVF centroid literals.
+       then add per-bucket offsets: the ≤ n_buckets bucket counts are
+       prefix-summed by a window over the COUNT TABLE (model-sized — its
+       single-partition exchange moves at most n_buckets rows, never
+       data) and broadcast-joined back.  The whole phase is ONE lazy
+       plan — no driver collect, no extra builder-side job (the earlier
+       collect-into-literal-map variant paid a full count pass per call
+       before the consumer's action even started; folding it into the
+       final plan let AQE/ReuseExchange see both branches and cut the
+       r03-flagged 2x wall regression on the quantile-ranking keys).
 
     The result is EXACT for any bucketing (offsets + within-bucket rank
     reconstruct the total order); ``n_buckets`` only controls balance.
@@ -53,38 +60,59 @@ def assign_row_ids(
     tiebreaks are arbitrary orderable columns and must complete a total
     order for the ids to be deterministic.
 
-    Costs two passes over ``df`` (quantile sample + count, then rank) —
-    persist upstream if the input is expensive to recompute."""
-    err = max(1e-4, 0.25 / n_buckets)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(key_col, probs, err))) if probs else []
-
+    FULLY LAZY: zero builder-side jobs; the consumer's single action
+    evaluates three branches of ``df`` (boundary aggregate, count
+    branch, rank branch) — persist upstream if the input is expensive
+    to recompute."""
     key = F.col(key_col)
-    if bounds:
-        blit = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(blit, lambda b: b < key))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    if probs:
+        # boundaries as a 1-row broadcast aggregate INSIDE the plan
+        # (percentile_approx; accuracy only shapes balance, never
+        # correctness) — the earlier df.stat.approxQuantile ran a whole
+        # separate job before the consumer's action even started
+        accuracy = max(100, 4 * n_buckets)
+        qarr = df.agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.percentile_approx(
+                        key, F.array(*[F.lit(p) for p in probs]), accuracy
+                    )
+                )
+            ).alias("__bounds")
+        )
+        bucketed = (
+            df.crossJoin(F.broadcast(qarr))
+            .withColumn(
+                "__bucket",
+                F.coalesce(
+                    F.size(F.filter(F.col("__bounds"), lambda b: b < key)),
+                    F.lit(0),
+                ),
+            )
+            .drop("__bounds")
+        )
     else:
-        bucket = F.lit(0)
-    bucketed = df.withColumn("__bucket", bucket)
+        bucketed = df.withColumn("__bucket", F.lit(0))
 
-    counts = sorted(
-        (r["__bucket"], r["n"])
-        for r in bucketed.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
+    # per-bucket exclusive prefix sums over the tiny count table; the
+    # no-partition window is a single-partition exchange of ≤ n_buckets
+    # rows (model, not data — the vouched global-scalar family)
+    counts = bucketed.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    woff = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, running = {}, 0
-    for b, n in counts:
-        offsets[b] = running
-        running += n
-    pairs = [x for b, off in offsets.items() for x in (F.lit(b), F.lit(off))]
-    offset_for = (
-        F.element_at(F.create_map(*pairs), F.col("__bucket")) if pairs else F.lit(0)
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__offset"),
     )
 
     w = Window.partitionBy("__bucket").orderBy(key, *[F.col(c) for c in tiebreak_cols])
     return (
-        bucketed.withColumn("__lr", F.row_number().over(w))
-        .withColumn(row_id_col, (offset_for + F.col("__lr")).cast("long"))
-        .drop("__bucket", "__lr")
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .withColumn("__lr", F.row_number().over(w))
+        .withColumn(row_id_col, (F.col("__offset") + F.col("__lr")).cast("long"))
+        .drop("__bucket", "__lr", "__offset")
     )
 
 

@@ -317,6 +317,10 @@ _BNLJ_VOUCHED = {
     # broadcast query side of the exact different-label top-k (same
     # shape as simsearch_topk)
     "hard_negatives",
+    # 1-row quantile-boundary broadcast (assign_row_ids went fully lazy)
+    "global_row_ids",
+    "decile_binning",
+    "vocab_encode",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -339,6 +343,11 @@ _SINGLE_VOUCHED = {
     "forecast_revenue",
     "small_qty_revenue",
     "heavy_hitters",
+    # model-sized single-partition frames in the lazy ranking: the 1-row
+    # boundary aggregate and the ≤ n_buckets count-table prefix sum
+    "global_row_ids",
+    "decile_binning",
+    "vocab_encode",
 }
 
 

@@ -179,14 +179,25 @@ def test_assign_row_ids_matches_global_window_with_ties_and_nulls(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_assign_row_ids_plan_has_no_single_partition_exchange(spark):
+def test_assign_row_ids_plan_never_globally_sorts_the_data(spark):
+    """The scale invariant: the DATA is ranked inside __bucket-hash
+    partitions; no range-partitioned global sort of the input exists
+    anywhere in the plan.  (SinglePartition exchanges DO appear since
+    the offsets went lazy — but only over model-sized frames: the
+    ≤ n_buckets count table's prefix-sum window and the 1-row boundary
+    aggregate, the vouched global-scalar family.)"""
     from parquet_merger_spark.operators.ranking import assign_row_ids
 
     df = spark.range(10_000).withColumn("v", (F.col("id") % 97).cast("double"))
     got = assign_row_ids(df, "v", ["id"], n_buckets=16)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
     assert "hashpartitioning(__bucket" in plan
+    # every single-partition window sorts __bucket only (count-table
+    # prefix sum), never the data's key column
+    for ln in plan.splitlines():
+        if "Sort" in ln and "v#" in ln:
+            assert "__bucket" in ln, ln
 
 
 def test_assign_row_ids_single_bucket_and_constant_key(spark):
