@@ -127,6 +127,7 @@ HEADLINE = [
     "twap_user",
     "embed_kmeans",
     "multimodal_decode",
+    "multimodal_audio_energy",
     "cdc_apply",
     "incremental_agg_refresh",
     "vocab_encode",

@@ -6839,3 +6839,56 @@ QUERIES["length_trim_corpus"] = q_length_trim_corpus
 QUERIES["token_fertility"] = q_token_fertility
 QUERIES["heavy_hitters"] = q_heavy_hitters
 QUERIES["hard_negatives"] = q_hard_negatives
+
+
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Framed RMS energy over DECODED audio — the feature-extraction
+    stage after the Arrow decode fence, kept entirely JVM-side: the
+    waveform array frames into 16-sample windows with slice/sequence and
+    each frame's RMS is a row-local higher-order aggregate (no second
+    Python hop after decode).  Same genuine RIFF/WAVE PCM16 payload path
+    as `multimodal_audio_decode`; rows-only (payload decode has no SQL
+    twin), double-run deterministic — decoded samples are exact k/32768
+    rationals and the fold order is fixed."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    rows = []
+    for i in range(32):
+        n = 40 + 8 * (i % 5)
+        rate = 8_000 * (1 + i % 3)
+        wave = (((np.arange(n, dtype=np.int64) * (i + 3)) % 129) - 64) / 64.0
+        rows.append((i, bytearray(encode_wav_pcm16(wave, rate))))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dec = decode_audio(media, max_samples=64)
+    frame_len = 16
+    n_frames = F.floor(F.size("waveform") / frame_len).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda k: F.slice("waveform", k * frame_len + 1, frame_len),
+    )
+    energy = F.transform(
+        frames,
+        lambda fr: F.round(
+            F.sqrt(
+                F.aggregate(
+                    fr,
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+                / frame_len
+            ),
+            6,
+        ),
+    )
+    return (
+        dec.filter(n_frames > 0)
+        .select("doc_id", "sample_rate", F.posexplode(energy).alias("frame_idx", "rms"))
+    )
+
+
+QUERIES["multimodal_audio_energy"] = q_multimodal_audio_energy

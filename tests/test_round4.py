@@ -90,6 +90,31 @@ def test_length_trim_band_bounds(spark):
     assert kept.count() < d.count()
 
 
+def test_audio_energy_matches_numpy(spark):
+    """The JVM framed-RMS must equal a numpy recomputation over the same
+    decoded waveforms (per-frame, 6dp), and rerunning must be
+    bit-identical (exact k/32768 samples, fixed fold order)."""
+    import numpy as np
+
+    from parquet_merger_spark.queries import QUERIES
+
+    a = QUERIES["multimodal_audio_energy"](spark, SF_DIR).toPandas()
+    b = QUERIES["multimodal_audio_energy"](spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    # recompute doc 0's frames exactly like the fixture synthesizes them
+    n = 40
+    wave = (((np.arange(n, dtype=np.int64) * 3) % 129) - 64) / 64.0
+    # encoder round-trips via int16 round-to-nearest on the 32768 grid
+    q = np.round(wave * 32768.0).clip(-32768, 32767) / 32768.0
+    q = q[:64]
+    want = [
+        round(float(np.sqrt(np.mean(np.square(q[i * 16 : (i + 1) * 16])))), 6)
+        for i in range(len(q) // 16)
+    ]
+    got = a[a.doc_id == 0].sort_values("frame_idx")["rms"].tolist()
+    assert got == want
+
+
 def test_heavy_hitters_threshold_exact(spark):
     """Support threshold is strict: every returned token exceeds
     total/1000, and recomputing any returned token's count from the raw
