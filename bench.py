@@ -153,6 +153,8 @@ HEADLINE = [
     "token_fertility",
     "heavy_hitters",
     "hard_negatives",
+    "temperature_mixture",
+    "decontaminate_13gram",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

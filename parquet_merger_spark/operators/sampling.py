@@ -213,6 +213,65 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    gate: Column | None = None,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (tau = 2): per-stratum
+    sampling weight proportional to sqrt(stratum token mass) — the
+    UniMax/temperature-resampling family's standard low-resource boost
+    (raw proportional sampling drowns small languages; tau=2 halves the
+    log-scale gap).  Keep-fraction per stratum:
+
+        frac_s = min(1, budget * w_s / (sum(w) * tokens_s)),
+        w_s    = floor(sqrt(tokens_s * 1e6))
+
+    tau is FIXED at 2 because sqrt is the one power IEEE-754 requires
+    correctly rounded: sqrt of the same exact integer is the identical
+    double in every engine, and floor of identical doubles is exact —
+    so w_s is an exact integer and the whole threshold stays in the
+    same integer-exact regime as :func:`mixture_sample` (bit-stable
+    membership, DuckDB-verifiable).  Arbitrary tau needs libm pow,
+    whose rounding is engine-specific — that variant would be
+    engine-local and is deliberately not offered.
+
+    Same scale shape as :func:`mixture_sample`: tiny per-stratum totals
+    aggregate broadcast back, row-local shuffle-free gate, no driver
+    collect."""
+    g = gate if gate is not None else hash_gate(F.col(id_col), salt)
+    totals = df.groupBy(strata_col).agg(F.sum(token_col).alias("__stratum_tokens"))
+    w = F.floor(F.sqrt(F.col("__stratum_tokens").cast("double") * _MOD)).cast(
+        "long"
+    )
+    weights = totals.filter(F.col("__stratum_tokens") > 0).select(
+        strata_col, F.col("__stratum_tokens"), w.alias("__w")
+    )
+    wsum = weights.agg(F.sum("__w").alias("__wsum"))
+    # numerator budget*MOD*w must stay an exact double through the
+    # long->double division (< 2^53); w is ~sqrt(tokens)*1e3, so this
+    # bounds budget*sqrt(stratum_tokens) — plenty for token budgets up
+    # to ~1e9 at any realistic stratum mass, asserted at the known part
+    assert budget_tokens * _MOD < 2**43, "budget too large for exact doubles"
+    threshold = F.least(
+        F.lit(_MOD).cast("long"),
+        F.floor(
+            F.lit(budget_tokens * _MOD) * F.col("__w")
+            / (F.col("__wsum") * F.col("__stratum_tokens"))
+        ),
+    )
+    return (
+        df.join(F.broadcast(weights), strata_col)
+        .crossJoin(F.broadcast(wsum))
+        .filter(g < threshold)
+        .drop("__stratum_tokens", "__w", "__wsum")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

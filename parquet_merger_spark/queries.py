@@ -6892,3 +6892,98 @@ def q_multimodal_audio_energy(spark, sf_dir):
 
 
 QUERIES["multimodal_audio_energy"] = q_multimodal_audio_energy
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened (tau=2) corpus mixing: per-language keep
+    fraction proportional to sqrt(language token mass) against a
+    20k-token budget — the UniMax-family low-resource boost, in the same
+    integer-exact hash-gate regime as `mixture_sample` (sqrt is the one
+    power IEEE requires correctly rounded, so the per-stratum weight
+    floor(sqrt(tokens*1e6)) is the identical integer in any engine).
+    Portable gate so DuckDB verifies the exact member set."""
+    from parquet_merger_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    kept = temperature_sample(
+        d,
+        budget_tokens=20_000,
+        gate=portable_hash_gate(F.col("doc_id"), salt=13),
+    )
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
+ORACLE_SQL["temperature_mixture"] = """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    totals AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS stratum_tokens
+      FROM d GROUP BY lang
+    ),
+    weights AS (
+      SELECT lang, stratum_tokens,
+             CAST(FLOOR(SQRT(CAST(stratum_tokens AS DOUBLE) * 1000000))
+                  AS BIGINT) AS w
+      FROM totals WHERE stratum_tokens > 0
+    ),
+    ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM weights),
+    thresholds AS (
+      SELECT lang, LEAST(1000000, FLOOR(
+               (CAST(20000 AS BIGINT) * 1000000 * w)
+               / CAST(wsum * stratum_tokens AS DOUBLE))) AS threshold
+      FROM weights, ws
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens
+    FROM d JOIN thresholds USING (lang)
+    WHERE ((d.doc_id % 999983) * 7919 + 13) % 1000000 < threshold
+"""
+
+
+def q_decontaminate_13gram(spark, sf_dir):
+    """GPT-3-style eval decontamination: flag any train/eval pair
+    sharing even ONE exact 13-gram (the canonical published contract —
+    Brown et al. 2020 filtered on 13-gram collisions; the 3-word/min-5
+    `decontaminate` twin is the looser paraphrase-catching tier).  Same
+    inverted-index equi-join shape (hashed-gram join, df-capped), never
+    doc x doc."""
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin([f"src{i}" for i in range(10)])
+    return ngram_contamination(
+        d.filter(is_train), d.filter(~is_train),
+        shingle_words=13, min_shared=1,
+    )
+
+
+ORACLE_SQL["decontaminate_13gram"] = """
+    WITH tr AS (
+      SELECT DISTINCT doc_id AS train_id,
+             unnest(CASE WHEN len(string_split(text, ' ')) >= 13
+                         THEN list_transform(
+                              range(1, len(string_split(text, ' ')) - 11),
+                              i -> array_to_string(string_split(text, ' ')[i:i+12], ' '))
+                         ELSE [] END) AS gram
+      FROM documents
+      WHERE source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+    ), te AS (
+      SELECT DISTINCT doc_id AS test_id,
+             unnest(CASE WHEN len(string_split(text, ' ')) >= 13
+                         THEN list_transform(
+                              range(1, len(string_split(text, ' ')) - 11),
+                              i -> array_to_string(string_split(text, ' ')[i:i+12], ' '))
+                         ELSE [] END) AS gram
+      FROM documents
+      WHERE source NOT IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+    )
+    SELECT test_id, train_id, CAST(count(*) AS BIGINT) AS shared_grams
+    FROM te JOIN tr USING (gram)
+    GROUP BY 1, 2 HAVING count(*) >= 1
+"""
+
+
+QUERIES["temperature_mixture"] = q_temperature_mixture
+QUERIES["decontaminate_13gram"] = q_decontaminate_13gram

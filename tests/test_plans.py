@@ -321,6 +321,8 @@ _BNLJ_VOUCHED = {
     "global_row_ids",
     "decile_binning",
     "vocab_encode",
+    # 1-row weight-sum broadcast in the temperature mixture gate
+    "temperature_mixture",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -348,6 +350,8 @@ _SINGLE_VOUCHED = {
     "global_row_ids",
     "decile_binning",
     "vocab_encode",
+    # 1-row weight-sum reduction
+    "temperature_mixture",
 }
 
 

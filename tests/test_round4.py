@@ -131,3 +131,44 @@ def test_heavy_hitters_threshold_exact(spark):
     probe = hh[0]
     assert probe["n"] * 1000 > total
     assert toks.filter(F.col("t") == probe["token"]).count() == probe["n"]
+
+
+def test_temperature_sample_matches_closed_form(spark):
+    """Per-language membership equals the closed-form integer threshold
+    recomputed in Python (floor-exact sqrt weights), and tau=2 boosts
+    the low-resource strata: every non-capped language's keep fraction
+    exceeds its proportional-mixture share of the same budget."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.queries import QUERIES
+
+    d = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .withColumn("n_tokens", F.size(F.split("text", " ")).cast("long"))
+    )
+    totals = {
+        r["lang"]: r["t"]
+        for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    w = {k: math.floor(math.sqrt(v * 1_000_000)) for k, v in totals.items()}
+    wsum = sum(w.values())
+    thresholds = {
+        k: min(
+            1_000_000,
+            math.floor(20_000 * 1_000_000 * w[k] / (wsum * totals[k])),
+        )
+        for k in totals
+    }
+    kept = QUERIES["temperature_mixture"](spark, SF_DIR).collect()
+    ids = {r["doc_id"] for r in kept}
+    for r in d.select("doc_id", "lang").collect():
+        gate = ((r["doc_id"] % 999_983) * 7_919 + 13) % 1_000_000
+        assert (gate < thresholds[r["lang"]]) == (r["doc_id"] in ids)
+    # low-resource boost vs proportional mixing (frac = budget/total_mass)
+    total_mass = sum(totals.values())
+    prop_frac = 20_000 / total_mass
+    for k, t in thresholds.items():
+        if t < 1_000_000 and totals[k] < total_mass / len(totals):
+            assert t / 1_000_000 > prop_frac
