@@ -6987,3 +6987,52 @@ ORACLE_SQL["decontaminate_13gram"] = """
 
 QUERIES["temperature_mixture"] = q_temperature_mixture
 QUERIES["decontaminate_13gram"] = q_decontaminate_13gram
+
+
+def q_stream_drift_cusum(spark, sf_dir):
+    """STREAMING CUSUM drift detection driven end-to-end: calibration
+    stats (rounded per-type mean, rounded 3-sigma threshold) come from
+    one batch aggregate, then events replay in three event-time-ordered
+    mtime-pinned micro-batches through the
+    :func:`streaming.events.drift_cusum_stream` stateful operator
+    (applyInPandasWithState, one float of state per event type).  The
+    full replay equals the one-shot batch `drift_cusum` row-for-row —
+    same oracle certifies both (the exactly-once append contract for
+    custom stateful operators)."""
+    import shutil
+
+    from parquet_merger_spark.streaming.events import drift_cusum_stream
+
+    base = _scratch_dir(spark, "stream_drift_cusum")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    stats = {
+        r["event_type"]: (r["mu"], r["thresh"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mu"),
+            F.round(F.lit(3.0) * F.stddev_samp("value"), 6).alias("thresh"),
+        )
+        .collect()
+    }
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + span + span]
+    slices = [
+        e.filter(F.col("ts") < bounds[0]),
+        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.filter(F.col("ts") >= bounds[1]),
+    ]
+    src = _write_replay_batches(base, slices)
+
+    name = "stream_drift_cusum_sink"
+    q = drift_cusum_stream(
+        spark, src, stats, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_drift_cusum")
+    return spark.table(name).select("event_id", "event_type", "cusum", "drifted")
+
+
+ORACLE_SQL["stream_drift_cusum"] = ORACLE_SQL["drift_cusum"]
+QUERIES["stream_drift_cusum"] = q_stream_drift_cusum

@@ -412,6 +412,86 @@ def user_running_totals_stream(
     )
 
 
+def drift_cusum_stream(
+    spark: SparkSession,
+    events_dir: str,
+    stats: dict,
+    checkpoint_dir: str,
+    query_name: str = "drift_cusum_stream",
+) -> StreamingQuery:
+    """STREAMING CUSUM drift detection — the production shape of the
+    batch ``drift_cusum`` key: per-event-type running sums of
+    mean-centered values maintained as ``applyInPandasWithState`` state
+    across micro-batches, flags emitted per event as it arrives.
+
+    ``stats`` maps event_type -> (mu, threshold) from a CALIBRATION
+    pass (a batch aggregate over the baseline window — at 100 TB the
+    stats table is model-sized and rides the serialized closure; the
+    stream never re-aggregates history).  State per key is ONE float
+    (the unrounded running sum) — O(distinct types), the smallest
+    possible stateful footprint.
+
+    Determinism contract (same as the batch twin, which a DuckDB oracle
+    certifies): events arrive in event-time-ordered micro-batches and
+    are sorted (ts, event_id) within each batch, so the accumulation
+    order is the batch window's total order; the carry stays unrounded
+    while each emitted cusum is ``round(.,6) + 0.0`` — sequential float
+    adds in identical order are identical IEEE doubles, so the full
+    replay equals the one-shot batch result row-for-row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+    out_schema = (
+        "event_id long, event_type string, cusum double, drifted boolean"
+    )
+    state_schema = "carry double"
+
+    def update_cusum(key, pdfs, state: GroupState):
+        etype = key[0]
+        mu, thresh = stats[etype]
+        (carry,) = state.get if state.exists else (0.0,)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ids, cusums, flags = [], [], []
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            carry = carry + (float(v) - mu)
+            c = round(carry, 6) + 0.0
+            ids.append(int(eid))
+            cusums.append(c)
+            flags.append(abs(c) > thresh)
+        state.update((carry,))
+        yield pd.DataFrame(
+            {
+                "event_id": ids,
+                "event_type": etype,
+                "cusum": cusums,
+                "drifted": flags,
+            }
+        )
+
+    scored = stream.groupBy("event_type").applyInPandasWithState(
+        update_cusum,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization (batch): per-user sessions split on inactivity gaps.
 

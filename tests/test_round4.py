@@ -172,3 +172,21 @@ def test_temperature_sample_matches_closed_form(spark):
     for k, t in thresholds.items():
         if t < 1_000_000 and totals[k] < total_mass / len(totals):
             assert t / 1_000_000 > prop_frac
+
+
+def test_stream_drift_cusum_carries_state_across_batches(spark):
+    """The stateful CUSUM must genuinely span micro-batches: the replay
+    processes 3 non-empty input batches (progress captured by
+    _drain_stream), and the result equals the one-shot batch twin
+    row-for-row (the same equality the shared oracle certifies, pinned
+    here engine-side)."""
+    from parquet_merger_spark import queries as Q
+
+    got = Q.QUERIES["stream_drift_cusum"](spark, SF_DIR).toPandas()
+    prog = [p for p in Q.STREAM_PROGRESS["stream_drift_cusum"] if p["input_rows"]]
+    assert len(prog) == 3, prog
+    want = Q.QUERIES["drift_cusum"](spark, SF_DIR).toPandas()
+    key = ["event_id", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want[got.columns].sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
