@@ -155,6 +155,8 @@ HEADLINE = [
     "hard_negatives",
     "temperature_mixture",
     "decontaminate_13gram",
+    "trailing_time_window",
+    "mode_per_group",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -7036,3 +7036,95 @@ def q_stream_drift_cusum(spark, sf_dir):
 
 ORACLE_SQL["stream_drift_cusum"] = ORACLE_SQL["drift_cusum"]
 QUERIES["stream_drift_cusum"] = q_stream_drift_cusum
+
+
+def q_trailing_time_window(spark, sf_dir):
+    """Time-interval window frames (RANGE BETWEEN -3600 AND CURRENT on
+    epoch seconds): per user, the trailing-1-hour event count and value
+    sum at every event — the rate-limiter/rolling-exposure primitive
+    that ROWS frames cannot express (irregular event spacing).  Values
+    quantize to exact integer cents before the frame sum, so the result
+    is bit-stable in any engine regardless of intra-frame order.  Scale:
+    one hash exchange on user_id; frame state is a sliding two-pointer
+    over each partition, O(1) per row."""
+    e = _events(spark, sf_dir)
+    epoch = F.col("ts").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            epoch.alias("epoch_s"),
+            cents.alias("cents"),
+        )
+        .withColumn("n_trailing_1h", F.count(F.lit(1)).over(w))
+        .withColumn("sum_trailing_1h_cents", F.sum("cents").over(w))
+        .select(
+            "event_id", "user_id", "epoch_s",
+            "n_trailing_1h", "sum_trailing_1h_cents",
+        )
+    )
+
+
+ORACLE_SQL["trailing_time_window"] = """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+           CAST(sum(cents) OVER w AS BIGINT) AS sum_trailing_1h_cents
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_mode_per_group(spark, sf_dir):
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties broken lexicographically (the built-in `mode()` breaks
+    ties arbitrarily — useless for a reproducibility contract).  Shape:
+    (user, type) counts then a windowed argmax per user — two key
+    shuffles, both map-side combinable."""
+    e = _events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+
+
+ORACLE_SQL["mode_per_group"] = """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n AS modal_count
+    FROM r WHERE rk = 1
+"""
+
+
+QUERIES["trailing_time_window"] = q_trailing_time_window
+QUERIES["mode_per_group"] = q_mode_per_group
