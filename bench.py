@@ -157,6 +157,7 @@ HEADLINE = [
     "decontaminate_13gram",
     "trailing_time_window",
     "mode_per_group",
+    "chi_square_independence",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -7128,3 +7128,96 @@ ORACLE_SQL["mode_per_group"] = """
 
 QUERIES["trailing_time_window"] = q_trailing_time_window
 QUERIES["mode_per_group"] = q_mode_per_group
+
+
+def q_chi_square_independence(spark, sf_dir):
+    """Chi-square independence test for (lang x source) over documents —
+    the corpus-composition drift check (is language mix independent of
+    crawl source?).  Every cell contribution is the EXACT-integer
+    rational (o*N - rt*ct)^2 / (N*rt*ct) — both operands exact BIGINTs,
+    so each division is the identical IEEE double in any engine — and
+    the statistic folds those contributions in a FIXED (lang, source)
+    order (sort_array + sequential aggregate; a bare SUM's
+    engine-chosen order would perturb last ulps — the r03 BM25 rule).
+    Scale: one (lang, source) count shuffle; margins broadcast back;
+    the fold runs over the |cells| model-sized array."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("n"),
+            (
+                (
+                    (F.col("o") * F.col("n") - F.col("rt") * F.col("ct"))
+                    * (F.col("o") * F.col("n") - F.col("rt") * F.col("ct"))
+                )
+                / (
+                    F.col("n").cast("double")
+                    * F.col("rt")
+                    * F.col("ct")
+                )
+            ).alias("x"),
+        )
+    )
+    folded = contrib.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("lang", "source", "x"))
+            ),
+            F.lit(0.0),
+            lambda acc, c: acc + c.x,
+        ).alias("chi2_raw"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.first("n").alias("n_docs"),
+    )
+    r = F.size(F.collect_set("lang"))
+    c = F.size(F.collect_set("source"))
+    dof = contrib.agg(((r - 1) * (c - 1)).cast("long").alias("dof"))
+    return folded.crossJoin(F.broadcast(dof)).select(
+        F.round("chi2_raw", 6).alias("chi2"),
+        "dof",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )
+
+
+ORACLE_SQL["chi_square_independence"] = """
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1),
+    ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    contrib AS (
+      SELECT cells.lang, cells.source, n,
+             ((o * n - rt.rt * ct.ct) * (o * n - rt.rt * ct.ct))
+               / (CAST(n AS DOUBLE) * rt.rt * ct.ct) AS x
+      FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN nn
+    ),
+    folded AS (
+      SELECT round(list_sum(list_transform(
+               list_sort(list(struct_pack(lang := lang, source := source, x := x))),
+               s -> struct_extract(s, 'x'))), 6) AS chi2,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(first(n) AS BIGINT) AS n_docs
+      FROM contrib
+    ),
+    dims AS (
+      SELECT CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                  AS BIGINT) AS dof
+      FROM documents
+    )
+    SELECT chi2, dof, n_docs, n_cells FROM folded, dims
+"""
+
+
+QUERIES["chi_square_independence"] = q_chi_square_independence

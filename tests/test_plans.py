@@ -323,6 +323,8 @@ _BNLJ_VOUCHED = {
     "vocab_encode",
     # 1-row weight-sum broadcast in the temperature mixture gate
     "temperature_mixture",
+    # 1-row corpus-total + 1-row dof broadcasts in the chi-square fold
+    "chi_square_independence",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -352,6 +354,8 @@ _SINGLE_VOUCHED = {
     "vocab_encode",
     # 1-row weight-sum reduction
     "temperature_mixture",
+    # model-sized margins + the |cells| fixed-order fold
+    "chi_square_independence",
 }
 
 
