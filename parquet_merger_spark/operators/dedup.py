@@ -659,13 +659,18 @@ def dup_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
-        # EAGER on purpose: the loop's first job references edges from
-        # several concurrent stages (label init + each propagation step);
-        # a lazy checkpoint lets those stages RACE to materialize it,
-        # re-running the upstream pair plan once per branch (measured
-        # ~24s vs ~7s on the exact-Jaccard pair plan at sf0.1)
-        .localCheckpoint(eager=True)
+        # EAGERLY MATERIALIZED on purpose: the loop's first job
+        # references edges from several concurrent stages (label init +
+        # each propagation step); a lazy cache lets those stages RACE to
+        # materialize it, re-running the upstream pair plan once per
+        # branch (measured ~24s vs ~7s on the exact-Jaccard pair plan at
+        # sf0.1).  persist (not localCheckpoint) so the O(E) blocks are
+        # RELEASED at exit — checkpoint blocks wait on the async
+        # ContextCleaner and measurably poisoned later same-session
+        # queries at sf1 (see triangle_count)
+        .persist()
     )
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -710,6 +715,7 @@ def dup_clusters(
             converged = True
             break
     if not converged:
+        edges.unpersist()
         # Returning silently would split one true component into several
         # "clusters" — and the survivor pass downstream would then keep
         # multiple copies of the same duplicate.  Fail loudly instead.
@@ -718,6 +724,10 @@ def dup_clusters(
             "rounds (component diameter exceeds the iteration budget); "
             "raise max_iters"
         )
+    # the final labels checkpoint is already materialized (the last
+    # convergence aggregate ran it), so the result no longer needs the
+    # edge cache — release the O(E) blocks now
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -229,10 +229,16 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # materialized once: degrees AND orientation both scan it, and
-        # the upstream pair-generation plan may be expensive
-        .localCheckpoint(eager=True)
+        # persisted + eagerly materialized (NOT localCheckpoint):
+        # degrees AND orientation both scan it and the upstream
+        # pair-generation plan may be expensive — but checkpoint blocks
+        # can only be freed by the async ContextCleaner after the JVM
+        # refs die, and at sf1 the lingering O(E) blocks measurably
+        # poisoned every subsequent query in the session; persist gives
+        # the same reuse and an explicit unpersist on exit
+        .persist()
     )
+    e.count()
     # persisted + eagerly materialized: THREE consumers (the da/db
     # broadcasts and the n_vertices count) would otherwise each rerun
     # the 2|E| explode+groupBy — differently-aliased projections defeat
@@ -260,7 +266,8 @@ def triangle_count(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
         )
-        .localCheckpoint(eager=True)
+        # persist, not checkpoint — released on exit (see `e` above)
+        .persist()
     )
     # EDGE-ITERATOR counting (compact-forward's DataFrame shape): build
     # each node's oriented out-neighbor ARRAY (O(V) rows), then for
@@ -333,10 +340,10 @@ def triangle_count(
     result = counts.select(
         "n_vertices", "n_edges", "n_oriented_wedges", "n_triangles"
     )
-    # 1-row census: materialize it, then release the persisted
-    # intermediates so they don't pin CacheManager entries across calls
+    # 1-row census: materialize it, then release EVERY persisted
+    # intermediate so nothing pins block-manager memory across calls
     # (same rationale as pagerank_int's exit path)
     result = result.localCheckpoint(eager=True)
-    deg.unpersist()
-    out_nbrs.unpersist()
+    for cached in (deg, out_nbrs, e, oriented):
+        cached.unpersist()
     return result

@@ -15,12 +15,39 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Adaptive driver-heap default: a fifth of physical RAM, clamped to
+    [8g, 24g].  In local mode the driver JVM IS the whole cluster (all
+    executor threads + shuffle + broadcast + checkpoint blocks live in
+    one heap), so the right size scales with the host; on a real
+    multi-executor cluster spark.executor.memory governs instead and
+    this default is irrelevant.  Falls back to 8g when /proc/meminfo is
+    unreadable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(8, min(24, total_gb // 5))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "parquet_merger_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """local[cpus] session with the engine's standard confs.
+
+    Driver heap defaults to an ADAPTIVE size (see _default_driver_mem):
+    in local mode every executor thread shares the driver JVM, and the
+    old fixed 8g default GC-thrashed 32-thread runs on large hosts —
+    measured 2-4x wall variance on the shuffle-heavy LSH keys at sf0.1
+    (dedup_pipeline_lsh 12-20s at 8g vs a stable 5-6.5s at 24g).
+    Override with SPARK_GRAFT_DRIVER_MEM."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
@@ -36,7 +63,7 @@ def get_spark(
         # the console progress bar writes to the driver's stdout, which
         # corrupts machine-read output (bench.py's one-JSON-line contract)
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
