@@ -158,6 +158,9 @@ HEADLINE = [
     "trailing_time_window",
     "mode_per_group",
     "chi_square_independence",
+    "except_all_custkeys",
+    "full_outer_reconcile",
+    "bucketed_join_revenue",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

@@ -7221,3 +7221,196 @@ ORACLE_SQL["chi_square_independence"] = """
 
 
 QUERIES["chi_square_independence"] = q_chi_square_independence
+
+
+def q_except_all_custkeys(spark, sf_dir):
+    """EXCEPT ALL (multiset semantics): each 1995 order survives only if
+    it outnumbers the customer's 1996 orders — count-sensitive set
+    difference, the CDC/reconciliation sibling of the distinct-set
+    `except_custkeys`.  One aggregate pair + a generate — never a
+    row-pairing join."""
+    o = _t(spark, sf_dir, "orders")
+    year = F.year(F.col("o_orderdate").cast("timestamp"))
+    a = o.filter(year == 1995).select("o_custkey")
+    b = o.filter(year == 1996).select("o_custkey")
+    return a.exceptAll(b)
+
+
+ORACLE_SQL["except_all_custkeys"] = """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_full_outer_reconcile(spark, sf_dir):
+    """Snapshot reconciliation via FULL OUTER join — the missing join
+    flavor in the battery: current orders vs a simulated prior snapshot
+    (keys < 90% of max, prices shifted), classifying every key as
+    added / removed / changed / unchanged.  Null-safe comparisons and
+    one key shuffle; status is derived with null checks, never
+    sentinels."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price_now")
+    )
+    prior = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 != 0
+    ).select(
+        "o_orderkey",
+        F.round(
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5)
+            .otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price_prior"),
+    )
+    cur = o.filter(F.col("o_orderkey") % 13 != 0)
+    j = cur.join(prior, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("price_prior").isNull(), F.lit("added"))
+        .when(F.col("price_now").isNull(), F.lit("removed"))
+        .when(F.col("price_now") != F.col("price_prior"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "o_orderkey", "price_now", "price_prior", status.alias("status")
+    )
+
+
+ORACLE_SQL["full_outer_reconcile"] = """
+    WITH cur AS (
+      SELECT o_orderkey, round(o_totalprice, 2) AS price_now
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ), prior AS (
+      SELECT o_orderkey,
+             round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                        ELSE o_totalprice END, 2) AS price_prior
+      FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT COALESCE(cur.o_orderkey, prior.o_orderkey) AS o_orderkey,
+           price_now, price_prior,
+           CASE WHEN price_prior IS NULL THEN 'added'
+                WHEN price_now IS NULL THEN 'removed'
+                WHEN price_now <> price_prior THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM cur FULL OUTER JOIN prior USING (o_orderkey)
+"""
+
+
+QUERIES["except_all_custkeys"] = q_except_all_custkeys
+QUERIES["full_outer_reconcile"] = q_full_outer_reconcile
+
+
+def q_stream_user_totals(spark, sf_dir):
+    """The custom stateful operator (`user_running_totals_stream`,
+    applyInPandasWithState per-user lifetime totals) driven end-to-end
+    through the driver contract: events replay in three mtime-pinned
+    micro-batches, every update emission lands in the memory sink, and
+    the final answer takes each user's LATEST emission (monotone in
+    n_events, so max() identifies it without ordering metadata) ranked
+    to the top-10 most active users (count desc, user_id tie-break).
+    Counts are exact integers, so the oracle is the plain batch
+    aggregate — certifying that cross-micro-batch state accumulation
+    loses and double-counts nothing."""
+    import shutil
+
+    from parquet_merger_spark.streaming.events import (
+        user_running_totals_stream,
+    )
+
+    base = _scratch_dir(spark, "stream_user_totals")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    src = _write_replay_batches(
+        base, [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    )
+
+    name = "stream_user_totals_sink"
+    q = user_running_totals_stream(
+        spark, src, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_user_totals")
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        latest.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("user_id", "n_events", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_SQL["stream_user_totals"] = """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT user_id, n_events, CAST(rk AS INT) AS rk FROM r WHERE rk <= 10
+"""
+
+
+QUERIES["stream_user_totals"] = q_stream_user_totals
+
+
+def q_bucketed_join_revenue(spark, sf_dir):
+    """Bucketed co-located join driven through the contract: orders and
+    lineitem written ONCE as same-bucketed catalog tables (8 buckets on
+    the order key, sorted within buckets — write_bucketed), then joined
+    with zero query-time Exchange (zip-partition sort-merge — the plan
+    property tests/test_plans.py pins).  Result = per-priority revenue
+    of high-value orders, identical to the plain join the oracle
+    computes — certifying bucketing changes the PLAN, never the data.
+    Tables are per-application (overwrite mode + sf-suffixed names), so
+    reruns refresh in place."""
+    from parquet_merger_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    # app-scoped names: concurrent applications share the on-disk
+    # spark-warehouse directory, so a bare per-sf name would race two
+    # harness processes onto one table path
+    app = "".join(
+        c for c in spark.sparkContext.applicationId if c.isalnum()
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, rt = f"b_orders_{sf_tag}_{app}", f"b_lineitem_{sf_tag}_{app}"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(o, lt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    if not spark.catalog.tableExists(rt):
+        write_bucketed(li, rt, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    j = bucketed_join(spark, lt, rt, ["o_orderkey"]).filter(
+        F.col("o_totalprice") > 150_000
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev), 2).alias("revenue"),
+    )
+
+
+ORACLE_SQL["bucketed_join_revenue"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_totalprice > 150000
+    GROUP BY 1
+"""
+
+
+QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
