@@ -203,6 +203,10 @@ INDEXED_PREBUILD = [
     "decontaminate_indexed",
     "simsearch_ivf_indexed",
     "simsearch_pq_indexed",
+    # first call writes the bucketed catalog tables (the write-time
+    # shuffle that buys the query-time zero-Exchange join); steady state
+    # is the co-located join itself
+    "bucketed_join_revenue",
 ]
 
 # Verification/audit tier: exact pairwise dedup — deliberately NOT in the
