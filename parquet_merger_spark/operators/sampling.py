@@ -252,16 +252,21 @@ def temperature_sample(
         strata_col, F.col("__stratum_tokens"), w.alias("__w")
     )
     wsum = weights.agg(F.sum("__w").alias("__wsum"))
-    # numerator budget*MOD*w must stay an exact double through the
-    # long->double division (< 2^53); w is ~sqrt(tokens)*1e3, so this
-    # bounds budget*sqrt(stratum_tokens) — plenty for token budgets up
-    # to ~1e9 at any realistic stratum mass, asserted at the known part
-    assert budget_tokens * _MOD < 2**43, "budget too large for exact doubles"
+    # Threshold arithmetic must be ENGINE-IDENTICAL, not integer-exact:
+    # the naive budget*MOD*w product overflows int64 at real token
+    # budgets (1e9 tokens x 1e6 x 1e9-scale weights), and the two
+    # engines disagree on overflow (ANSI error vs HUGEINT promotion).
+    # Instead every step is IEEE-double with a FIXED parenthesization
+    # mirrored verbatim in the oracle: long->double casts and each
+    # individual op are correctly rounded, so identical inputs give
+    # identical doubles in any engine, and floor of identical doubles
+    # is exact.  (w_s itself stays an exact integer — see above.)
+    ratio = F.col("__w").cast("double") / F.col("__wsum").cast("double")
     threshold = F.least(
         F.lit(_MOD).cast("long"),
         F.floor(
-            F.lit(budget_tokens * _MOD) * F.col("__w")
-            / (F.col("__wsum") * F.col("__stratum_tokens"))
+            (F.lit(float(budget_tokens * _MOD)) / F.col("__stratum_tokens"))
+            * ratio
         ),
     )
     return (

@@ -6934,8 +6934,8 @@ ORACLE_SQL["temperature_mixture"] = """
     ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM weights),
     thresholds AS (
       SELECT lang, LEAST(1000000, FLOOR(
-               (CAST(20000 AS BIGINT) * 1000000 * w)
-               / CAST(wsum * stratum_tokens AS DOUBLE))) AS threshold
+               (CAST(20000000000 AS DOUBLE) / stratum_tokens)
+               * (CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)))) AS threshold
       FROM weights, ws
     )
     SELECT d.doc_id, d.lang, d.n_tokens

@@ -164,3 +164,84 @@ def test_bm25_matches_formula(spark):
             assert abs(got[i] - score(d)) <= 2e-6, (i, d, got[i], score(d))
 
     check()
+
+
+def test_assign_row_ids_is_permutation_any_buckets(spark):
+    """Property: for ANY key distribution (duplicates, negatives,
+    constants) and ANY bucket count, row ids are exactly 1..n and agree
+    with the global-window ranking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    @_SET
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+        ),
+        n_buckets=st.sampled_from([1, 2, 7, 64]),
+    )
+    def check(keys, n_buckets):
+        df = spark.createDataFrame(
+            [(i, float(k)) for i, k in enumerate(keys)], "id long, v double"
+        )
+        got = assign_row_ids(df, "v", ["id"], n_buckets=n_buckets)
+        rows = got.collect()
+        assert sorted(r["row_id"] for r in rows) == list(
+            range(1, len(keys) + 1)
+        )
+        w = Window.orderBy("v", "id")
+        want = {
+            (r["id"]): r["rid"]
+            for r in df.withColumn(
+                "rid", F.row_number().over(w).cast("long")
+            ).collect()
+        }
+        assert {r["id"]: r["row_id"] for r in rows} == want
+
+    check()
+
+
+def test_temperature_sample_subset_and_cap_properties(spark):
+    """Property: the kept set is always a subset of the input, strata
+    with zero token mass never survive, and an unbounded budget keeps
+    EVERYTHING (every threshold caps at the gate modulus)."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.sampling import (
+        portable_hash_gate,
+        temperature_sample,
+    )
+
+    @_SET
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=200),
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        ),
+        budget=st.sampled_from([10, 1_000, 10_000_000]),
+    )
+    def check(rows, budget):
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+        kept = temperature_sample(
+            df, budget_tokens=budget,
+            gate=portable_hash_gate(F.col("doc_id"), salt=5),
+        ).collect()
+        in_ids = {r[0] for r in rows}
+        assert {r["doc_id"] for r in kept} <= in_ids
+        mass = {}
+        for _, lang, t in rows:
+            mass[lang] = mass.get(lang, 0) + t
+        assert all(mass[r["lang"]] > 0 for r in kept)
+        if budget == 10_000_000:
+            expect = {i for i, lang, t in rows if mass[lang] > 0}
+            assert {r["doc_id"] for r in kept} == expect
+
+    check()

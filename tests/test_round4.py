@@ -154,10 +154,13 @@ def test_temperature_sample_matches_closed_form(spark):
     }
     w = {k: math.floor(math.sqrt(v * 1_000_000)) for k, v in totals.items()}
     wsum = sum(w.values())
+    # mirror the operator's fixed double parenthesization exactly
     thresholds = {
         k: min(
             1_000_000,
-            math.floor(20_000 * 1_000_000 * w[k] / (wsum * totals[k])),
+            math.floor(
+                (float(20_000 * 1_000_000) / totals[k]) * (float(w[k]) / float(wsum))
+            ),
         )
         for k in totals
     }
