@@ -7414,3 +7414,140 @@ ORACLE_SQL["bucketed_join_revenue"] = """
 
 
 QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
+
+
+def q_id_gap_detection(spark, sf_dir):
+    """Islands-and-gaps over the event_id sequence: every missing id
+    range (gap_start, gap_end, gap_len) — the ingestion-completeness
+    audit.  SCALE SHAPE: ids bucket by fixed range (id div 4096), lag
+    runs WITHIN buckets (parallel, never a global single-task sort),
+    and cross-bucket gaps stitch from the per-bucket (min, max) table —
+    model-sized, one row per non-empty bucket — lagged over the bucket
+    order.  Result is identical to the textbook global-lag form, which
+    is exactly what the oracle computes.  The fixture sequence is
+    dense, so the harness DROPS ids ending in 7 to manufacture gaps —
+    deterministically, in both engines."""
+    bucket_w = 4096
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") % 10 != 7)
+        .withColumn("bk", F.expr(f"event_id div {bucket_w}"))
+    )
+    win = Window.partitionBy("bk").orderBy("event_id")
+    in_bucket = (
+        e.withColumn("prev_id", F.lag("event_id").over(win))
+        .filter(
+            F.col("prev_id").isNotNull()
+            & (F.col("event_id") - F.col("prev_id") > 1)
+        )
+        .select("prev_id", F.col("event_id").alias("next_id"))
+    )
+    edges = e.groupBy("bk").agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    ew = Window.orderBy("bk")
+    boundary = (
+        edges.withColumn("prev_hi", F.lag("hi").over(ew))
+        .filter(
+            F.col("prev_hi").isNotNull()
+            & (F.col("lo") - F.col("prev_hi") > 1)
+        )
+        .select(
+            F.col("prev_hi").alias("prev_id"), F.col("lo").alias("next_id")
+        )
+    )
+    gaps = in_bucket.unionAll(boundary)
+    return gaps.select(
+        (F.col("prev_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("prev_id") - 1).alias("gap_len"),
+    )
+
+
+ORACLE_SQL["id_gap_detection"] = """
+    WITH e AS (
+      SELECT event_id FROM events WHERE event_id % 10 <> 7
+    ), g AS (
+      SELECT event_id, lag(event_id) OVER (ORDER BY event_id) AS prev_id
+      FROM e
+    )
+    SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+           event_id - prev_id - 1 AS gap_len
+    FROM g WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+"""
+
+
+def q_percentile_bands_per_type(spark, sf_dir):
+    """Per-event-type quartile banding via ntile(4) under a TOTAL order
+    (value, event_id) — without the tie-break, ntile's band boundaries
+    are engine-arbitrary among equal values, which is exactly why the
+    built-in is untrustworthy for reproducible feature binning.
+    Returns per-(type, band) count and value bounds."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    banded = e.withColumn("band", F.ntile(4).over(w))
+    return banded.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+ORACLE_SQL["percentile_bands_per_type"] = """
+    WITH b AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS band
+      FROM events
+    )
+    SELECT event_type, CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM b GROUP BY 1, 2
+"""
+
+
+def q_running_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day — the growth-accounting curve
+    plain window frames cannot express (COUNT(DISTINCT) over a running
+    frame is unsupported).  Shape: first-seen day per user (one key
+    aggregate), daily new-user counts (tiny day table), prefix sum over
+    the day table — the data shuffles once on user_id; the running sum
+    runs over O(days) rows."""
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily_new.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+ORACLE_SQL["running_distinct_users"] = """
+    WITH fs AS (
+      SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS first_day
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+      FROM fs GROUP BY 1
+    )
+    SELECT CAST(first_day AS VARCHAR) AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d
+"""
+
+
+QUERIES["id_gap_detection"] = q_id_gap_detection
+QUERIES["percentile_bands_per_type"] = q_percentile_bands_per_type
+QUERIES["running_distinct_users"] = q_running_distinct_users
