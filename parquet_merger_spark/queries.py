@@ -1303,8 +1303,10 @@ def q_ohlc_hourly(spark, sf_dir):
 def q_map_functions(spark, sf_dir):
     """Map scalar-function family: build maps row-locally
     (map_from_arrays / create_map), then element_at lookup, key/value
-    projections (sorted for determinism), map_filter and map_concat.
-    Outputs are scalars and sorted arrays; the oracle computes the same
+    projections (sorted and comma-joined to a scalar string so every
+    output column is hashable for the driver canon), map_filter and
+    map_concat.
+    Outputs are scalars only; the oracle computes the same
     values straight from the base columns, so the map machinery itself
     is what's under test."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
@@ -1323,7 +1325,9 @@ def q_map_functions(spark, sf_dir):
         "o_orderkey",
         F.element_at(m, "status").alias("status_val"),
         F.element_at(m, "missing").alias("missing_val"),
-        F.array_sort(F.map_keys(merged)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias(
+            "keys_sorted"
+        ),
         F.size(F.map_filter(nm, lambda k, v: v > 100000.0)).cast("long").alias(
             "n_big_vals"
         ),
@@ -3938,7 +3942,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey,
                o_orderstatus AS status_val,
                CAST(NULL AS VARCHAR) AS missing_val,
-               ['extra', 'priority', 'status'] AS keys_sorted,
+               'extra,priority,status' AS keys_sorted,
                CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END +
                     CASE WHEN o_totalprice / 2 > 100000 THEN 1 ELSE 0 END
                  AS BIGINT) AS n_big_vals,
