@@ -63,7 +63,16 @@ def assign_row_ids(
     FULLY LAZY: zero builder-side jobs; the consumer's single action
     evaluates three branches of ``df`` (boundary aggregate, count
     branch, rank branch) — persist upstream if the input is expensive
-    to recompute."""
+    to recompute.
+
+    EXCHANGE-REUSE DEPENDENCY: the boundary aggregate appears under
+    both the count branch and the rank branch, and percentile_approx
+    is merge-order-nondeterministic — correctness (ids forming a
+    permutation) relies on ``spark.sql.exchange.reuse`` (default ON)
+    deduplicating the two evaluations so both branches bucket against
+    the SAME boundaries.  If that flag is disabled, eagerly persist
+    the 1-row ``qarr`` frame (or pass boundaries as literals) before
+    use; do not rely on luck."""
     key = F.col(key_col)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     if probs:

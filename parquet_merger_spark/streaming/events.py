@@ -435,9 +435,22 @@ def drift_cusum_stream(
     certifies): events arrive in event-time-ordered micro-batches and
     are sorted (ts, event_id) within each batch, so the accumulation
     order is the batch window's total order; the carry stays unrounded
-    while each emitted cusum is ``round(.,6) + 0.0`` — sequential float
-    adds in identical order are identical IEEE doubles, so the full
-    replay equals the one-shot batch result row-for-row."""
+    while each emitted cusum rounds with the ENGINES' semantics —
+    HALF_UP over the shortest decimal repr (``Decimal(repr(c))``),
+    matching Spark ``F.round`` / DuckDB ``round`` — not Python's
+    ``round()``, whose half-even over the exact binary value diverges
+    on carries whose shortest repr terminates in a 5 at the 7th
+    decimal.  Sequential float adds in identical order are identical
+    IEEE doubles, so the full replay equals the one-shot batch result
+    row-for-row.
+
+    Event types absent from the calibration ``stats`` (post-calibration
+    novel types — expected in production) pass through UNFLAGGED
+    (mu=0, threshold=+inf): the cusum still accumulates raw values so
+    the signal exists once the type is calibrated, but no drift fires
+    off an uncalibrated baseline."""
+    import decimal
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -453,16 +466,28 @@ def drift_cusum_stream(
     )
     state_schema = "carry double"
 
+    six = decimal.Decimal("1e-6")
+
+    def _round6(x: float) -> float:
+        # Spark F.round / DuckDB round semantics: HALF_UP on the
+        # shortest decimal repr, not Python round's half-even on the
+        # exact binary value
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                six, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
     def update_cusum(key, pdfs, state: GroupState):
         etype = key[0]
-        mu, thresh = stats[etype]
+        mu, thresh = stats.get(etype, (0.0, float("inf")))
         (carry,) = state.get if state.exists else (0.0,)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ids, cusums, flags = [], [], []
         for eid, v in zip(pdf["event_id"], pdf["value"]):
             carry = carry + (float(v) - mu)
-            c = round(carry, 6) + 0.0
+            c = _round6(carry) + 0.0
             ids.append(int(eid))
             cusums.append(c)
             flags.append(abs(c) > thresh)
