@@ -7662,3 +7662,384 @@ ORACLE_SQL["running_distinct_users"] = """
 QUERIES["id_gap_detection"] = q_id_gap_detection
 QUERIES["percentile_bands_per_type"] = q_percentile_bands_per_type
 QUERIES["running_distinct_users"] = q_running_distinct_users
+
+
+# ---------------------------------------------------------------------------
+# round-5 widening: corpus-audit and analytics keys (token coverage CDF,
+# source concentration, exact-integer OLS trend, DISTINCT ON, behavioral
+# set similarity, per-source duplicate rate).  Same discipline as the rest
+# of the registry: exact integer arithmetic wherever a sum crosses a
+# shuffle, doubles only in final single-division/product steps (correctly
+# rounded, bit-identical cross-engine), total-order tie-breaks everywhere.
+# ---------------------------------------------------------------------------
+
+
+def q_token_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage CDF: what fraction of all corpus tokens the
+    top-k most frequent terms cover, at k in {5, 10, 25}
+    (the synthetic corpus vocabulary is ~31 terms; at a real corpus the
+    same plan runs with k up to the model-sized survivor cap) — the
+    tokenizer-vocab sizing curve (how big a vocab before coverage
+    plateaus).  Scale shape: one (term) count shuffle builds the term
+    frequency table; the top-1000 survivors come out via
+    orderBy().limit() (TakeOrdered — a 1000-row heap per partition,
+    never a global sort); rank + running sum then run over the
+    1000-row model-sized survivor table only.  All counts are exact
+    int64 (associative, partition-order-free); the coverage ratio is
+    ONE double division of exact integers, identical in any engine."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    top = tf.orderBy(F.desc("tf"), "term").limit(1000)
+    w = Window.orderBy(F.desc("tf"), "term")
+    ranked = top.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum_tokens",
+        F.sum("tf").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk").isin(5, 10, 25))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").alias("k"),
+            "cum_tokens",
+            "total_tokens",
+            F.round(
+                F.col("cum_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+ORACLE_SQL["token_coverage_curve"] = """
+    WITH tf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+    top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 1000),
+    ranked AS (
+      SELECT tf,
+             row_number() OVER (ORDER BY tf DESC, term) AS rk,
+             CAST(sum(tf) OVER (ORDER BY tf DESC, term
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM top
+    )
+    SELECT CAST(rk AS INT) AS k, cum_tokens, total_tokens,
+           round(cum_tokens / CAST(total_tokens AS DOUBLE), 6) AS coverage
+    FROM ranked, tot WHERE rk IN (5, 10, 25)
+"""
+
+
+def q_lang_gini_by_source(spark, sf_dir):
+    """Language-concentration audit per crawl source: Gini impurity of
+    each source's language distribution, 1 - sum((c_i/N)^2) — the
+    exact-arithmetic stand-in for entropy (no logs: ln differs in last
+    ulps between libms, Gini is pure rational).  sum(c^2) stays an
+    exact int64 (in-range while every (source, lang) cell is under
+    ~3e9 docs; cast the square to double past that, the chi-square
+    rule); the final value is one division of exact integers widened
+    to double — identical cross-engine.  Scale: one (source, lang)
+    count shuffle; the per-source fold runs over the model-sized cell
+    table."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    per = cells.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.col("s2").cast("double")
+            / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_SQL["lang_gini_by_source"] = """
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           round(1.0 - CAST(sum(c * c) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)),
+                 6) AS gini
+    FROM cells GROUP BY 1
+"""
+
+
+def q_revenue_trend_by_nation(spark, sf_dir):
+    """Per-nation revenue trend: ordinary-least-squares slope of monthly
+    order revenue (cents/month) via the closed form
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), with EVERY sum an exact int64 —
+    x is the month index since 1992-01, y is total cents per
+    (nation, month) — so the only doubles are the final widened
+    products and one division (correctly rounded, bit-identical in
+    both engines; sums stay exact while under 2^53 — ~9e15 total
+    cents per nation, a ceiling the docstring owns).  Scale: one
+    orders<->customer shuffle on custkey, nation broadcast, then the
+    per-(nation, month) aggregate and a model-sized per-nation fold."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("x"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    m = j.groupBy("n_name", "x").agg(F.sum("cents").alias("y"))
+    agg = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return agg.select(
+        "n_name",
+        F.col("n").alias("n_months"),
+        F.round(num / den, 4).alias("slope_cents_per_month"),
+    )
+
+
+ORACLE_SQL["revenue_trend_by_nation"] = """
+    WITH j AS (
+      SELECT n_name,
+             (EXTRACT(year FROM o_orderdate) - 1992) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS x,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    ),
+    m AS (
+      SELECT n_name, x, CAST(sum(cents) AS BIGINT) AS y
+      FROM j GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM m GROUP BY 1
+    )
+    SELECT n_name, n AS n_months,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 4) AS slope_cents_per_month
+    FROM agg
+"""
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    """DISTINCT ON / arg-max: each customer's most recent order under
+    the TOTAL order (o_orderdate, o_orderkey).  The scale idiom is ONE
+    aggregate — max over the packed int64
+    ``days_since_epoch * 2^32 + o_orderkey`` (exact while orderkeys
+    stay under 2^32; widen the packing beyond that) — instead of the
+    per-customer row_number window, which at 100 TB sorts every
+    customer's full order history just to keep one row.  The packed
+    key decodes back to (date, orderkey) with div/pmod, all exact
+    integer ops, identical in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    packed = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        * F.lit(4294967296).cast("long")
+        + F.col("o_orderkey")
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.max(packed).alias("combo"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_custkey",
+        F.expr("combo div 4294967296")
+        .cast("long")
+        .alias("last_days"),
+        F.pmod(F.col("combo"), F.lit(4294967296)).cast("long").alias(
+            "last_orderkey"
+        ),
+        "n_orders",
+    ).select(
+        "o_custkey",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("last_days").cast("int"))
+        .cast("string")
+        .alias("last_date"),
+        "last_orderkey",
+        "n_orders",
+    )
+
+
+ORACLE_SQL["latest_order_per_customer"] = """
+    WITH p AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT)
+               * 4294967296 + o_orderkey AS packed
+      FROM orders
+    ),
+    agg AS (
+      SELECT o_custkey, max(packed) AS combo,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM p GROUP BY 1
+    )
+    SELECT o_custkey,
+           CAST(DATE '1970-01-01'
+                + CAST(combo // 4294967296 AS INT) AS VARCHAR) AS last_date,
+           CAST(combo % 4294967296 AS BIGINT) AS last_orderkey,
+           n_orders
+    FROM agg
+"""
+
+
+def q_jaccard_event_type_pairs(spark, sf_dir):
+    """Behavioral set similarity between event types: for every type
+    pair (a < b), the Jaccard of their user sets — which behaviors
+    co-occur in the same accounts.  Scale shape: the (user, type)
+    DISTINCT is one shuffle; the pair join is a self-join ON user_id
+    whose per-user output is bounded by types^2 (a handful), so the
+    candidate stream is O(users * types^2), never users^2; per-type
+    set sizes broadcast back.  Counts exact int64; jaccard is one
+    double division."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    nt = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = nt.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    nb = nt.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SQL["jaccard_event_type_pairs"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    nt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           round(n_both / CAST(na.n + nb.n - n_both AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN nt na ON na.event_type = type_a
+    JOIN nt nb ON nb.event_type = type_b
+"""
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate rate: the share of each source's docs
+    whose text also appears elsewhere in the corpus (corpus-wide
+    multiplicity > 1) — the contamination-pressure number a mixture
+    builder reads before weighting a source.  The shuffle key is
+    md5(text), not the text itself (narrow fixed-width shuffle rows at
+    100 TB; md5 is engine-portable so the oracle groups identically,
+    and a 128-bit collision is negligible against corpus sizes).
+    Two key shuffles (multiplicity count, then source rollup), counts
+    exact int64, rate one double division."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("h"))
+    mult = h.groupBy("h").agg(F.count(F.lit(1)).alias("m"))
+    j = h.join(mult, "h")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_dup",
+        F.round(F.col("n_dup") / F.col("n_docs").cast("double"), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+ORACLE_SQL["dup_rate_by_source"] = """
+    WITH h AS (SELECT source, md5(text) AS h FROM documents),
+    mult AS (SELECT h, CAST(count(*) AS BIGINT) AS m FROM h GROUP BY 1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+    FROM h JOIN mult USING (h)
+    GROUP BY 1
+"""
+
+
+QUERIES["token_coverage_curve"] = q_token_coverage_curve
+QUERIES["lang_gini_by_source"] = q_lang_gini_by_source
+QUERIES["revenue_trend_by_nation"] = q_revenue_trend_by_nation
+QUERIES["latest_order_per_customer"] = q_latest_order_per_customer
+QUERIES["jaccard_event_type_pairs"] = q_jaccard_event_type_pairs
+QUERIES["dup_rate_by_source"] = q_dup_rate_by_source

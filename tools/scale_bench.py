@@ -28,7 +28,17 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-KEYS = ["graph_triangles", "pagerank", "semdedup", "dedup_pipeline_lsh"]
+KEYS = [
+    "graph_triangles",
+    "pagerank",
+    "semdedup",
+    "dedup_pipeline_lsh",
+    # verification-tier elephant (largest committed wall number, 12.7s
+    # at sf0.1): bounds the PPJoin prefix/positional/length-filtered
+    # pair growth of the EXACT n-gram Jaccard tier the same way the
+    # four headline elephants were bounded in r04
+    "dedup_ngram_jaccard",
+]
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = os.path.join(ROOT, ".localdata", "sf1")
 FACTOR = 10.0  # data ratio between the two dirs
