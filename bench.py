@@ -161,6 +161,18 @@ HEADLINE = [
     "except_all_custkeys",
     "full_outer_reconcile",
     "bucketed_join_revenue",
+    # ---- round-5 widening ----
+    "id_gap_detection",
+    "percentile_bands_per_type",
+    "running_distinct_users",
+    # (stream_* keys stay out of the batch headline — their wall story
+    # is the per-micro-batch STREAM_LATENCY artifact)
+    "token_coverage_curve",
+    "lang_gini_by_source",
+    "revenue_trend_by_nation",
+    "latest_order_per_customer",
+    "jaccard_event_type_pairs",
+    "dup_rate_by_source",
     # ---- scale-critical families LAST (truncation-surviving tail) ----
     "pagerank",
     "graph_triangles",

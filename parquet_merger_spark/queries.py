@@ -7460,7 +7460,9 @@ def q_id_gap_detection(spark, sf_dir):
     runs WITHIN buckets (parallel, never a global single-task sort),
     and cross-bucket gaps stitch from the per-bucket (min, max) table —
     model-sized, one row per non-empty bucket — lagged over the bucket
-    order.  Result is identical to the textbook global-lag form, which
+    order.  CEILING: the stitch window is O(distinct ids / 4096) rows
+    through one task, which holds to ~10^12 ids; beyond that, widen
+    bucket_w (or recurse the stitch a second level).  Result is identical to the textbook global-lag form, which
     is exactly what the oracle computes.  The fixture sequence is
     dense, so the harness DROPS ids ending in 7 to manufacture gaps —
     deterministically, in both engines."""

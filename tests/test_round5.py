@@ -198,3 +198,51 @@ def test_dup_rate_cross_source_accounting(spark, tmp_path):
         assert out[s]["n_docs"] == 2
         assert out[s]["n_dup"] == 1
         assert out[s]["dup_rate"] == 0.5
+
+
+def test_percentile_bands_no_per_type_sort(spark):
+    """The r04 scale flag: band assignment must not funnel a whole
+    event type through one ntile task.  Pin: no ntile anywhere, and
+    every row-level window partitions by (event_type, __bucket) — the
+    only event_type-alone windows run over the 64-row-per-type count
+    table."""
+    from parquet_merger_spark.queries import QUERIES
+
+    df = QUERIES["percentile_bands_per_type"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    assert "row_number() windowspecdefinition(event_type" in plan
+    for line in plan.splitlines():
+        if "row_number() windowspecdefinition" in line:
+            assert "__bucket" in line
+
+
+def test_percentile_bands_matches_ntile(spark):
+    """The bucketed-rank banding reproduces the plain tie-broken
+    ntile(4) EXACTLY on real data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.queries import QUERIES, _events
+
+    fast = {
+        (r["event_type"], r["band"]): (r["n"], r["lo"], r["hi"])
+        for r in QUERIES["percentile_bands_per_type"](spark, SF_DIR).collect()
+    }
+    e = _events(spark, SF_DIR)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ref_rows = (
+        e.withColumn("band", F.ntile(4).over(w))
+        .groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .collect()
+    )
+    ref = {
+        (r["event_type"], r["band"]): (r["n"], r["lo"], r["hi"])
+        for r in ref_rows
+    }
+    assert fast == ref
