@@ -246,3 +246,35 @@ def test_percentile_bands_matches_ntile(spark):
         for r in ref_rows
     }
     assert fast == ref
+
+
+def test_ntile_quota_formula_property():
+    """Property (pure Python, mirrors the integer expressions in
+    q_percentile_bands_per_type): for any N >= 1 and every rank
+    r in 1..N, the quota formula reproduces ntile(4)'s band — first
+    N%4 bands hold ceil(N/4) rows, the rest floor(N/4) — and bands
+    partition 1..N in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def band(r: int, n: int) -> int:
+        base, rem = n // 4, n % 4
+        head = rem * (base + 1)
+        if r <= head:
+            return (r + base) // (base + 1)
+        safe = max(base, 1)
+        return rem + (r - head + safe - 1) // safe
+
+    def ntile_ref(n: int) -> list[int]:
+        base, rem = n // 4, n % 4
+        out = []
+        for b in range(1, 5):
+            out.extend([b] * (base + (1 if b <= rem else 0)))
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=4000))
+    def check(n):
+        assert [band(r, n) for r in range(1, n + 1)] == ntile_ref(n)
+
+    check()
