@@ -325,6 +325,8 @@ _BNLJ_VOUCHED = {
     "temperature_mixture",
     # 1-row corpus-total + 1-row dof broadcasts in the chi-square fold
     "chi_square_independence",
+    # 1-row total-token broadcast joined to the 3-row coverage output
+    "token_coverage_curve",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -356,6 +358,14 @@ _SINGLE_VOUCHED = {
     "temperature_mixture",
     # model-sized margins + the |cells| fixed-order fold
     "chi_square_independence",
+    # O(distinct ids / 4096) bucket-edge stitch window (ceiling note in
+    # the docstring: holds to ~10^12 ids)
+    "id_gap_detection",
+    # O(days) day-table prefix sum
+    "running_distinct_users",
+    # 1-row total + rank/cum-sum windows over the 1000-row TakeOrdered
+    # survivor table
+    "token_coverage_curve",
 }
 
 
