@@ -323,10 +323,11 @@ _BNLJ_VOUCHED = {
     "vocab_encode",
     # 1-row weight-sum broadcast in the temperature mixture gate
     "temperature_mixture",
+    # 1-row total-token broadcast crossJoined to the 3-row coverage
+    # output (shows as BNLJ in the runtime-final plan)
+    "token_coverage_curve",
     # 1-row corpus-total + 1-row dof broadcasts in the chi-square fold
     "chi_square_independence",
-    # 1-row total-token broadcast joined to the 3-row coverage output
-    "token_coverage_curve",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
