@@ -859,7 +859,11 @@ def simhash_signatures(
             )
             starts = np.zeros(nz.size, dtype=np.int64)
             np.cumsum(lens[nz][:-1], out=starts[1:])
-            set_counts = np.add.reduceat(bitmat.astype(np.int64), starts, axis=0)
+            # dtype=int64 upcasts inside the reduction — the previous
+            # bitmat.astype(int64) materialized an 8x transient (e.g.
+            # ~140 MB for a 5k-doc batch) that the segmented sum never
+            # needed; the output is only (n_docs, 64)
+            set_counts = np.add.reduceat(bitmat, starts, axis=0, dtype=np.int64)
             fp_bits = (2 * set_counts - lens[nz][:, None]) > 0
             out[nz] = np.packbits(
                 fp_bits.astype(np.uint8), axis=1, bitorder="little"
@@ -1167,3 +1171,195 @@ def near_dedup_survivors_by(
     )
     untouched = df.join(clusters, df[id_col] == F.col("__m"), "left_anti")
     return untouched.unionByName(winners)
+
+
+# ---------------------------------------------------------------------------
+# Portable (cross-engine) near-dup twins
+# ---------------------------------------------------------------------------
+# The production MinHash/SimHash paths hash with xxhash64 + mod-2^64
+# wrap-around — semantics no other SQL engine reproduces, which is why
+# those keys carry rows-only correctness bounds.  The *_portable twins
+# below certify the same ALGEBRA (dictionary-encode -> universal hash ->
+# per-doc min / bit votes -> band bucket equi-join) with arithmetic every
+# engine evaluates identically: ids from a deterministic rank, hashes
+# h(x) = (a*x + c) mod p with every intermediate < 2^61 (exact BIGINT in
+# Spark, DuckDB, Trino, ...).  Verification tier: run them on samples or
+# candidates at 100 TB; the headline near-dup path stays xxhash64-based.
+
+#: prime modulus for the portable universal hashes (~2^30: products
+#: a*x stay < 2^61, inside exact int64 on every engine)
+PORTABLE_MOD = 1_000_000_007
+
+#: fixed (a, c) multiply-add constants, a odd, both < 2^30 — literal on
+#: purpose so the DuckDB oracle embeds the identical numbers
+PORTABLE_HASH_AC = (
+    (387_420_489, 12_345_701),
+    (536_870_909, 98_765_431),
+    (268_435_399, 55_555_557),
+    (805_306_457, 77_777_783),
+    (402_653_189, 33_333_331),
+    (671_088_637, 11_111_117),
+    (934_586_471, 86_420_147),
+    (112_358_133, 13_579_111),
+    (314_159_257, 27_182_821),
+    (161_803_393, 41_421_359),
+    (577_215_661, 69_314_719),
+    (707_106_781, 22_360_679),
+)
+
+
+def portable_term_code(term: Column) -> Column:
+    """Deterministic small integer from a term's first two characters,
+    used ONLY as the bucketing key for the distributed vocab rank (the
+    full term is the tie-break, so ids are exact for ANY code).  Clamped
+    to 127 per char: Spark ``ascii`` and DuckDB ``ord`` agree on ASCII
+    and the clamp collapses any >127 disagreement into the tie-break."""
+    c1 = F.when(F.length(term) >= 1, F.least(F.ascii(F.substring(term, 1, 1)), F.lit(127))).otherwise(F.lit(0))
+    c2 = F.when(F.length(term) >= 2, F.least(F.ascii(F.substring(term, 2, 1)), F.lit(127))).otherwise(F.lit(0))
+    return c1 * F.lit(128) + c2
+
+
+def portable_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, term_id): dense 1-based ids over the corpus vocabulary in
+    (prefix-code, term) order — the cross-engine dictionary encode.
+
+    Scale: the rank runs over DISTINCT terms (vocabulary, not corpus —
+    orders of magnitude smaller than the token stream) through the
+    bucketed two-phase ranking (:func:`~parquet_merger_spark.operators.
+    ranking.assign_row_ids`), so no single task ever sorts the whole
+    vocab.  SQL twin: ``row_number() OVER (ORDER BY code, term)``."""
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    terms = df.select(F.explode(tokens_col(text_col)).alias("term")).distinct()
+    coded = terms.withColumn("__code", portable_term_code(F.col("term")))
+    return assign_row_ids(
+        coded, "__code", ["term"], n_buckets=64, row_id_col="term_id"
+    ).select("term", "term_id")
+
+
+def _portable_doc_grams(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, xm): distinct word-2-gram identities mod PORTABLE_MOD.
+
+    Gram identity = id(w1) * (V+1) + id(w2) with V = vocab size — exact
+    (injective) in int64 for V < 2^31, then reduced mod p once so the
+    downstream multiply-add hashes stay < 2^61."""
+    vocab = portable_vocab(df, text_col)
+    vsz = vocab.agg(F.max("term_id").alias("__V"))
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "term")
+    ).join(vocab, "term")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        tok.withColumn("__nid", F.lead("term_id").over(w))
+        .where(F.col("__nid").isNotNull())
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            F.col(id_col),
+            F.pmod(
+                F.col("term_id") * (F.col("__V") + F.lit(1)) + F.col("__nid"),
+                F.lit(PORTABLE_MOD),
+            ).alias("xm"),
+        )
+        .distinct()
+    )
+    return grams
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, distinct) from a fully
+    cross-engine MinHash-LSH: k = ``num_hashes`` portable universal
+    hashes over the doc's distinct word-2-gram identities, per-doc
+    minima banded ``bands`` ways (r = k/bands rows per band), docs
+    sharing any (band, band-signature) bucket become a pair.
+
+    Same plan shape as the production :func:`minhash_lsh_pairs` — the
+    banded bucket equi-join is O(docs x bands), never all-pairs — but
+    every arithmetic step is engine-portable, so the whole pipeline has
+    an exact DuckDB oracle (the production path's rows-only bound comes
+    precisely from its xxhash64 + mod-2^64 hashing).  b=6, r=2 puts the
+    LSH threshold near (1/b)^(1/r) ~ 0.41: recall on J >= 0.8 pairs is
+    1-(1-s^2)^6 > 0.99 (asserted against exact Jaccard in tests)."""
+    assert num_hashes % bands == 0 and num_hashes <= len(PORTABLE_HASH_AC)
+    r = num_hashes // bands
+    grams = _portable_doc_grams(df, id_col, text_col)
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("xm") + F.lit(c), F.lit(PORTABLE_MOD))
+        ).alias(f"m{i}")
+        for i, (a, c) in enumerate(PORTABLE_HASH_AC[:num_hashes])
+    ]
+    sig = grams.groupBy(id_col).agg(*mins)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"m{b * r + j}").alias(f"h{j}") for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+    bb = sig.select(F.col(id_col), F.explode(band_arr).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"),
+        *[F.col(f"bb.h{j}").alias(f"h{j}") for j in range(r)],
+    )
+    a, b_ = bb.alias("a"), bb.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.band") == F.col("b.band")
+    )
+    for j in range(r):
+        cond = cond & (F.col(f"a.h{j}") == F.col(f"b.h{j}"))
+    return (
+        a.join(b_, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): tf-weighted ``bits``-bit SimHash over portable term
+    hashes — bit b's vote is sum over the TOKEN STREAM (multiplicity =
+    term frequency, the classic Charikar weighting) of +-1 by bit b of
+    h(term_id); the signature sets bit b iff the vote is >= 0.
+
+    Fully engine-portable (rank-based term ids, (a*x+c) mod p hash, bit
+    shifts on non-negative BIGINTs), hence exactly DuckDB-checkable —
+    unlike the production :func:`simhash_signatures`' xxhash64 path.
+    Row-local after the dictionary join: one groupBy(doc) shuffle."""
+    assert bits <= 30  # h < PORTABLE_MOD ~ 2^30
+    a0, c0 = PORTABLE_HASH_AC[0]
+    vocab = portable_vocab(df, text_col)
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+    ).join(vocab, "term")
+    h = F.pmod(F.lit(a0) * F.col("term_id") + F.lit(c0), F.lit(PORTABLE_MOD))
+    votes = [
+        F.sum(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    sig_expr = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    return (
+        tok.groupBy(id_col)
+        .agg(*votes)
+        .select(F.col(id_col), sig_expr.cast("long").alias("simhash"))
+    )

@@ -8045,3 +8045,130 @@ QUERIES["revenue_trend_by_nation"] = q_revenue_trend_by_nation
 QUERIES["latest_order_per_customer"] = q_latest_order_per_customer
 QUERIES["jaccard_event_type_pairs"] = q_jaccard_event_type_pairs
 QUERIES["dup_rate_by_source"] = q_dup_rate_by_source
+
+
+# ---------------------------------------------------------------------------
+# round-5 continuation: portable near-dup twins (full DuckDB oracles for the
+# MinHash-LSH / SimHash family, whose production keys are xxhash64-based and
+# therefore rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh_portable(spark, sf_dir):
+    """Cross-engine MinHash-LSH candidate pairs (k=12, b=6, r=2) over
+    word-2-grams of ``documents.text`` — the ORACLE-CERTIFIED twin of
+    ``dedup_minhash_lsh``: same banded-bucket algebra, but rank-based
+    term ids and (a*x+c) mod p hashes that DuckDB evaluates bit-for-bit
+    identically (every intermediate < 2^61).  Verification tier at
+    100 TB (run on samples/candidates); the headline stays xxhash64."""
+    from parquet_merger_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_portable(d, "doc_id", "text")
+
+
+def q_dedup_simhash_portable(spark, sf_dir):
+    """Cross-engine 16-bit tf-weighted SimHash per document — the
+    oracle-certified twin of ``dedup_simhash``'s signature stage (same
+    bit-vote algebra, portable arithmetic).  Row-local after the
+    dictionary join: one groupBy(doc) shuffle, no window."""
+    from parquet_merger_spark.operators.dedup import simhash_signatures_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_signatures_portable(d, "doc_id", "text")
+
+
+def _portable_sql_parts():
+    from parquet_merger_spark.operators.dedup import (
+        PORTABLE_HASH_AC,
+        PORTABLE_MOD,
+    )
+
+    code = (
+        "LEAST(CASE WHEN len(term) >= 1 THEN ord(substr(term, 1, 1)) ELSE 0 END, 127) * 128"
+        " + LEAST(CASE WHEN len(term) >= 2 THEN ord(substr(term, 2, 1)) ELSE 0 END, 127)"
+    )
+    vocab = f"""
+        tok AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), terms AS (SELECT DISTINCT term FROM tok),
+        vocab AS (
+          SELECT term,
+                 CAST(row_number() OVER (ORDER BY {code}, term) AS BIGINT)
+                   AS term_id
+          FROM terms
+        )"""
+    return PORTABLE_HASH_AC, PORTABLE_MOD, vocab
+
+
+def _minhash_portable_sql() -> str:
+    AC, P, vocab = _portable_sql_parts()
+    mins = ",\n                 ".join(
+        f"min(({a} * xm + {c}) % {P}) AS m{i}"
+        for i, (a, c) in enumerate(AC[:12])
+    )
+    bands = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2 * b} AS h1, m{2 * b + 1} AS h2 FROM sig"
+        for b in range(6)
+    )
+    return f"""
+        WITH {vocab},
+        vsz AS (SELECT max(term_id) AS v FROM vocab),
+        ids AS (
+          SELECT t.doc_id, t.pos, v.term_id
+          FROM tok t JOIN vocab v USING (term)
+        ),
+        grams AS (
+          SELECT DISTINCT a.doc_id,
+                 ((a.term_id * (vsz.v + 1) + b.term_id) % {P}) AS xm
+          FROM ids a
+          JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          CROSS JOIN vsz
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM grams GROUP BY doc_id
+        ),
+        bb AS (
+          {bands}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a
+        JOIN bb b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+               AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_portable_sql() -> str:
+    AC, P, vocab = _portable_sql_parts()
+    a0, c0 = AC[0]
+    votes = ",\n                 ".join(
+        f"CAST(sum(((h >> {b}) & 1) * 2 - 1) AS BIGINT) AS v{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return f"""
+        WITH {vocab},
+        h AS (
+          SELECT t.doc_id, (({a0} * v.term_id + {c0}) % {P}) AS h
+          FROM tok t JOIN vocab v USING (term)
+        ),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+ORACLE_SQL["dedup_minhash_lsh_portable"] = _minhash_portable_sql()
+ORACLE_SQL["dedup_simhash_portable"] = _simhash_portable_sql()
+QUERIES["dedup_minhash_lsh_portable"] = q_dedup_minhash_lsh_portable
+QUERIES["dedup_simhash_portable"] = q_dedup_simhash_portable

@@ -14,6 +14,22 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# glibc malloc tuning for the LONG-LIVED Python workers (they inherit the
+# driver's environment through the JVM -> pyspark.daemon fork chain, so this
+# must be set before the JVM is launched — i.e. at import time).  Default
+# glibc serves every >128 KB allocation with a fresh mmap and munmaps it on
+# free: each large Arrow/numpy batch buffer (vectorized-kernel transients run
+# 10s-100s of MB) is then re-faulted from the OS on EVERY batch.  Keeping
+# those allocations on the heap (high mmap threshold) and never trimming it
+# back (high trim threshold) means a worker faults its peak working set once
+# and reuses it for the rest of its life.  On memory-overcommitted virtual
+# hosts where first-touch faults are served by the hypervisor at ~ms cost this
+# is the difference between 0.07s and 17s per batch (measured A/B); on a
+# healthy host it is a no-op-sized win.  Bounded: one worker retains at most
+# its peak transient footprint (~hundreds of MB), same order as Arrow batches.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 
 def _default_driver_mem() -> str:
     """Adaptive driver-heap default: a fifth of physical RAM, clamped to

@@ -1,0 +1,120 @@
+"""Portable (cross-engine) near-dup twins: determinism, recall vs the
+exact ground truth, and the arithmetic bounds that make the DuckDB oracle
+bit-exact.
+
+The production MinHash/SimHash keys are rows-only in the driver contract
+(xxhash64 + mod-2^64 wrap has no cross-engine twin); the *_portable keys
+certify the same banded-LSH / bit-vote algebra with engine-portable
+arithmetic.  Oracle equality itself is covered by test_oracle.py's
+parameterization; these tests pin the operator-level claims.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.operators.dedup import (  # noqa: E402
+    PORTABLE_HASH_AC,
+    PORTABLE_MOD,
+    minhash_lsh_pairs_portable,
+    ngram_jaccard_pairs,
+    portable_vocab,
+    simhash_signatures_portable,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_portable_constants_bound_exact_int64():
+    """Every intermediate stays < 2^61: a, c < 2^30 and the reduced gram
+    id < p, so a*x + c < 2^30 * 2^30 + 2^30 — exact in int64 (and in
+    DuckDB's BIGINT) with no overflow-wrap semantics in play."""
+    for a, c in PORTABLE_HASH_AC:
+        assert 0 < a < 2**30 and a % 2 == 1, "a must be odd and < 2^30"
+        assert 0 <= c < 2**30
+        assert a * (PORTABLE_MOD - 1) + c < 2**61
+
+
+def test_portable_vocab_is_rank_permutation(documents):
+    """term_id must equal row_number() over (code, term) exactly — the
+    distributed two-phase rank must be indistinguishable from the
+    single-task sort the oracle runs."""
+    rows = portable_vocab(documents).collect()
+    ids = sorted(r.term_id for r in rows)
+    assert ids == list(range(1, len(rows) + 1)), "ids must be a 1..V permutation"
+    # recompute the reference rank driver-side (vocab is model-sized here)
+    def code(t: str) -> int:
+        c1 = min(ord(t[0]), 127) if len(t) >= 1 else 0
+        c2 = min(ord(t[1]), 127) if len(t) >= 2 else 0
+        return c1 * 128 + c2
+
+    ref = {
+        t: i + 1
+        for i, t in enumerate(
+            sorted((r.term for r in rows), key=lambda t: (code(t), t))
+        )
+    }
+    assert {r.term: r.term_id for r in rows} == ref
+
+
+def test_portable_lsh_deterministic_under_repartition(documents):
+    p1 = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_portable(documents).collect()
+    }
+    p2 = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_portable(documents.repartition(13)).collect()
+    }
+    assert p1 == p2
+    assert all(a < b for a, b in p1)
+
+
+def test_portable_lsh_recall_vs_exact_jaccard(documents):
+    """b=6, r=2 puts the LSH threshold near 0.41; on J >= 0.8 true pairs
+    the analytic recall is 1-(1-s^2)^6 > 0.99 — assert the documented
+    0.90 floor against the exact oracle-verified ground truth."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(documents, threshold=0.8).collect()
+    }
+    assert exact, "ground truth must be non-empty for a meaningful recall"
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_portable(documents).collect()
+    }
+    recall = len(cand & exact) / len(exact)
+    assert recall >= 0.90, f"portable LSH recall {recall:.3f} below floor"
+
+
+def test_portable_simhash_deterministic_and_16bit(documents):
+    s1 = {r.doc_id: r.simhash for r in simhash_signatures_portable(documents).collect()}
+    s2 = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures_portable(documents.repartition(7)).collect()
+    }
+    assert s1 == s2
+    assert len(s1) == documents.count()
+    assert all(0 <= v < 2**16 for v in s1.values())
+
+
+def test_portable_simhash_near_dups_collide(documents, spark):
+    """Exact duplicates must get identical signatures (the operator's
+    point): duplicate a doc under a new id and check the pair collides."""
+    dup = documents.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    both = documents.limit(1).select("doc_id", "text").unionByName(dup)
+    sigs = [r.simhash for r in simhash_signatures_portable(both).collect()]
+    assert len(sigs) == 2 and sigs[0] == sigs[1]
