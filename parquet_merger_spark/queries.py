@@ -8172,3 +8172,36 @@ ORACLE_SQL["dedup_minhash_lsh_portable"] = _minhash_portable_sql()
 ORACLE_SQL["dedup_simhash_portable"] = _simhash_portable_sql()
 QUERIES["dedup_minhash_lsh_portable"] = q_dedup_minhash_lsh_portable
 QUERIES["dedup_simhash_portable"] = q_dedup_simhash_portable
+
+
+def q_partition_pruned_scan(spark, sf_dir):
+    """Hive-partitioned sink + PRUNED re-scan — the core 100 TB layout
+    pattern: write events partitioned by event_type (one directory per
+    type), then aggregate ONE type; the re-scan's file listing must touch
+    only that partition (``PartitionFilters`` in the scan node — pinned
+    by ``tests/test_portable.py::test_partition_pruned_scan_plan``).  At
+    scale this is the difference between scanning 100 TB and scanning
+    one partition's share; the filter never reaches row level at all."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = _scratch_dir(spark, "partition_pruned")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    r = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SQL["partition_pruned_scan"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+QUERIES["partition_pruned_scan"] = q_partition_pruned_scan

@@ -118,3 +118,31 @@ def test_portable_simhash_near_dups_collide(documents, spark):
     both = documents.limit(1).select("doc_id", "text").unionByName(dup)
     sigs = [r.simhash for r in simhash_signatures_portable(both).collect()]
     assert len(sigs) == 2 and sigs[0] == sigs[1]
+
+
+def test_new_r05b_operator_plans_pass_scale_review(spark):
+    """Scale review for the r05-continuation keys (not headline keys, so
+    the blanket headline review does not cover them).
+
+    - portable twins: nested-loop / single-partition nodes are the
+      vouched global-scalar family — the 1-row vocab-size broadcast and
+      assign_row_ids' quantile-boundary + count-table offset frames
+      (model-sized: <= n_buckets rows, never data) — and the candidate
+      join itself stays a bucket EQUI-join (no cartesian).
+    - orc_roundtrip: plain scan->sink->scan, no join at all.
+    - partition_pruned_scan: one aggregate exchange over one partition's
+      rows; the partition predicate prunes at directory level.
+    """
+    from parquet_merger_spark.plans.audit import assert_scalable
+    from parquet_merger_spark.queries import QUERIES
+
+    sf = SF_DIR
+    for name in ("dedup_minhash_lsh_portable", "dedup_simhash_portable"):
+        dig = assert_scalable(
+            QUERIES[name](spark, sf),
+            allow_nested_loop=True,
+            allow_single_partition=True,
+        )
+        assert dig["cartesian_products"] == 0
+    assert_scalable(QUERIES["orc_roundtrip"](spark, sf))
+    assert_scalable(QUERIES["partition_pruned_scan"](spark, sf))

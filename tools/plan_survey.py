@@ -33,8 +33,15 @@ def main() -> None:
     spark = get_spark("pm-plan-survey", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # headline keys first (keeps r-over-r diffs aligned), then every
+    # remaining contract key — verification tier, stream twins, portable
+    # oracles — so "zero cartesians" is a statement about the WHOLE
+    # contract, not just the benched subset
+    names = list(bench.HEADLINE) + [
+        k for k in sorted(QUERIES) if k not in set(bench.HEADLINE)
+    ]
     out: dict[str, dict] = {}
-    for name in bench.HEADLINE:
+    for name in names:
         spark.catalog.clearCache()
         try:
             df = QUERIES[name](spark, SF_DIR)
