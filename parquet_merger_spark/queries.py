@@ -8205,3 +8205,110 @@ ORACLE_SQL["partition_pruned_scan"] = """
     GROUP BY 1
 """
 QUERIES["partition_pruned_scan"] = q_partition_pruned_scan
+
+
+def q_kmv_distinct_rollup(spark, sf_dir):
+    """Portable mergeable distinct-count sketch (KMV bottom-k, k=64) —
+    the oracle-certified sibling of ``sketch_stats``' engine-specific
+    HLL: per-day sketches of distinct users, day estimates, and an ALL
+    row whose estimate comes from MERGING the day sketches (k smallest
+    of the union — lossless, equal to sketching the whole period
+    directly; pinned in ``tests/test_sketches.py``).  Every step is
+    exact integer arithmetic (portable hash, bottom-k, (k-1)*p div h_k),
+    so DuckDB reproduces the estimates bit-for-bit.  n_exact rides along
+    per scope: the artifact records estimate AND truth side by side.
+
+    Scale: sketch build = one (day, hash) distinct + skew-safe two-phase
+    bottom-k; the merge moves k longs per day, never data — the pattern
+    that answers rollup cardinalities at 100 TB without rescanning."""
+    from parquet_merger_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+        "user_id",
+    )
+    sk = kmv_sketch(e, ["day_epoch"], "user_id", k=k)
+    day_est = kmv_estimate(sk, ["day_epoch"], k=k)
+    day_exact = e.distinct().groupBy("day_epoch").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    days = day_exact.join(day_est, "day_epoch").select(
+        F.col("day_epoch").alias("scope"), "n_exact", "n_est"
+    )
+    merged = kmv_merge(
+        sk.select(F.lit(-1).cast("long").alias("scope"), "rank", "h"),
+        ["scope"],
+        k=k,
+    )
+    all_est = kmv_estimate(merged, ["scope"], k=k)
+    all_exact = e.select("user_id").distinct().agg(
+        F.lit(-1).cast("long").alias("scope"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    all_row = all_exact.join(all_est, "scope").select("scope", "n_exact", "n_est")
+    return days.unionByName(all_row)
+
+
+def _kmv_sql() -> str:
+    from parquet_merger_spark.operators.dedup import PORTABLE_HASH_AC, PORTABLE_MOD
+
+    a0, c0 = PORTABLE_HASH_AC[0]
+    p, k = PORTABLE_MOD, 64
+    return f"""
+        WITH e AS (
+          SELECT CAST(FLOOR(epoch(date_trunc('day', CAST(ts AS TIMESTAMP))))
+                   AS BIGINT) AS day_epoch,
+                 user_id
+          FROM events
+        ),
+        h AS (
+          SELECT DISTINCT day_epoch,
+                 (({a0} * (user_id % {p}) + {c0}) % {p}) AS h
+          FROM e
+        ),
+        rk AS (
+          SELECT day_epoch, h,
+                 row_number() OVER (PARTITION BY day_epoch ORDER BY h) AS rank
+          FROM h
+        ),
+        sk AS (SELECT * FROM rk WHERE rank <= {k}),
+        day_est AS (
+          SELECT day_epoch,
+                 CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT)
+                      ELSE ({k - 1} * CAST({p} AS BIGINT))
+                           // max(CASE WHEN rank = {k} THEN h END)
+                 END AS n_est
+          FROM sk GROUP BY 1
+        ),
+        day_exact AS (
+          SELECT day_epoch, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+          FROM e GROUP BY 1
+        ),
+        allh AS (SELECT DISTINCT h FROM sk),
+        allrk AS (
+          SELECT h, row_number() OVER (ORDER BY h) AS rank FROM allh
+        ),
+        allsk AS (SELECT * FROM allrk WHERE rank <= {k}),
+        all_est AS (
+          SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT)
+                      ELSE ({k - 1} * CAST({p} AS BIGINT))
+                           // max(CASE WHEN rank = {k} THEN h END)
+                 END AS n_est
+          FROM allsk
+        )
+        SELECT day_epoch AS scope, n_exact, n_est
+        FROM day_exact JOIN day_est USING (day_epoch)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS scope,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e) AS n_exact,
+               (SELECT n_est FROM all_est) AS n_est
+    """
+
+
+ORACLE_SQL["kmv_distinct_rollup"] = _kmv_sql()
+QUERIES["kmv_distinct_rollup"] = q_kmv_distinct_rollup

@@ -1,0 +1,85 @@
+"""KMV (bottom-k) portable distinct sketch: lossless merge, accuracy
+bound, exact-below-k behavior, determinism.  Oracle equality for the
+``kmv_distinct_rollup`` key is covered by test_oracle.py."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_merger_spark.operators.sketches import (  # noqa: E402
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+K = 64
+
+
+@pytest.fixture(scope="module")
+def events_days(spark):
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if dict(e.dtypes)["ts"] == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    return e.select(
+        F.date_trunc("day", ts).cast("long").alias("day_epoch"), "user_id"
+    )
+
+
+def test_kmv_merge_is_lossless(events_days):
+    """k smallest of the union of per-day bottom-k sets == bottom-k of
+    the whole period computed directly — the property that makes
+    per-partition sketches answer any coarser rollup exactly."""
+    day_sk = kmv_sketch(events_days, ["day_epoch"], "user_id", k=K)
+    merged = kmv_merge(
+        day_sk.select(F.lit(0).alias("g"), "rank", "h"), ["g"], k=K
+    )
+    direct = kmv_sketch(
+        events_days.select(F.lit(0).alias("g"), "user_id"), ["g"], "user_id", k=K
+    )
+    assert {(r.rank, r.h) for r in merged.collect()} == {
+        (r.rank, r.h) for r in direct.collect()
+    }
+
+
+def test_kmv_estimate_within_error_bound(events_days):
+    """Bottom-k std error ~ 1/sqrt(k) = 12.5% at k=64; assert a generous
+    3-sigma-ish 35% band per day against the exact distinct counts."""
+    sk = kmv_sketch(events_days, ["day_epoch"], "user_id", k=K)
+    est = {r.day_epoch: r.n_est for r in kmv_estimate(sk, ["day_epoch"], k=K).collect()}
+    exact = {
+        r.day_epoch: r.n
+        for r in events_days.distinct()
+        .groupBy("day_epoch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n <= 0.35, (day, est[day], n)
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct ids reports the EXACT count
+    (its sketch holds every hash)."""
+    small = spark.range(0, 10).select(
+        F.lit(1).alias("g"), (F.col("id") % 7).alias("uid")
+    )
+    sk = kmv_sketch(small, ["g"], "uid", k=K)
+    [row] = kmv_estimate(sk, ["g"], k=K).collect()
+    assert row.n_est == 7
+
+
+def test_kmv_deterministic_under_repartition(events_days):
+    a = kmv_sketch(events_days, ["day_epoch"], "user_id", k=K)
+    b = kmv_sketch(events_days.repartition(17), ["day_epoch"], "user_id", k=K)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
