@@ -1211,3 +1211,69 @@ def load_pq_index(spark, path: str) -> tuple[list[list[list[int]]], DataFrame]:
         for sub_book in row["__books"]
     ]
     return books, spark.read.parquet(f"{path}/codes")
+
+
+def kmeans_lloyd_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """(id, cid, dist): assignments after ``iters`` UNROLLED Lloyd
+    iterations of a fully cross-engine k-means — the oracle-certified
+    twin of the production integer-Lloyd trainer (whose driver-side
+    sampling and numpy kernels are rows-only in the contract).
+
+    Everything is exact integer / exactly-rounded arithmetic any engine
+    reproduces: vectors on the 1/QUANT_SCALE grid (established portable
+    quantizer), seeds = the quantized vectors with ``id < k`` (cid = seed
+    id), distance = integer squared L2 (<= 64 * (2e4)^2 ~ 2^35, exact),
+    argmin ties broken by smallest cid (struct-min), and centroid update
+    ``floor(sum/n)`` per dimension — floor of a correctly-rounded double
+    quotient, exact here because quotients with denominator <= corpus
+    size cannot round across an integer boundary.  Fixed iteration count
+    = fixed SQL: the DuckDB oracle unrolls the same ``iters`` stages.
+
+    Scale: per iteration one broadcast of k centroids against the corpus
+    (candidate frame O(n*k) rows), one (cid, dim) aggregation —
+    verification-tier at 100 TB (run on samples), where the production
+    trainer's sample-bounded driver loop remains the headline path."""
+    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    cent = q.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("q").alias("cvec")
+    )
+    dist_expr = F.aggregate(
+        F.zip_with("q", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = None
+    for _ in range(iters):
+        cand = q.crossJoin(F.broadcast(cent)).withColumn("dist", dist_expr)
+        assign = cand.groupBy("id").agg(
+            F.min(F.struct("dist", "cid")).alias("best")
+        ).select("id", F.col("best.cid").alias("cid"), F.col("best.dist").alias("dist"))
+        dims = (
+            assign.join(q, "id")
+            .select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("cval"))
+        )
+        cent = dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+    # final assignment against the last centroids (iters updates, then score)
+    cand = q.crossJoin(F.broadcast(cent)).withColumn("dist", dist_expr)
+    return (
+        cand.groupBy("id")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist").alias("dist"),
+        )
+    )

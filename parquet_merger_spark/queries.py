@@ -8312,3 +8312,76 @@ def _kmv_sql() -> str:
 
 ORACLE_SQL["kmv_distinct_rollup"] = _kmv_sql()
 QUERIES["kmv_distinct_rollup"] = q_kmv_distinct_rollup
+
+
+def q_kmeans_portable_assign(spark, sf_dir):
+    """Cross-engine k-means (k=8, two unrolled Lloyd iterations) over the
+    quantized embeddings — the oracle-certified twin of the production
+    integer-Lloyd trainer behind ``embed_kmeans``/IVF/PQ (rows-only keys:
+    their driver-side sampling has no SQL twin).  Every step — grid
+    quantization, integer squared-L2, struct-min argmin with cid
+    tie-break, floor(sum/n) centroid update — is arithmetic DuckDB
+    reproduces bit-for-bit, so the ASSIGNMENTS and DISTANCES themselves
+    hash-match, not just row counts.  Verification tier at 100 TB."""
+    from parquet_merger_spark.operators.simsearch import kmeans_lloyd_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_portable(e, "vec_id", "embedding", k=8, iters=2)
+
+
+def _kmeans_portable_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    from parquet_merger_spark.operators.simsearch import QUANT_SCALE
+
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (v.q[i] - c.cvec[i]) * (v.q[i] - c.cvec[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}, 0) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        c0 AS (SELECT id AS cid, q AS cvec FROM v WHERE id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""d{t} AS (
+          SELECT v.id, c.cid, {dist} AS dist
+          FROM v CROSS JOIN c{t - 1} c
+        ),
+        a{t} AS (
+          SELECT id, cid FROM (
+            SELECT id, cid,
+                   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+            FROM d{t}
+          ) WHERE rn = 1
+        ),
+        m{t} AS (
+          SELECT a.cid, gs.i AS pos,
+                 CAST(floor(sum(v.q[gs.i]) / count(*)) AS BIGINT) AS cval
+          FROM a{t} a JOIN v USING (id) CROSS JOIN range(1, {dims + 1}) gs(i)
+          GROUP BY 1, 2
+        ),
+        c{t} AS (
+          SELECT cid, list(cval ORDER BY pos) AS cvec FROM m{t} GROUP BY cid
+        )""")
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        df AS (
+          SELECT v.id, c.cid, {dist} AS dist
+          FROM v CROSS JOIN c{iters} c
+        )
+        SELECT id AS vec_id, cid, dist FROM (
+          SELECT id, cid, dist,
+                 row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+          FROM df
+        ) WHERE rn = 1
+    """
+    )
+
+
+ORACLE_SQL["kmeans_portable_assign"] = _kmeans_portable_sql()
+QUERIES["kmeans_portable_assign"] = q_kmeans_portable_assign

@@ -146,3 +146,20 @@ def test_new_r05b_operator_plans_pass_scale_review(spark):
         assert dig["cartesian_products"] == 0
     assert_scalable(QUERIES["orc_roundtrip"](spark, sf))
     assert_scalable(QUERIES["partition_pruned_scan"](spark, sf))
+
+
+def test_portable_kmeans_deterministic_and_converging(spark):
+    """Lloyd must be partition-invariant (pure integer/exactly-rounded
+    arithmetic — no RNG, no FP accumulation order) and its total inertia
+    must be non-increasing with more iterations (the Lloyd guarantee;
+    a violation would mean the update step is not the true mean)."""
+    from parquet_merger_spark.operators.simsearch import kmeans_lloyd_portable
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    a2 = kmeans_lloyd_portable(e, k=8, iters=2).collect()
+    b2 = kmeans_lloyd_portable(e.repartition(11), k=8, iters=2).collect()
+    assert {tuple(r) for r in a2} == {tuple(r) for r in b2}
+    inertia1 = sum(r.dist for r in kmeans_lloyd_portable(e, k=8, iters=1).collect())
+    inertia2 = sum(r.dist for r in a2)
+    assert inertia2 <= inertia1
+    assert len({r.cid for r in a2}) == 8
