@@ -1277,3 +1277,108 @@ def kmeans_lloyd_portable(
             F.col("best.dist").alias("dist"),
         )
     )
+
+
+def _portable_centroids(df, id_col, vec_col, k, iters):
+    """(q, cent): the quantized corpus and the centroids after ``iters``
+    portable Lloyd updates — shared by the kmeans twin and the portable
+    IVF probe below (same arithmetic as :func:`kmeans_lloyd_portable`)."""
+    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    cent = q.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("q").alias("cvec")
+    )
+    dist_expr = F.aggregate(
+        F.zip_with("q", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(iters):
+        cand = q.crossJoin(F.broadcast(cent)).withColumn("dist", dist_expr)
+        assign = (
+            cand.groupBy("id")
+            .agg(F.min(F.struct("dist", "cid")).alias("best"))
+            .select("id", F.col("best.cid").alias("cid"))
+        )
+        dims = (
+            assign.join(q, "id")
+            .select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("cval"))
+        )
+        cent = dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cvec")
+        )
+    return q, cent, dist_expr
+
+
+def ivf_topk_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """(query_id, rank, vec_id, score): IVF approximate top-k with a full
+    cross-engine oracle — the certification twin of the production
+    :func:`ivf_topk` (rows-only: its trainer is driver-side sampled).
+
+    The whole probe algebra is portable arithmetic: coarse quantizer =
+    the portable Lloyd centroids, corpus inverted lists = argmin
+    assignment (cid tie-break), each query probes its ``nprobe`` nearest
+    centroids, candidates score by EXACT integer dot product on the
+    quantized grid (<= 64 * 1e8 per dim-sum, int64-exact), and the
+    per-query top-``topk`` orders by (score desc, vec_id) — fully
+    deterministic, so DuckDB reproduces ranks, ids, AND scores.
+
+    Scale shape is the production one: probe cost = corpus/k_clusters *
+    nprobe candidates per query, never the full corpus."""
+    q, cent, dist_expr = _portable_centroids(df, id_col, vec_col, k_clusters, iters)
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_expr)
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .select("id", F.col("best.cid").alias("cid"))
+    )
+    queries = q.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qq")
+    )
+    probes = (
+        queries.withColumnRenamed("qq", "q")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_expr)
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cid")
+            ),
+        )
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "cid")
+    )
+    corpus = q.join(assign, "id").select(
+        F.col("id").alias("vec_id"), "q", "cid"
+    )
+    score = F.aggregate(
+        F.zip_with("qq", "q", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probes.join(corpus, "cid")
+        .join(queries, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "score")
+    )

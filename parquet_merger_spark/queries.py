@@ -8329,7 +8329,10 @@ def q_kmeans_portable_assign(spark, sf_dir):
     return kmeans_lloyd_portable(e, "vec_id", "embedding", k=8, iters=2)
 
 
-def _kmeans_portable_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+def _kmeans_cte_parts(k: int = 8, iters: int = 2, dims: int = 64):
+    """Shared unrolled-Lloyd CTE text for the kmeans and IVF oracles:
+    returns (parts, dist_sql) — v/c0..c{iters} definitions and the
+    integer squared-L2 expression over aliases v/c."""
     from parquet_merger_spark.operators.simsearch import QUANT_SCALE
 
     dist = (
@@ -8366,6 +8369,11 @@ def _kmeans_portable_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
         c{t} AS (
           SELECT cid, list(cval ORDER BY pos) AS cvec FROM m{t} GROUP BY cid
         )""")
+    return parts, dist
+
+
+def _kmeans_portable_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    parts, dist = _kmeans_cte_parts(k, iters, dims)
     return (
         "\n        WITH "
         + ",\n        ".join(parts)
@@ -8385,3 +8393,74 @@ def _kmeans_portable_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
 
 ORACLE_SQL["kmeans_portable_assign"] = _kmeans_portable_sql()
 QUERIES["kmeans_portable_assign"] = q_kmeans_portable_assign
+
+
+def q_ivf_topk_portable(spark, sf_dir):
+    """Cross-engine IVF approximate top-k (8 portable-Lloyd centroids,
+    nprobe=2, exact integer dot scores, k=10 per query) — the
+    oracle-certified twin of the rows-only production ``simsearch_ivf``
+    family: ranks, neighbor ids AND scores hash-match DuckDB.
+    Verification tier; the production IVF stays the 100 TB probe path."""
+    from parquet_merger_spark.operators.simsearch import ivf_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_portable(e, "vec_id", "embedding")
+
+
+def _ivf_portable_sql(
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    n_queries: int = 5,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    parts, dist = _kmeans_cte_parts(k, iters, dims)
+    score = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (qv.qq[i] * cp.q[i]))) AS BIGINT)"
+    )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        assign AS (
+          SELECT id, cid FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {dist}, c.cid)
+                     AS rn
+            FROM v CROSS JOIN c{iters} c
+          ) WHERE rn = 1
+        ),
+        qv AS (SELECT id AS query_id, q AS qq FROM v WHERE id < {n_queries}),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT qv.query_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY qv.query_id
+                     ORDER BY CAST(list_sum(list_transform(range(1, {dims + 1}),
+                       i -> (qv.qq[i] - c.cvec[i]) * (qv.qq[i] - c.cvec[i])))
+                       AS BIGINT), c.cid) AS prank
+            FROM qv CROSS JOIN c{iters} c
+          ) WHERE prank <= {nprobe}
+        ),
+        cp AS (SELECT a.id AS vec_id, v.q, a.cid FROM assign a JOIN v ON a.id = v.id),
+        cand AS (
+          SELECT qv.query_id, cp.vec_id, {score} AS score
+          FROM probes p
+          JOIN cp ON p.cid = cp.cid
+          JOIN qv ON qv.query_id = p.query_id
+          WHERE cp.vec_id <> qv.query_id
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score FROM (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM cand
+        ) WHERE rank <= {topk}
+    """
+    )
+
+
+ORACLE_SQL["ivf_topk_portable"] = _ivf_portable_sql()
+QUERIES["ivf_topk_portable"] = q_ivf_topk_portable

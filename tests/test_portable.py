@@ -163,3 +163,52 @@ def test_portable_kmeans_deterministic_and_converging(spark):
     inertia2 = sum(r.dist for r in a2)
     assert inertia2 <= inertia1
     assert len({r.cid for r in a2}) == 8
+
+
+def test_portable_ivf_exact_when_probing_all_buckets(spark):
+    """nprobe = n_clusters degrades IVF to exact search: results must
+    equal an independent numpy top-k on the same quantized grid — the
+    strongest identity available for an ANN operator."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.simsearch import (
+        QUANT_SCALE,
+        ivf_topk_portable,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.score)
+        for r in ivf_topk_portable(e, nprobe=8).collect()
+    }
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    q = np.rint(np.array([r.embedding for r in rows], dtype=np.float64) * QUANT_SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+    for qi in range(5):
+        scores = q @ q[qi]
+        cand = [(int(-scores[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qi]
+        cand.sort()
+        for rank in range(1, 11):
+            neg_s, vid = cand[rank - 1]
+            assert got[(qi, rank)] == (vid, -neg_s), (qi, rank)
+
+
+def test_portable_ivf_recall_and_determinism(spark):
+    from parquet_merger_spark.operators.simsearch import ivf_topk_portable
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    exact = {
+        (r.query_id, r.vec_id) for r in ivf_topk_portable(e, nprobe=8).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id) for r in ivf_topk_portable(e, nprobe=2).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.60, f"portable IVF recall {recall:.2f} below floor"
+    again = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_portable(e.repartition(9), nprobe=2).collect()
+    }
+    assert approx == again
