@@ -1279,11 +1279,11 @@ def kmeans_lloyd_portable(
     )
 
 
-def _portable_centroids(df, id_col, vec_col, k, iters):
-    """(q, cent): the quantized corpus and the centroids after ``iters``
-    portable Lloyd updates — shared by the kmeans twin and the portable
-    IVF probe below (same arithmetic as :func:`kmeans_lloyd_portable`)."""
-    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+def _lloyd_centroids(q, k, iters):
+    """Portable Lloyd over an already-quantized (id, q) frame -> the
+    (cid, cvec) centroid frame after ``iters`` updates plus the shared
+    squared-L2 expression — the core reused by the kmeans, IVF, and PQ
+    twins (PQ runs it once per subspace slice)."""
     cent = q.filter(F.col("id") < k).select(
         F.col("id").alias("cid"), F.col("q").alias("cvec")
     )
@@ -1311,6 +1311,13 @@ def _portable_centroids(df, id_col, vec_col, k, iters):
                 lambda s: s["cval"],
             ).alias("cvec")
         )
+    return cent, dist_expr
+
+
+def _portable_centroids(df, id_col, vec_col, k, iters):
+    """(q, cent, dist): quantized corpus + portable Lloyd centroids."""
+    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    cent, dist_expr = _lloyd_centroids(q, k, iters)
     return q, cent, dist_expr
 
 
@@ -1381,4 +1388,91 @@ def ivf_topk_portable(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "vec_id", "score")
+    )
+
+
+def pq_topk_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    m_subs: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """(query_id, rank, vec_id, score): product-quantization top-k with a
+    full cross-engine oracle — the certification twin of the rows-only
+    production :func:`pq_topk` family.
+
+    The real ADC structure, every step portable: the 64-dim quantized
+    vector splits into ``m_subs`` subspaces; each subspace trains its own
+    portable-Lloyd codebook (``k_codes`` codes, seeds = sub-vectors of
+    ids < k) and encodes the corpus by argmin (cid tie-break); each query
+    precomputes a (subspace, code) -> integer-dot LOOKUP TABLE (the
+    classic asymmetric-distance trick: n_queries * m * k rows, model
+    tiny); a candidate's score is the SUM of its codes' LUT entries.
+    Ranks, ids and scores all hash-match the unrolled DuckDB oracle.
+
+    Scale shape is the production one: the corpus is touched only to
+    encode (m bytes per vector of code ids); scoring joins codes against
+    the broadcast LUT — no full-vector math per candidate at query time."""
+    dims = 64
+    dsub = dims // m_subs
+    qall = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    code_frames = []
+    lut_frames = []
+    queries = qall.filter(F.col("id") < n_queries)
+    for s in range(m_subs):
+        qs = qall.select("id", F.slice("q", s * dsub + 1, dsub).alias("q"))
+        cent_s, dist_expr = _lloyd_centroids(qs, k_codes, iters)
+        code_frames.append(
+            qs.crossJoin(F.broadcast(cent_s))
+            .withColumn("dist", dist_expr)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "cid")).alias("b"))
+            .select(
+                "id", F.lit(s).alias("sub"), F.col("b.cid").alias("code")
+            )
+        )
+        dot = F.aggregate(
+            F.zip_with("q", "cvec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        lut_frames.append(
+            queries.select(
+                F.col("id").alias("query_id"),
+                F.slice("q", s * dsub + 1, dsub).alias("q"),
+            )
+            .crossJoin(F.broadcast(cent_s))
+            .select(
+                "query_id",
+                F.lit(s).alias("sub"),
+                F.col("cid").alias("code"),
+                dot.alias("part"),
+            )
+        )
+    codes = code_frames[0]
+    for f in code_frames[1:]:
+        codes = codes.unionByName(f)
+    lut = lut_frames[0]
+    for f in lut_frames[1:]:
+        lut = lut.unionByName(f)
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("part").alias("score"), F.count(F.lit(1)).alias("__m"))
+        # a (query, vec) pair scores only if ALL m subspace parts joined
+        # (they always do — every vec has m codes, every (sub, code) has
+        # a LUT row — but the guard makes partial-join bugs loud)
+        .filter(F.col("__m") == m_subs)
+        .drop("__m")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", F.col("id").alias("vec_id"), "score")
     )

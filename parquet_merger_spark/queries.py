@@ -8464,3 +8464,113 @@ def _ivf_portable_sql(
 
 ORACLE_SQL["ivf_topk_portable"] = _ivf_portable_sql()
 QUERIES["ivf_topk_portable"] = q_ivf_topk_portable
+
+
+def q_pq_topk_portable(spark, sf_dir):
+    """Cross-engine product-quantization top-k (4 subspaces x 8 codes,
+    per-query ADC lookup tables, exact integer parts) — the
+    oracle-certified twin of the rows-only production ``simsearch_pq``
+    family: ranks, ids AND scores hash-match DuckDB.  With the kmeans
+    and IVF twins this completes the ANN family's algebra certification.
+    Verification tier at 100 TB."""
+    from parquet_merger_spark.operators.simsearch import pq_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk_portable(e, "vec_id", "embedding")
+
+
+def _pq_portable_sql(
+    m_subs: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    n_queries: int = 5,
+    topk: int = 10,
+) -> str:
+    from parquet_merger_spark.operators.simsearch import QUANT_SCALE
+
+    dsub = dims // m_subs
+    sq_dist = (
+        f"CAST(list_sum(list_transform(range(1, {dsub + 1}), "
+        "i -> (v.q[i] - c.cvec[i]) * (v.q[i] - c.cvec[i]))) AS BIGINT)"
+    )
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {dsub + 1}), "
+        "i -> (v.q[i] * c.cvec[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}, 0) AS BIGINT)) AS q
+          FROM embeddings
+        )"""
+    ]
+    for s in range(m_subs):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"vs{s} AS (SELECT id, q[{lo}:{hi}] AS q FROM v),\n"
+            f"        cs{s}_0 AS (SELECT id AS cid, q AS cvec FROM vs{s} WHERE id < {k_codes})"
+        )
+        for t in range(1, iters + 1):
+            parts.append(f"""as{s}_{t} AS (
+          SELECT id, cid FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {sq_dist}, c.cid) AS rn
+            FROM vs{s} v CROSS JOIN cs{s}_{t - 1} c
+          ) WHERE rn = 1
+        ),
+        ms{s}_{t} AS (
+          SELECT a.cid, gs.i AS pos,
+                 CAST(floor(sum(v.q[gs.i]) / count(*)) AS BIGINT) AS cval
+          FROM as{s}_{t} a JOIN vs{s} v USING (id)
+          CROSS JOIN range(1, {dsub + 1}) gs(i)
+          GROUP BY 1, 2
+        ),
+        cs{s}_{t} AS (
+          SELECT cid, list(cval ORDER BY pos) AS cvec FROM ms{s}_{t} GROUP BY cid
+        )""")
+        parts.append(f"""code{s} AS (
+          SELECT id, {s} AS sub, cid AS code FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {sq_dist}, c.cid) AS rn
+            FROM vs{s} v CROSS JOIN cs{s}_{iters} c
+          ) WHERE rn = 1
+        ),
+        lut{s} AS (
+          SELECT v.id AS query_id, {s} AS sub, c.cid AS code, {dot} AS part
+          FROM (SELECT id, q FROM vs{s} WHERE id < {n_queries}) v
+          CROSS JOIN cs{s}_{iters} c
+        )""")
+    codes_u = "\n          UNION ALL ".join(f"SELECT * FROM code{s}" for s in range(m_subs))
+    lut_u = "\n          UNION ALL ".join(f"SELECT * FROM lut{s}" for s in range(m_subs))
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        codes AS (
+          {codes_u}
+        ),
+        lut AS (
+          {lut_u}
+        ),
+        scored AS (
+          SELECT l.query_id, cd.id, CAST(sum(l.part) AS BIGINT) AS score
+          FROM codes cd
+          JOIN lut l ON l.sub = cd.sub AND l.code = cd.code
+          WHERE cd.id <> l.query_id
+          GROUP BY 1, 2
+          HAVING count(*) = {m_subs}
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS vec_id, score FROM (
+          SELECT query_id, id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, id) AS rank
+          FROM scored
+        ) WHERE rank <= {topk}
+    """
+    )
+
+
+ORACLE_SQL["pq_topk_portable"] = _pq_portable_sql()
+QUERIES["pq_topk_portable"] = q_pq_topk_portable

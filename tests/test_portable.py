@@ -212,3 +212,50 @@ def test_portable_ivf_recall_and_determinism(spark):
         for r in ivf_topk_portable(e.repartition(9), nprobe=2).collect()
     }
     assert approx == again
+
+
+def test_portable_pq_structure_recall_and_determinism(spark):
+    """The PQ twin certifies the ADC *algebra* (codebook train -> encode
+    -> LUT -> summed-parts ranking), not retrieval quality: with only
+    4 subspaces x 8 codes on 64-dim near-random embeddings the quantizer
+    is deliberately lossy (oracle tractability), so the recall floor is
+    a chance-baseline bound (top-10 of 499 by chance ~= 0.02), while the
+    structural and determinism properties are exact."""
+    from parquet_merger_spark.operators.simsearch import (
+        ivf_topk_portable,
+        pq_topk_portable,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    rows = pq_topk_portable(e).collect()
+    # 5 queries x dense ranks 1..10, never the query itself
+    assert {(r.query_id, r.rank) for r in rows} == {
+        (q, k) for q in range(5) for k in range(1, 11)
+    }
+    assert all(r.vec_id != r.query_id for r in rows)
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    exact = {
+        (r.query_id, r.vec_id) for r in ivf_topk_portable(e, nprobe=8).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.10, f"portable PQ recall {recall:.2f} at chance level"
+    again = {
+        (r.query_id, r.vec_id) for r in pq_topk_portable(e.repartition(9)).collect()
+    }
+    assert approx == again
+
+
+def test_portable_pq_plan_passes_scale_review(spark):
+    """Every crossJoin in the PQ twin is against a broadcast model-sized
+    frame (8-row codebooks, 5-row query set, m*k-row LUT); the corpus is
+    touched only to quantize and encode.  No cartesian product may
+    survive in the physical plan."""
+    from parquet_merger_spark.plans.audit import assert_scalable
+    from parquet_merger_spark.queries import QUERIES
+
+    dig = assert_scalable(
+        QUERIES["pq_topk_portable"](spark, SF_DIR),
+        allow_nested_loop=True,
+        allow_single_partition=True,
+    )
+    assert dig["cartesian_products"] == 0
