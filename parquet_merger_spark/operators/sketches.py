@@ -29,7 +29,7 @@ grains, exact only where the contract demands it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from parquet_merger_spark.operators.dedup import PORTABLE_HASH_AC, PORTABLE_MOD
@@ -106,3 +106,82 @@ def kmv_merge(
         k,
         salt_col=F.xxhash64("h"),
     ).select(*to_group_cols, "rank", "h")
+
+
+def vq_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    rate_den: int = 8,
+    which: int = 1,
+) -> DataFrame:
+    """(group_cols..., v, cnt): a portable mergeable QUANTILE sketch —
+    the value-count table of a deterministic hash sample.
+
+    Rows whose portable hash of ``id_col`` falls below ``p // rate_den``
+    (a ~1/rate_den uniform sample, row-local, no RNG) are counted per
+    (group, value).  Because the gate depends only on the row id, the
+    sample of a union IS the union of the samples, so sketches merge
+    LOSSLESSLY by summing counts (:func:`vq_merge` at a coarser grain
+    equals sketching that grain directly — pinned in tests), and the
+    whole structure is order- and partition-invariant: every engine that
+    reproduces the integer hash reproduces the sketch bit-for-bit.
+
+    Scale shape: one map-side-combinable groupBy on (group, value) over
+    the sampled subset; the sketch size is bounded by the sample's
+    distinct values, never the data.  ``rate_den`` trades accuracy
+    (rank error ~ 1/sqrt(sample rows per group)) for sketch cost —
+    at 100 TB you raise it; the estimator below is unchanged."""
+    thr = PORTABLE_MOD // rate_den
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(portable_hash64(F.col(id_col), which) < thr)
+        .groupBy(*group_cols, F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def vq_merge(sketch: DataFrame, to_group_cols: list[str]) -> DataFrame:
+    """Re-aggregate value-count sketches to a coarser grain (day ->
+    month, source -> corpus): counts ADD, losslessly — the merged table
+    equals :func:`vq_sketch` run directly at the coarse grain."""
+    return sketch.groupBy(*to_group_cols, "v").agg(F.sum("cnt").alias("cnt"))
+
+
+def vq_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[tuple[str, int, int]],
+) -> DataFrame:
+    """(group_cols..., q_label, n, v): lower order statistics of the
+    sketched sample.  For each quantile ``(label, num, den)`` the target
+    rank is ``(n - 1) * num div den + 1`` (exact integers — no float
+    probabilities, so every engine selects the same rank) and the
+    emitted ``v`` is the unique sketch value whose cumulative count
+    interval covers it.  The per-group cumulative window runs over the
+    COUNT TABLE (distinct sampled values), never rows — the
+    length_trim_corpus idiom, no single-task data sort at any grain."""
+    w = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w))
+    totals = sketch.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    cum = cum.join(totals, group_cols)
+    frames = []
+    for label, num, den in qs:
+        rank = F.expr(f"((n - 1) * {num}) div {den} + 1")
+        frames.append(
+            cum.filter(
+                (F.col("cum") - F.col("cnt") < rank) & (rank <= F.col("cum"))
+            ).select(
+                *group_cols,
+                F.lit(label).alias("q_label"),
+                F.col("n").cast("long").alias("n"),
+                "v",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -8574,3 +8574,114 @@ def _pq_portable_sql(
 
 ORACLE_SQL["pq_topk_portable"] = _pq_portable_sql()
 QUERIES["pq_topk_portable"] = q_pq_topk_portable
+
+
+def q_quantile_sketch_rollup(spark, sf_dir):
+    """Portable mergeable QUANTILE sketch with lossless rollup — the
+    order-statistics sibling of ``kmv_distinct_rollup``: per-event-type
+    sketches (value-count tables of a deterministic 1/8 hash sample of
+    event ids), p50/p95 estimates per type, and an ``__all__`` row whose
+    estimates come from MERGING the type sketches (counts add — lossless,
+    equal to sketching the whole table directly; pinned in
+    ``tests/test_sketches.py``).  Target ranks are exact integers
+    ``(n-1)*num div den + 1`` and the emitted value is selected from the
+    cumulative count table, so DuckDB reproduces every row bit-for-bit.
+    ``v_exact`` (the ungated order statistic, same selection rule) rides
+    along: the artifact records estimate AND truth side by side.
+
+    Scale: the sketch is one map-side-combinable (type, value) groupBy
+    over the sampled subset; quantile selection windows run over COUNT
+    TABLES (distinct sampled values), never rows — no single-task data
+    sort at any grain.  At 100 TB the exact tier is what you drop; the
+    sketch tier answers percentile dashboards at any rollup grain from
+    a few thousand (value, cnt) pairs per partition."""
+    from parquet_merger_spark.operators.sketches import (
+        vq_merge,
+        vq_quantiles,
+        vq_sketch,
+    )
+
+    qs = [("p50", 1, 2), ("p95", 19, 20)]
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("scope"), "event_id", "value"
+    )
+    sk = vq_sketch(e, ["scope"], "value", "event_id", rate_den=8)
+    sk_all = vq_merge(sk.withColumn("scope", F.lit("__all__")), ["scope"])
+    est = vq_quantiles(sk.unionByName(sk_all), ["scope"], qs)
+
+    full = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("scope", F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    full_all = vq_merge(full.withColumn("scope", F.lit("__all__")), ["scope"])
+    exact = vq_quantiles(full.unionByName(full_all), ["scope"], qs).select(
+        "scope", "q_label", F.col("v").alias("v_exact")
+    )
+    return est.join(exact, ["scope", "q_label"]).select(
+        "scope",
+        "q_label",
+        F.col("n").alias("n_sample"),
+        F.col("v").alias("v_est"),
+        "v_exact",
+    )
+
+
+def _vq_sql() -> str:
+    from parquet_merger_spark.operators.dedup import PORTABLE_HASH_AC, PORTABLE_MOD
+
+    a1, c1 = PORTABLE_HASH_AC[1]
+    p = PORTABLE_MOD
+    thr = p // 8
+    sel = "cum - cnt < ((n - 1) * num) // den + 1 AND ((n - 1) * num) // den + 1 <= cum"
+    return f"""
+        WITH e AS (
+          SELECT event_type AS scope, event_id, value AS v
+          FROM events WHERE value IS NOT NULL
+        ),
+        samp AS (
+          SELECT scope, v, count(*) AS cnt FROM e
+          WHERE (({a1} * (event_id % {p}) + {c1}) % {p}) < {thr}
+          GROUP BY 1, 2
+        ),
+        samp2 AS (
+          SELECT * FROM samp
+          UNION ALL
+          SELECT '__all__' AS scope, v, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM samp GROUP BY 2
+        ),
+        sc AS (
+          SELECT scope, v, cnt,
+                 sum(cnt) OVER (PARTITION BY scope ORDER BY v) AS cum,
+                 sum(cnt) OVER (PARTITION BY scope) AS n
+          FROM samp2
+        ),
+        ql(q_label, num, den) AS (VALUES ('p50', 1, 2), ('p95', 19, 20)),
+        est AS (
+          SELECT scope, q_label, CAST(n AS BIGINT) AS n_sample, v AS v_est
+          FROM sc CROSS JOIN ql WHERE {sel}
+        ),
+        full_t AS (SELECT scope, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+        full2 AS (
+          SELECT * FROM full_t
+          UNION ALL
+          SELECT '__all__' AS scope, v, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM full_t GROUP BY 2
+        ),
+        fc AS (
+          SELECT scope, v, cnt,
+                 sum(cnt) OVER (PARTITION BY scope ORDER BY v) AS cum,
+                 sum(cnt) OVER (PARTITION BY scope) AS n
+          FROM full2
+        ),
+        ex AS (
+          SELECT scope, q_label, v AS v_exact
+          FROM fc CROSS JOIN ql WHERE {sel}
+        )
+        SELECT est.scope, est.q_label, est.n_sample, est.v_est, ex.v_exact
+        FROM est JOIN ex ON est.scope = ex.scope AND est.q_label = ex.q_label
+    """
+
+
+ORACLE_SQL["quantile_sketch_rollup"] = _vq_sql()
+QUERIES["quantile_sketch_rollup"] = q_quantile_sketch_rollup

@@ -83,3 +83,83 @@ def test_kmv_deterministic_under_repartition(events_days):
     a = kmv_sketch(events_days, ["day_epoch"], "user_id", k=K)
     b = kmv_sketch(events_days.repartition(17), ["day_epoch"], "user_id", k=K)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+@pytest.fixture(scope="module")
+def events_typed(spark):
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    return e.select(
+        F.col("event_type").alias("scope"), "event_id", "value"
+    )
+
+
+def test_vq_merge_is_lossless(events_typed):
+    """Summed per-type value-count sketches == the sketch built directly
+    at the corpus grain — the hash gate is row-local and
+    group-independent, so sample-of-union == union-of-samples exactly."""
+    from parquet_merger_spark.operators.sketches import vq_merge, vq_sketch
+
+    fine = vq_sketch(events_typed, ["scope"], "value", "event_id")
+    merged = {
+        (r.v, r.cnt)
+        for r in vq_merge(
+            fine.withColumn("scope", F.lit("all")), ["scope"]
+        ).collect()
+    }
+    direct = {
+        (r.v, r.cnt)
+        for r in vq_sketch(
+            events_typed.withColumn("scope", F.lit("all")),
+            ["scope"], "value", "event_id",
+        ).collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
+def test_vq_quantiles_rank_error_bounded(events_typed):
+    """The sampled p50's TRUE percentile rank must sit within 0.10 of
+    0.50 (sample ~n/8, binomial rank error ~1/(2*sqrt(n/8)) << 0.10),
+    and the exact tier must return the true lower median exactly."""
+    from parquet_merger_spark.operators.sketches import vq_quantiles, vq_sketch
+
+    all_rows = events_typed.withColumn("scope", F.lit("all"))
+    sk = vq_sketch(all_rows, ["scope"], "value", "event_id")
+    est = {
+        r.q_label: r.v
+        for r in vq_quantiles(sk, ["scope"], [("p50", 1, 2), ("p95", 19, 20)]).collect()
+    }
+    values = sorted(r.value for r in events_typed.select("value").collect())
+    import bisect
+
+    for label, q in (("p50", 0.5), ("p95", 0.95)):
+        true_rank = bisect.bisect_right(values, est[label]) / len(values)
+        assert abs(true_rank - q) <= 0.10, (label, est[label], true_rank)
+
+    full = all_rows.groupBy("scope", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact_p50 = vq_quantiles(full, ["scope"], [("p50", 1, 2)]).collect()[0].v
+    assert exact_p50 == values[(len(values) - 1) // 2]
+
+
+def test_vq_deterministic_under_repartition(events_typed):
+    from parquet_merger_spark.operators.sketches import vq_quantiles, vq_sketch
+
+    qs = [("p50", 1, 2), ("p95", 19, 20)]
+    a = {
+        tuple(r)
+        for r in vq_quantiles(
+            vq_sketch(events_typed, ["scope"], "value", "event_id"),
+            ["scope"], qs,
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in vq_quantiles(
+            vq_sketch(
+                events_typed.repartition(13), ["scope"], "value", "event_id"
+            ),
+            ["scope"], qs,
+        ).collect()
+    }
+    assert a == b and len(a) == 10
