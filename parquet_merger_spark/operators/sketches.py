@@ -185,3 +185,94 @@ def vq_quantiles(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def cms_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    which_base: int = 2,
+) -> DataFrame:
+    """(group_cols..., i, slot, c): a portable count-min sketch per group
+    — the one-pass frequency structure :func:`q_heavy_hitters`'s
+    docstring promises as the streaming-scale tier of the exact
+    wordcount.  Row ``(i, slot)`` holds the summed multiplicity of every
+    key whose i-th portable hash lands in ``slot`` (``h_i(x) mod
+    width``); an item's frequency estimate is the MIN over its ``depth``
+    counters — an overestimate ONLY (collisions add, never subtract),
+    within ``total/width`` with probability ``1 - (1/e)^depth`` (Cormode
+    & Muthukrishnan 2005).
+
+    All integer arithmetic on the repo's portable hash family, so any
+    engine reproduces the counter matrix bit-for-bit, and the sketch is
+    order/partition-invariant by construction (addition commutes).
+    Scale shape: one explode(depth) + map-side-combinable groupBy; the
+    sketch is depth*width longs per group, never data-sized."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    portable_hash64(F.col(key_col), which_base + i),
+                    F.lit(width),
+                ).alias("slot"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(entries).alias("e"))
+        .select(*group_cols, "e.i", "e.slot")
+        .groupBy(*group_cols, "i", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(sketch: DataFrame, to_group_cols: list[str]) -> DataFrame:
+    """Re-aggregate count-min sketches to a coarser grain: counters ADD
+    elementwise, losslessly — ``CMS(A ∪ B) == CMS(A) + CMS(B)`` exactly,
+    so the merged matrix equals sketching the coarse grain directly
+    (pinned in tests).  The shuffle moves depth*width longs per fine
+    group, never the data."""
+    return sketch.groupBy(*to_group_cols, "i", "slot").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 256,
+    which_base: int = 2,
+) -> DataFrame:
+    """(key_col, n_est): count-min frequency estimates for each candidate
+    key against a single-group sketch (drop or fix the group columns
+    first).  min over the key's depth counters; a key whose slot has no
+    counter row estimates 0 (nothing ever hashed there).  The candidate
+    side is the small one (a broadcast-sized dictionary at any scale a
+    top-k contract needs), so the probe is a broadcast join, no
+    data-sized shuffle."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    portable_hash64(F.col(key_col), which_base + i),
+                    F.lit(width),
+                ).alias("slot"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = candidates.select(key_col, F.explode(entries).alias("e")).select(
+        key_col, "e.i", "e.slot"
+    )
+    return (
+        probes.join(sketch.select("i", "slot", "c"), ["i", "slot"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_est"))
+    )

@@ -8685,3 +8685,97 @@ def _vq_sql() -> str:
 
 ORACLE_SQL["quantile_sketch_rollup"] = _vq_sql()
 QUERIES["quantile_sketch_rollup"] = q_quantile_sketch_rollup
+
+
+def q_cms_freq_rollup(spark, sf_dir):
+    """Portable count-min frequency sketch with lossless rollup — the
+    one-pass tier ``heavy_hitters``'s docstring promises: per-day CMS
+    matrices (3 x 256 counters) of user event activity, merged to the
+    corpus grain by elementwise counter addition (CMS(A ∪ B) == CMS(A)
+    + CMS(B) exactly — the merged matrix equals sketching the whole
+    table directly, pinned in ``tests/test_sketches.py``), then min-of-
+    counters estimates for every distinct user with the exact count
+    riding along.  Overestimate-only by construction (est >= exact for
+    every row — also test-pinned).  All integer arithmetic on the
+    portable hash family, so DuckDB reproduces estimates bit-for-bit.
+
+    Scale: sketch build = explode(3) + map-side-combinable groupBy into
+    768 longs per day; the merge shuffles counters, never data; the
+    estimate probe is a broadcast-sized candidate join.  At 100 TB the
+    exact tier is what you drop — per-partition CMS answers frequency
+    queries at any rollup grain from a few KB per partition."""
+    from parquet_merger_spark.operators.sketches import (
+        cms_estimate,
+        cms_merge,
+        cms_sketch,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+        "user_id",
+    )
+    sk = cms_sketch(e, ["day_epoch"], "user_id")
+    merged = cms_merge(
+        sk.select(F.lit(0).alias("g"), "i", "slot", "c"), ["g"]
+    )
+    users = e.select("user_id").distinct()
+    est = cms_estimate(merged, users, "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_est").cast("long").alias("n_est"),
+    )
+
+
+def _cms_sql(depth: int = 3, width: int = 256, which_base: int = 2) -> str:
+    from parquet_merger_spark.operators.dedup import PORTABLE_HASH_AC, PORTABLE_MOD
+
+    p = PORTABLE_MOD
+    a_case = " ".join(
+        f"WHEN {i} THEN {PORTABLE_HASH_AC[which_base + i][0]}"
+        for i in range(depth)
+    )
+    c_case = " ".join(
+        f"WHEN {i} THEN {PORTABLE_HASH_AC[which_base + i][1]}"
+        for i in range(depth)
+    )
+    slot = (
+        f"(((CASE gs.i {a_case} END * (user_id % {p}) + "
+        f"CASE gs.i {c_case} END) % {p}) % {width})"
+    )
+    # the oracle sketches the corpus grain directly: lossless merge
+    # (counters add) makes that identical to Spark's merged day sketches
+    return f"""
+        WITH e AS (SELECT user_id FROM events),
+        probes AS (
+          SELECT user_id, gs.i, {slot} AS slot
+          FROM e CROSS JOIN range(0, {depth}) gs(i)
+        ),
+        counters AS (
+          SELECT i, slot, CAST(count(*) AS BIGINT) AS c
+          FROM probes GROUP BY 1, 2
+        ),
+        cand AS (SELECT DISTINCT user_id FROM e),
+        cprobes AS (
+          SELECT user_id, gs.i, {slot} AS slot
+          FROM cand CROSS JOIN range(0, {depth}) gs(i)
+        ),
+        est AS (
+          SELECT cp.user_id,
+                 CAST(min(coalesce(ct.c, 0)) AS BIGINT) AS n_est
+          FROM cprobes cp LEFT JOIN counters ct
+            ON ct.i = cp.i AND ct.slot = cp.slot
+          GROUP BY 1
+        ),
+        exact AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+          FROM e GROUP BY 1
+        )
+        SELECT exact.user_id, n_exact, n_est
+        FROM exact JOIN est ON exact.user_id = est.user_id
+    """
+
+
+ORACLE_SQL["cms_freq_rollup"] = _cms_sql()
+QUERIES["cms_freq_rollup"] = q_cms_freq_rollup

@@ -163,3 +163,77 @@ def test_vq_deterministic_under_repartition(events_typed):
         ).collect()
     }
     assert a == b and len(a) == 10
+
+
+@pytest.fixture(scope="module")
+def events_day_user(spark):
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ts = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if dict(e.dtypes)["ts"] == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    return e.select(
+        F.date_trunc("day", ts).cast("long").alias("day_epoch"), "user_id"
+    )
+
+
+def test_cms_merge_is_lossless(events_day_user):
+    """CMS(union of days) == elementwise sum of per-day CMS matrices —
+    counters add exactly, so merged-day and direct-global sketches are
+    the same matrix."""
+    from parquet_merger_spark.operators.sketches import cms_merge, cms_sketch
+
+    fine = cms_sketch(events_day_user, ["day_epoch"], "user_id")
+    merged = {
+        (r.i, r.slot, r.c)
+        for r in cms_merge(
+            fine.select(F.lit(0).alias("g"), "i", "slot", "c"), ["g"]
+        ).collect()
+    }
+    direct = {
+        (r.i, r.slot, r.c)
+        for r in cms_sketch(
+            events_day_user.withColumn("g", F.lit(0)), ["g"], "user_id"
+        ).collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
+def test_cms_estimates_overestimate_only_and_tight(events_day_user):
+    """est >= exact for EVERY key (collisions add, never subtract) and
+    the error obeys the count-min bound comfortably: at depth 3 /
+    width 256 over 10k events, max observed overestimate stays under
+    3 * total/width (deterministic at this fixture)."""
+    from parquet_merger_spark.operators.sketches import cms_estimate, cms_sketch
+
+    g = events_day_user.withColumn("g", F.lit(0))
+    sk = cms_sketch(g, ["g"], "user_id")
+    users = g.select("user_id").distinct()
+    est = {r.user_id: r.n_est for r in cms_estimate(sk, users, "user_id").collect()}
+    exact = {
+        r.user_id: r.n
+        for r in g.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(exact.values())
+    assert set(est) == set(exact)
+    assert all(est[u] >= exact[u] for u in exact)
+    assert max(est[u] - exact[u] for u in exact) <= 3 * total // 256
+    hit = sum(est[u] == exact[u] for u in exact) / len(exact)
+    assert hit >= 0.7, f"exact-hit rate {hit:.2f}"
+
+
+def test_cms_deterministic_under_repartition(events_day_user):
+    from parquet_merger_spark.operators.sketches import cms_sketch
+
+    a = {
+        tuple(r)
+        for r in cms_sketch(events_day_user, ["day_epoch"], "user_id").collect()
+    }
+    b = {
+        tuple(r)
+        for r in cms_sketch(
+            events_day_user.repartition(17), ["day_epoch"], "user_id"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
