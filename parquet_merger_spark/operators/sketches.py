@@ -187,6 +187,27 @@ def vq_quantiles(
     return out
 
 
+def cms_probe_entries(
+    key_col: str, depth: int = 3, width: int = 256, which_base: int = 2
+):
+    """array<struct<i,slot>> of a key's ``depth`` counter coordinates —
+    the shared probe expression behind sketch build, estimate, and the
+    streaming counter maintenance (one definition, bit-identical
+    everywhere)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(
+                    portable_hash64(F.col(key_col), which_base + i),
+                    F.lit(width),
+                ).alias("slot"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     group_cols: list[str],
@@ -210,18 +231,7 @@ def cms_sketch(
     order/partition-invariant by construction (addition commutes).
     Scale shape: one explode(depth) + map-side-combinable groupBy; the
     sketch is depth*width longs per group, never data-sized."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.pmod(
-                    portable_hash64(F.col(key_col), which_base + i),
-                    F.lit(width),
-                ).alias("slot"),
-            )
-            for i in range(depth)
-        ]
-    )
+    entries = cms_probe_entries(key_col, depth, width, which_base)
     return (
         df.select(*group_cols, F.explode(entries).alias("e"))
         .select(*group_cols, "e.i", "e.slot")
@@ -256,18 +266,7 @@ def cms_estimate(
     side is the small one (a broadcast-sized dictionary at any scale a
     top-k contract needs), so the probe is a broadcast join, no
     data-sized shuffle."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.pmod(
-                    portable_hash64(F.col(key_col), which_base + i),
-                    F.lit(width),
-                ).alias("slot"),
-            )
-            for i in range(depth)
-        ]
-    )
+    entries = cms_probe_entries(key_col, depth, width, which_base)
     probes = candidates.select(key_col, F.explode(entries).alias("e")).select(
         key_col, "e.i", "e.slot"
     )

@@ -8779,3 +8779,50 @@ def _cms_sql(depth: int = 3, width: int = 256, which_base: int = 2) -> str:
 
 ORACLE_SQL["cms_freq_rollup"] = _cms_sql()
 QUERIES["cms_freq_rollup"] = q_cms_freq_rollup
+
+
+def q_stream_cms_freq(spark, sf_dir):
+    """STREAMING count-min maintenance driven end-to-end: events replay
+    in three mtime-pinned micro-batches; the counter matrix is a
+    complete-mode streaming aggregation whose state is bounded at 3*256
+    rows BY CONSTRUCTION (the sketch bounds state, not a watermark);
+    after the drain, min-of-counters estimates for every user are
+    computed from the streamed matrix and certified by the BATCH twin's
+    oracle (``cms_freq_rollup``) — counters add, so stream == batch
+    bit-for-bit.  The 100 TB shape this certifies: per-micro-batch
+    map-side-combined deltas folding into a few-KB state store,
+    answering frequency queries continuously without ever holding
+    per-key state."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.operators.sketches import cms_estimate
+    from parquet_merger_spark.streaming.events import cms_freq_stream
+
+    base = _scratch_dir(spark, "stream_cms_freq")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select("event_id", "user_id")
+    slices = [
+        e.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    src = _write_replay_batches(base, slices)
+
+    name = f"scms_{uuid.uuid4().hex[:8]}"
+    q = cms_freq_stream(
+        spark, src, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_cms_freq")
+    counters = spark.table(name)
+    users = e.select("user_id").distinct()
+    est = cms_estimate(counters, users, "user_id")
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(est, "user_id").select(
+        "user_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_est").cast("long").alias("n_est"),
+    )
+
+
+ORACLE_SQL["stream_cms_freq"] = ORACLE_SQL["cms_freq_rollup"]
+QUERIES["stream_cms_freq"] = q_stream_cms_freq

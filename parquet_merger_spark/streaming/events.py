@@ -874,3 +874,50 @@ def read_near_dedup_survivors(spark: SparkSession, table_dir: str) -> DataFrame:
                 [], StructType.fromJson(json.loads(fh.read()))
             )
     return spark.createDataFrame([], StructType([]))
+
+
+def cms_freq_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    depth: int = 3,
+    width: int = 256,
+    query_name: str = "cms_counters",
+) -> StreamingQuery:
+    """Streaming count-min maintenance: the counter matrix is a plain
+    streaming aggregation over exploded (i, slot) probes, so Spark's
+    incremental state store IS the sketch — and, uniquely among
+    aggregations, its state is bounded at ``depth * width`` rows BY
+    CONSTRUCTION no matter how much data flows (no watermark needed;
+    ``complete`` mode re-emits the whole 768-row matrix per trigger,
+    which is exactly the mergeable-sketch contract: the sink always
+    holds CMS(everything so far)).  Each micro-batch folds in
+    map-side-combined per-batch deltas — counters add, so the streamed
+    matrix equals the batch sketch bit-for-bit
+    (:func:`~parquet_merger_spark.operators.sketches.cms_sketch`);
+    the ``stream_cms_freq`` key certifies that with the batch twin's
+    own DuckDB oracle."""
+    from parquet_merger_spark.operators.sketches import cms_probe_entries
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    counters = (
+        stream.select(
+            F.explode(cms_probe_entries(key_col, depth, width)).alias("e")
+        )
+        .select("e.i", "e.slot")
+        .groupBy("i", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counters.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -714,3 +714,43 @@ def test_windowed_stream_available_now_trigger(spark, event_files, tmp_path):
         spark.createDataFrame(real), window="1 hour"
     )
     assert _canon(got) == _canon(expected)
+
+
+def test_cms_stream_equals_batch_sketch(spark, event_files, tmp_path):
+    """The streamed counter matrix (3 micro-batches through a real
+    StreamingQuery, complete mode) must equal the one-shot batch sketch
+    bit-for-bit — counters add, so incremental maintenance is lossless.
+    Also pins the bounded-state claim: the sink never exceeds
+    depth * width rows."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.sketches import cms_sketch
+    from parquet_merger_spark.streaming.events import cms_freq_stream
+
+    events_dir, real = event_files
+    q = cms_freq_stream(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_cms"),
+        key_col="user_id",
+        query_name="cms_smoke",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.i, r.slot, r.c) for r in spark.table("cms_smoke").collect()}
+    full = pd.concat(
+        [real, pd.DataFrame([{"event_id": 999_999, "ts": SENTINEL_TS.tz_localize("UTC"),
+                              "user_id": 99, "event_type": "sentinel", "value": 0.0}])]
+    )
+    expected = {
+        (r.i, r.slot, r.c)
+        for r in cms_sketch(
+            spark.createDataFrame(full).withColumn("g", F.lit(0)),
+            ["g"], "user_id",
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    assert len(got) <= 3 * 256
