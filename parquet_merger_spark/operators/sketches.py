@@ -275,3 +275,93 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("n_est"))
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    which_base: int = 5,
+) -> DataFrame:
+    """1-row (words: array<long>) Bloom filter of ``key_col``'s value
+    set — the portable semi-join runtime filter: ``m_bits`` bits packed
+    into ``m_bits/64`` longs, each key setting ``k_hashes`` bits at
+    portable-hash positions.  NO FALSE NEGATIVES ever (a member's bits
+    are all set by construction), so pre-filtering a fact table with
+    :func:`bloom_filter_rows` before an exact join never changes the
+    join's result — the property that lets the ``bloom_prefilter_join``
+    key be certified by the PLAIN join's oracle.
+
+    Built fully in-plan (no driver collect): explode k positions per
+    key, bit_or per 64-bit word, densify against a ``range(m/64)``
+    frame, fold to one ordered array row.  Every frame after the first
+    groupBy is model-sized (<= m/64 rows).  At 100 TB this is the
+    shuffle killer for selective dim joins too big to broadcast whole:
+    the dim's KEY SET rides along as m/8 bytes (8 KB here) and
+    eliminates non-matching fact rows at the SCAN, before the
+    sort-merge join's exchange ever sees them."""
+    n_words = m_bits // 64
+    spark = df.sparkSession
+    entries = F.array(
+        *[
+            F.pmod(portable_hash64(F.col(key_col), which_base + i), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+    )
+    bits = (
+        df.select(F.explode(entries).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+    )
+    words = bits.groupBy("w").agg(F.bit_or("mask").alias("bits"))
+    dense = (
+        spark.range(n_words)
+        .join(words, F.col("id") == F.col("w"), "left")
+        .select("id", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("id", "bits"))),
+            lambda s: s["bits"],
+        ).alias("words")
+    )
+
+
+def bloom_filter_rows(
+    df: DataFrame,
+    words_col: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    which_base: int = 5,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key_col`` MAY be in the Bloom filter
+    carried in ``words_col`` (all ``k_hashes`` bits set) — row-local
+    integer tests, no shuffle; the arithmetic-shift sign extension is
+    masked off by the & 1.  Never drops a true member."""
+    out = df
+    conds = []
+    tmp = []
+    for i in range(k_hashes):
+        pcol = f"__bloom_pos{i}"
+        tmp.append(pcol)
+        out = out.withColumn(
+            pcol,
+            F.pmod(portable_hash64(F.col(key_col), which_base + i), F.lit(m_bits)),
+        )
+        conds.append(
+            F.expr(
+                f"(shiftright(element_at({words_col}, "
+                f"CAST({pcol} div 64 AS INT) + 1), "
+                f"CAST({pcol} % 64 AS INT)) & 1) = 1"
+            )
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return out.filter(cond).drop(*tmp)

@@ -8826,3 +8826,53 @@ def q_stream_cms_freq(spark, sf_dir):
 
 ORACLE_SQL["stream_cms_freq"] = ORACLE_SQL["cms_freq_rollup"]
 QUERIES["stream_cms_freq"] = q_stream_cms_freq
+
+
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Runtime Bloom-filter semi-join reduction — the shuffle killer for
+    selective dim joins too big to broadcast whole: the dim's key set
+    (153 high-balance customers) is packed into a portable 4096-bit /
+    3-hash Bloom (8 KB, built fully in-plan), broadcast, and applied to
+    the orders scan ROW-LOCALLY, so ~90% of fact rows die before the
+    sort-merge join's exchange ever sees them (the join is merge-hinted
+    precisely to model the cannot-broadcast regime this targets; the
+    measured prune is pinned in ``tests/test_sketches.py``).  Blooms
+    have NO FALSE NEGATIVES, so the pre-filtered exact join returns the
+    PLAIN join's rows — the key is certified by the plain join's DuckDB
+    oracle, no bloom replication needed.  False positives only cost
+    shuffle bytes and are removed by the join itself."""
+    from parquet_merger_spark.operators.sketches import (
+        bloom_build,
+        bloom_filter_rows,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_acctbal") >= 9000).select(
+        "c_custkey", "c_mktsegment"
+    )
+    bloom = bloom_build(dim, "c_custkey")
+    survivors = bloom_filter_rows(
+        o.crossJoin(F.broadcast(bloom)), "words", "o_custkey"
+    ).drop("words")
+    joined = survivors.join(
+        dim.hint("merge"), survivors.o_custkey == dim.c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+ORACLE_SQL["bloom_prefilter_join"] = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal >= 9000
+    GROUP BY 1
+"""
+QUERIES["bloom_prefilter_join"] = q_bloom_prefilter_join

@@ -237,3 +237,45 @@ def test_cms_deterministic_under_repartition(events_day_user):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Every true join key survives the Bloom pre-filter (no false
+    negatives — the property that makes the pre-filtered join equal the
+    plain join) while ~90% of fact rows are eliminated before the
+    join's shuffle; the false-positive overhead stays under 1% of the
+    fact table at 4096 bits / 3 hashes / 153 keys."""
+    from parquet_merger_spark.operators.sketches import (
+        bloom_build,
+        bloom_filter_rows,
+    )
+
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    dim = c.filter(F.col("c_acctbal") >= 9000).select("c_custkey")
+    bloom = bloom_build(dim, "c_custkey")
+    survivors = bloom_filter_rows(
+        o.crossJoin(F.broadcast(bloom)), "words", "o_custkey"
+    ).drop("words")
+
+    true_ids = {
+        r.o_orderkey
+        for r in o.join(
+            dim, o.o_custkey == dim.c_custkey, "left_semi"
+        ).select("o_orderkey").collect()
+    }
+    surv_ids = {r.o_orderkey for r in survivors.select("o_orderkey").collect()}
+    assert true_ids <= surv_ids  # no false negatives, ever
+    n_orders = o.count()
+    assert len(surv_ids) < 0.2 * n_orders  # the prune is real
+    assert len(surv_ids) - len(true_ids) < 0.01 * n_orders  # FP overhead
+
+
+def test_bloom_deterministic_under_repartition(spark):
+    from parquet_merger_spark.operators.sketches import bloom_build
+
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    dim = c.filter(F.col("c_acctbal") >= 9000).select("c_custkey")
+    a = bloom_build(dim, "c_custkey").collect()[0].words
+    b = bloom_build(dim.repartition(7), "c_custkey").collect()[0].words
+    assert a == b and len(a) == 64 and any(w != 0 for w in a)
