@@ -8876,3 +8876,126 @@ ORACLE_SQL["bloom_prefilter_join"] = """
     GROUP BY 1
 """
 QUERIES["bloom_prefilter_join"] = q_bloom_prefilter_join
+
+
+def q_kmv_set_ops(spark, sf_dir):
+    """Sketch SET ALGEBRA over mergeable KMV sketches: the distinct-user
+    overlap of two behavioral segments (purchase vs click) computed from
+    their 64-long sketches ALONE — |A ∪ B| from the lossless bottom-k
+    merge, |A ∩ B| by inclusion-exclusion (est_a + est_b - est_union,
+    exact integer arithmetic) — with the exact counts riding along.
+    Four rows: (measure, n_est, n_exact) for a / b / union / intersect.
+    Every estimate is deterministic portable-hash arithmetic, so DuckDB
+    reproduces all four bit-for-bit.
+
+    The 100 TB story this completes: per-segment sketches (a few hundred
+    bytes) answer audience-overlap questions — union, intersection,
+    Jaccard — at ANY segment-pair grain without rescanning or holding
+    per-user state; the shuffle moves k longs per segment, never ids."""
+    from parquet_merger_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    k = 64
+    seg = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .filter(F.col("value") > 120)
+        .select(F.col("event_type").alias("seg"), "user_id")
+    )
+    sk = kmv_sketch(seg, ["seg"], "user_id", k=k)
+    est = kmv_estimate(sk, ["seg"], k=k)
+    u_est = kmv_estimate(
+        kmv_merge(sk.select(F.lit("u").alias("seg"), "rank", "h"), ["seg"], k=k),
+        ["seg"],
+        k=k,
+    )
+    wide_est = (
+        est.groupBy()
+        .agg(
+            F.max(F.when(F.col("seg") == "purchase", F.col("n_est"))).alias("ea"),
+            F.max(F.when(F.col("seg") == "click", F.col("n_est"))).alias("eb"),
+        )
+        .crossJoin(F.broadcast(u_est.select(F.col("n_est").alias("eu"))))
+    )
+    exact = seg.distinct().groupBy().agg(
+        F.count_distinct(
+            F.when(F.col("seg") == "purchase", F.col("user_id"))
+        ).alias("xa"),
+        F.count_distinct(
+            F.when(F.col("seg") == "click", F.col("user_id"))
+        ).alias("xb"),
+        F.count_distinct("user_id").alias("xu"),
+    )
+    wide = wide_est.crossJoin(F.broadcast(exact))
+    rows = F.array(
+        F.struct(F.lit("a").alias("measure"), F.col("ea").alias("n_est"), F.col("xa").alias("n_exact")),
+        F.struct(F.lit("b").alias("measure"), F.col("eb").alias("n_est"), F.col("xb").alias("n_exact")),
+        F.struct(F.lit("union").alias("measure"), F.col("eu").alias("n_est"), F.col("xu").alias("n_exact")),
+        F.struct(
+            F.lit("intersect").alias("measure"),
+            (F.col("ea") + F.col("eb") - F.col("eu")).alias("n_est"),
+            (F.col("xa") + F.col("xb") - F.col("xu")).alias("n_exact"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.measure",
+        F.col("r.n_est").cast("long").alias("n_est"),
+        F.col("r.n_exact").cast("long").alias("n_exact"),
+    )
+
+
+def _kmv_set_ops_sql(k: int = 64) -> str:
+    from parquet_merger_spark.operators.dedup import PORTABLE_HASH_AC, PORTABLE_MOD
+
+    a0, c0 = PORTABLE_HASH_AC[0]
+    p = PORTABLE_MOD
+    est = (
+        f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS BIGINT) "
+        f"ELSE ({k - 1} * CAST({p} AS BIGINT)) "
+        f"// max(CASE WHEN rank = {k} THEN h END) END"
+    )
+    return f"""
+        WITH seg AS (
+          SELECT event_type AS seg, user_id FROM events
+          WHERE event_type IN ('purchase', 'click') AND value > 120
+        ),
+        h AS (
+          SELECT DISTINCT seg, (({a0} * (user_id % {p}) + {c0}) % {p}) AS h
+          FROM seg
+        ),
+        rk AS (
+          SELECT seg, h,
+                 row_number() OVER (PARTITION BY seg ORDER BY h) AS rank
+          FROM h
+        ),
+        sk AS (SELECT * FROM rk WHERE rank <= {k}),
+        est AS (SELECT seg, {est} AS n_est FROM sk GROUP BY seg),
+        uh AS (SELECT DISTINCT h FROM sk),
+        urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM uh),
+        usk AS (SELECT * FROM urk WHERE rank <= {k}),
+        uest AS (SELECT {est} AS n_est FROM usk),
+        w AS (
+          SELECT (SELECT n_est FROM est WHERE seg = 'purchase') AS ea,
+                 (SELECT n_est FROM est WHERE seg = 'click') AS eb,
+                 (SELECT n_est FROM uest) AS eu,
+                 (SELECT count(DISTINCT user_id) FROM seg WHERE seg = 'purchase') AS xa,
+                 (SELECT count(DISTINCT user_id) FROM seg WHERE seg = 'click') AS xb,
+                 (SELECT count(DISTINCT user_id) FROM seg) AS xu
+        )
+        SELECT 'a' AS measure, CAST(ea AS BIGINT) AS n_est,
+               CAST(xa AS BIGINT) AS n_exact FROM w
+        UNION ALL
+        SELECT 'b', CAST(eb AS BIGINT), CAST(xb AS BIGINT) FROM w
+        UNION ALL
+        SELECT 'union', CAST(eu AS BIGINT), CAST(xu AS BIGINT) FROM w
+        UNION ALL
+        SELECT 'intersect', CAST(ea + eb - eu AS BIGINT),
+               CAST(xa + xb - xu AS BIGINT) FROM w
+    """
+
+
+ORACLE_SQL["kmv_set_ops"] = _kmv_set_ops_sql()
+QUERIES["kmv_set_ops"] = q_kmv_set_ops

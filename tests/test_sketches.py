@@ -279,3 +279,47 @@ def test_bloom_deterministic_under_repartition(spark):
     a = bloom_build(dim, "c_custkey").collect()[0].words
     b = bloom_build(dim.repartition(7), "c_custkey").collect()[0].words
     assert a == b and len(a) == 64 and any(w != 0 for w in a)
+
+
+def test_kmv_set_ops_accuracy_and_merge_identity(spark):
+    """Inclusion-exclusion overlap from sketches alone: a / b / union
+    estimates within the 1/sqrt(k) family error (rel <= 0.25 at k=64),
+    the compounded intersect estimate within 0.35, and the union
+    estimate obtained from MERGED per-segment sketches identical to
+    sketching the combined segment directly (losslessness through the
+    set-ops route)."""
+    from parquet_merger_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    from parquet_merger_spark.queries import QUERIES
+
+    rows = {r.measure: r for r in QUERIES["kmv_set_ops"](spark, SF_DIR).collect()}
+    assert set(rows) == {"a", "b", "union", "intersect"}
+    for m in ("a", "b", "union"):
+        r = rows[m]
+        assert abs(r.n_est - r.n_exact) <= 0.25 * r.n_exact, (m, r)
+    ri = rows["intersect"]
+    assert abs(ri.n_est - ri.n_exact) <= 0.35 * ri.n_exact, ri
+    # exact inclusion-exclusion consistency of the truth columns
+    assert rows["intersect"].n_exact == (
+        rows["a"].n_exact + rows["b"].n_exact - rows["union"].n_exact
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    seg = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .filter(F.col("value") > 120)
+        .select(F.col("event_type").alias("seg"), "user_id")
+    )
+    sk = kmv_sketch(seg, ["seg"], "user_id")
+    via_merge = kmv_estimate(
+        kmv_merge(sk.select(F.lit("u").alias("seg"), "rank", "h"), ["seg"]),
+        ["seg"],
+    ).collect()[0].n_est
+    direct = kmv_estimate(
+        kmv_sketch(seg.withColumn("seg", F.lit("u")), ["seg"], "user_id"),
+        ["seg"],
+    ).collect()[0].n_est
+    assert via_merge == direct == rows["union"].n_est
