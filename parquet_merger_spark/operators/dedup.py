@@ -464,6 +464,7 @@ def ngram_contamination(
     shingle_words: int = 3,
     min_shared: int = 5,
     max_train_df: int | None = 10_000,
+    bloom_prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Eval-set DECONTAMINATION primitive: (test_id, train_id,
     shared_grams) for every cross-split pair sharing at least
@@ -493,7 +494,8 @@ def ngram_contamination(
     if max_train_df is not None:
         tr = _df_capped(tr, max_train_df)
     return contamination_probe(
-        tr, test, id_col, text_col, shingle_words, min_shared
+        tr, test, id_col, text_col, shingle_words, min_shared,
+        bloom_prefilter_bits=bloom_prefilter_bits,
     )
 
 
@@ -522,17 +524,48 @@ def contamination_probe(
     text_col: str = "text",
     shingle_words: int = 3,
     min_shared: int = 5,
+    bloom_prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Probe an inverted gram index — ``(g, train_id)`` rows, typically
     from :func:`load_gram_index` — with an eval set: (test_id, train_id,
     shared_grams) pairs sharing >= ``min_shared`` grams.  The probe side
     is usually orders of magnitude smaller than the train corpus, which
     is the whole point of persisting the index: build once over the
-    100 TB train side, probe per eval-set release."""
+    100 TB train side, probe per eval-set release.
+
+    ``bloom_prefilter_bits`` turns on the runtime Bloom semi-join
+    reduction (the ``bloom_prefilter_join`` pattern promoted into the
+    operator surface): the eval set's gram hashes — selective but
+    unbounded, so not safely broadcast-joinable as a set — are packed
+    into an m-bit Bloom filter (m/8 bytes, built fully in-plan),
+    broadcast, and applied to the index scan ROW-LOCALLY, so index
+    postings whose gram cannot match die before the equi-join's
+    exchange.  Blooms have no false negatives, so the result is
+    IDENTICAL to the plain probe (false positives only cost shuffle
+    bytes and are removed by the join itself); at 100 TB this turns a
+    full index-shuffle into a shuffle of the matching slice."""
     te = _distinct_shingle_hashes(test, id_col, text_col, shingle_words).select(
         F.col(id_col).alias("test_id"),
         F.explode_outer("sh_hashes").alias("g"),
     )
+    if bloom_prefilter_bits:
+        # local import: sketches imports dedup's portable-hash constants
+        from parquet_merger_spark.operators.sketches import (
+            bloom_build,
+            bloom_filter_rows,
+        )
+
+        bloom = bloom_build(
+            te.filter(F.col("g").isNotNull()),
+            "g",
+            m_bits=bloom_prefilter_bits,
+        )
+        gram_index = bloom_filter_rows(
+            gram_index.crossJoin(F.broadcast(bloom)),
+            "words",
+            "g",
+            m_bits=bloom_prefilter_bits,
+        ).drop("words")
     return (
         te.join(gram_index, "g")
         .groupBy("test_id", "train_id")

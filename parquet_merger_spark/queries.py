@@ -8999,3 +8999,40 @@ def _kmv_set_ops_sql(k: int = 64) -> str:
 
 ORACLE_SQL["kmv_set_ops"] = _kmv_set_ops_sql()
 QUERIES["kmv_set_ops"] = q_kmv_set_ops
+
+
+def q_decontaminate_bloom_probe(spark, sf_dir):
+    """The persisted-index decontamination probe with the runtime Bloom
+    prefilter knob ON (`contamination_probe(bloom_prefilter_bits=...)`):
+    the eval set's gram hashes ride along as a broadcast 128 KB Bloom
+    and prune index postings row-locally BEFORE the equi-join's
+    exchange.  No false negatives => identical to the plain probe, so
+    the key is certified by `decontaminate`'s DuckDB oracle; the prune
+    ratio and plan shape are pinned in ``tests/test_round6.py``.  At
+    100 TB this is the difference between shuffling the whole persisted
+    gram index per eval release and shuffling only the matching slice."""
+    from parquet_merger_spark.operators.dedup import (
+        contamination_probe,
+        load_gram_index,
+        write_gram_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin([f"src{i}" for i in range(10)])
+    idx = _scratch_dir(
+        spark, f"gram_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.exists(os.path.join(idx, "meta", "_SUCCESS")):
+        write_gram_index(d.filter(is_train), idx, shingle_words=3)
+    grams, sw = load_gram_index(spark, idx)
+    return contamination_probe(
+        grams,
+        d.filter(~is_train),
+        shingle_words=sw,
+        min_shared=5,
+        bloom_prefilter_bits=1 << 20,
+    )
+
+
+ORACLE_SQL["decontaminate_bloom_probe"] = ORACLE_SQL["decontaminate"]
+QUERIES["decontaminate_bloom_probe"] = q_decontaminate_bloom_probe

@@ -1,0 +1,96 @@
+"""Round-6 pins: the Bloom-prefilter knob on the decontamination probe
+(result identity knob-on vs knob-off, real index-posting prune, filter
+below the join exchange) — the `bloom_prefilter_join` pattern promoted
+into the operator surface per the r05 verdict ask #7."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _splits(spark):
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    is_train = F.col("source").isin([f"src{i}" for i in range(10)])
+    return d.filter(is_train), d.filter(~is_train)
+
+
+def test_bloom_probe_knob_identical_to_plain_probe(spark):
+    """No false negatives => the Bloom-prefiltered probe returns the
+    PLAIN probe's exact (test_id, train_id, shared_grams) set."""
+    from parquet_merger_spark.operators.dedup import ngram_contamination
+
+    train, test = _splits(spark)
+    plain = ngram_contamination(train, test, shingle_words=3, min_shared=5)
+    bloomed = ngram_contamination(
+        train, test, shingle_words=3, min_shared=5,
+        bloom_prefilter_bits=1 << 20,
+    )
+    a = {(r.test_id, r.train_id, r.shared_grams) for r in plain.collect()}
+    b = {(r.test_id, r.train_id, r.shared_grams) for r in bloomed.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bloom_probe_prunes_index_postings(spark):
+    """The broadcast Bloom eliminates a real share of train-index
+    postings before the equi-join: surviving postings stay within 2x
+    the truly-matching posting count (false positives bounded), and
+    strictly below the full index size."""
+    from parquet_merger_spark.operators.dedup import (
+        _df_capped,
+        _distinct_shingle_hashes,
+    )
+    from parquet_merger_spark.operators.sketches import (
+        bloom_build,
+        bloom_filter_rows,
+    )
+
+    train, test = _splits(spark)
+    tr = _df_capped(
+        _distinct_shingle_hashes(train, "doc_id", "text", 3).select(
+            F.col("doc_id").alias("train_id"),
+            F.explode_outer("sh_hashes").alias("g"),
+        ),
+        10_000,
+    )
+    te_grams = (
+        _distinct_shingle_hashes(test, "doc_id", "text", 3)
+        .select(F.explode("sh_hashes").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    m = 1 << 20
+    bloom = bloom_build(te_grams, "g", m_bits=m)
+    survivors = bloom_filter_rows(
+        tr.crossJoin(F.broadcast(bloom)), "words", "g", m_bits=m
+    ).drop("words")
+
+    n_index = tr.count()
+    n_match = tr.join(te_grams.distinct(), "g", "left_semi").count()
+    n_surv = survivors.count()
+    assert n_match <= n_surv  # no false negatives
+    assert n_surv <= max(2 * n_match, n_match + 0.01 * n_index)
+    assert n_surv < n_index  # the prune is real
+
+
+def test_bloom_probe_filter_below_join_exchange(spark):
+    """Plan pin: with the knob on, the index side's scan is consumed by
+    a Filter carrying the Bloom bit tests (shiftright/element_at)
+    BEFORE any exchange feeds the gram equi-join — the prune happens at
+    the scan, not after the shuffle."""
+    from parquet_merger_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["decontaminate_bloom_probe"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "shiftright" in plan and "element_at" in plan
+    # the bloom words come in via a broadcast, never a data-sized shuffle
+    assert "BroadcastExchange" in plan

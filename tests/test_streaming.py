@@ -754,3 +754,34 @@ def test_cms_stream_equals_batch_sketch(spark, event_files, tmp_path):
     }
     assert got == expected and len(got) > 0
     assert len(got) <= 3 * 256
+
+
+def test_micro_batch_latency_budget(spark):
+    """Per-micro-batch processing latency stays within a generous budget.
+
+    STREAM_LATENCY_r04 -> r05 established the steady-state envelope
+    (max addBatch 1.8s across all keys at sf0.01 on a degraded host).
+    A 10x regression — state blowup, a per-batch full re-scan, a lost
+    watermark — must fail loudly instead of silently drifting round
+    over round.  Bounds are ~3x the worst observed steady-state batch
+    to ride out the +-50% host variance.
+    """
+    from parquet_merger_spark import queries as Q
+
+    budgets_ms = {"stream_window_agg": 4000, "stream_near_dedup": 6000}
+    first_batch_ms = 20000  # plan compile + state-store open, once
+    for key, budget in budgets_ms.items():
+        Q.QUERIES[key](spark, "/root/testdata/sf0.01").count()
+        progress = Q.STREAM_PROGRESS.get(key, [])
+        assert len(progress) >= 2, f"{key}: expected >=2 micro-batches"
+        lat = [
+            (p.get("duration_ms") or {}).get("addBatch")
+            for p in progress
+        ]
+        assert all(v is not None for v in lat), f"{key}: missing addBatch in {lat}"
+        assert lat[0] <= first_batch_ms, f"{key}: first batch {lat[0]}ms"
+        steady = lat[1:]
+        assert max(steady) <= budget, (
+            f"{key}: steady-state addBatch {max(steady)}ms exceeds "
+            f"{budget}ms budget ({steady})"
+        )
