@@ -31,28 +31,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _driver_green_keys() -> set[str]:
-    """Keys with a GREEN driver CORRECTNESS row (cumulative artifact).
+    """Keys with a GREEN driver CORRECTNESS row in ANY round artifact.
 
     Green = the hard signal the judge accepts: a value-hash match (or, for
     rows-only keys, a clean row-count match).  A key whose only driver rows
     are red or errored must NOT count as covered — otherwise a fixed query
     can never earn a fresh driver row (the r05 verdict's `map_functions` /
     `merge_files_roundtrip` trap).
+
+    Folds the per-round ``CORRECTNESS_r{N}.json`` files directly (latest
+    round wins per key) instead of trusting ``CORRECTNESS_cum.json``: the
+    cum artifact went one round stale twice (r04, r05 verdicts) and a
+    stale input here silently repeats the previous round's sample.  The
+    cum file remains the committed audit artifact (``bench.py`` rebuilds
+    it); the rotation no longer depends on anyone remembering to.
     """
-    try:
-        with open(os.path.join(_HERE, "CORRECTNESS_cum.json")) as fh:
-            cum = json.load(fh)
-    except Exception:
-        return set()
-    green: set[str] = set()
-    for key, row in cum.items():
-        if not isinstance(row, dict):  # legacy list-of-keys artifact
-            return set(cum)
-        if row.get("hash_match") or (
-            row.get("rows_match") and row.get("err") is None
-        ):
-            green.add(key)
-    return green
+    import glob
+    import re
+
+    rounds: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    latest: dict[str, dict] = {}
+    for _, path in sorted(rounds):
+        try:
+            with open(path) as fh:
+                latest.update(json.load(fh))
+        except Exception:
+            continue
+    return {
+        key
+        for key, row in latest.items()
+        if isinstance(row, dict)
+        and (
+            row.get("hash_match")
+            or (row.get("rows_match") and row.get("err") is None)
+        )
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

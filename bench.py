@@ -273,6 +273,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # host-health self-qualification (r05 verdict ask #5): record the
+    # first-touch canary around the timed sweep so r-over-r diffs can
+    # tell code regressions from the hypervisor paging pathology
+    # (BASELINE.md §3) without re-running anything
+    from parquet_merger_spark.session import first_touch_canary_s
+
+    canary_before = first_touch_canary_s()
+
     # one-time index builds, outside the headline window (see
     # INDEXED_PREBUILD): the first call writes the persisted index, the
     # timed headline call below then measures the steady-state probe
@@ -304,6 +312,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_canary_s": {
+            "before": canary_before,
+            "after": first_touch_canary_s(),
+        },
     }
     # The driver captures stdout's one line and has truncated it from the
     # front before (BENCH_r02 lost the dedup/ANN head): print compact, and
@@ -328,6 +340,18 @@ def main() -> None:
         local = os.path.join(here, f"BENCH_local_r{nxt - 1:02d}.json")
     with open(local, "w") as fh:
         json.dump(out, fh, indent=1)
+    # end-of-round checklist automation (r05 verdict ask #1): refresh the
+    # cumulative correctness audit artifact whenever bench runs, so it can
+    # never go a round stale again (the rotation itself no longer reads
+    # it — __spark_entry__ folds the per-round files directly)
+    try:
+        sys.path.insert(0, os.path.join(here, "tools"))
+        from correctness_cum import merge as _cum_merge
+
+        with open(os.path.join(here, "CORRECTNESS_cum.json"), "w") as fh:
+            json.dump(_cum_merge(here), fh, indent=2)
+    except Exception:
+        pass  # diagnostics must never break the bench contract line
     print(json.dumps(out, separators=(",", ":")))
     # FINAL short line: the driver's capture has front-truncated the big
     # line every round (parsed: null in BENCH_r02-r04) — a trailing

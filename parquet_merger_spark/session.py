@@ -109,3 +109,23 @@ def pin_oracle_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def first_touch_canary_s(mb: int = 256) -> float:
+    """Wall seconds to first-touch one page in every 4 KiB of a fresh
+    ``mb``-MiB allocation — the host-health probe from BASELINE.md §3:
+    this VM's hypervisor intermittently serves first-touch page faults
+    at ~400us each (~11 MB/s), inflating any wall-clock number taken in
+    such a window by up to ~50%.  Healthy: < 0.1s for 256 MiB.  > 1s
+    means bench numbers from this session are host-noise-dominated and
+    should not be compared round-over-round.  Recorded as
+    ``host_canary_s`` in BENCH_local / SCALING artifacts so they
+    self-qualify."""
+    import time
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(mb << 20, dtype=np.uint8)
+    a[::4096] = 1
+    return round(time.perf_counter() - t0, 3)

@@ -28,7 +28,17 @@ with sf, per-order/per-part fan-out stays constant):
 Deterministic throughout (seeded from the replica index), pure
 pandas/pyarrow, no Spark needed.
 
-Run from the repo root:  python tools/gen_scale_data.py [K]
+Run from the repo root:  python tools/gen_scale_data.py [K] [DST] [tables...]
+
+The second decade (sf10) chains the same construction: SRC=.localdata/sf1,
+K=10, DST=.localdata/sf10 — replica 0 is sf1 verbatim and replicas 1-9
+re-suffix every token, so shingle vocabularies stay disjoint across the
+new replicas too (tokens gain a second ``·j`` suffix) and no artificial
+cross-replica duplicates appear at 100x either.  Tables not named on the
+command line are skipped (sf10 only needs what its elephants read):
+
+    SPARK_GRAFT_SCALE_SRC=.localdata/sf1 \
+      python tools/gen_scale_data.py 10 .localdata/sf10 lineitem documents
 """
 
 from __future__ import annotations
@@ -44,11 +54,8 @@ SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 DST = os.path.join(ROOT, ".localdata", "sf1")
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    os.makedirs(DST, exist_ok=True)
-
-    li = pd.read_parquet(os.path.join(SRC, "lineitem.parquet"))
+def gen_lineitem(src: str, dst: str, k: int) -> None:
+    li = pd.read_parquet(os.path.join(src, "lineitem.parquet"))
     okey_span = int(li["l_orderkey"].max()) + 1
     pkey_span = int(li["l_partkey"].max()) + 1
     skey_span = int(li["l_suppkey"].max()) + 1
@@ -60,10 +67,12 @@ def main() -> None:
         r["l_suppkey"] = r["l_suppkey"] + i * skey_span
         reps.append(r)
     big = pd.concat(reps, ignore_index=True)
-    big.to_parquet(os.path.join(DST, "lineitem.parquet"), index=False)
+    big.to_parquet(os.path.join(dst, "lineitem.parquet"), index=False)
     print(f"lineitem: {len(li)} -> {len(big)} rows", flush=True)
 
-    d = pd.read_parquet(os.path.join(SRC, "documents.parquet"))
+
+def gen_documents(src: str, dst: str, k: int) -> None:
+    d = pd.read_parquet(os.path.join(src, "documents.parquet"))
     did_span = int(d["doc_id"].max()) + 1
     reps = []
     for i in range(k):
@@ -77,10 +86,12 @@ def main() -> None:
             r["n_chars"] = [len(s) for s in r["text"]]
         reps.append(r)
     big = pd.concat(reps, ignore_index=True)
-    big.to_parquet(os.path.join(DST, "documents.parquet"), index=False)
+    big.to_parquet(os.path.join(dst, "documents.parquet"), index=False)
     print(f"documents: {len(d)} -> {len(big)} rows", flush=True)
 
-    e = pd.read_parquet(os.path.join(SRC, "embeddings.parquet"))
+
+def gen_embeddings(src: str, dst: str, k: int) -> None:
+    e = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
     vid_span = int(e["vec_id"].max()) + 1
     dim = len(e["embedding"].iloc[0])
     reps = []
@@ -95,9 +106,25 @@ def main() -> None:
             r["embedding"] = list(mat)
         reps.append(r)
     big = pd.concat(reps, ignore_index=True)
-    big.to_parquet(os.path.join(DST, "embeddings.parquet"), index=False)
+    big.to_parquet(os.path.join(dst, "embeddings.parquet"), index=False)
     print(f"embeddings: {len(e)} -> {len(big)} rows (dim {dim})", flush=True)
-    print(f"wrote {DST}")
+
+
+GENERATORS = {
+    "lineitem": gen_lineitem,
+    "documents": gen_documents,
+    "embeddings": gen_embeddings,
+}
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else DST
+    tables = sys.argv[3:] or list(GENERATORS)
+    os.makedirs(dst, exist_ok=True)
+    for t in tables:
+        GENERATORS[t](SRC, dst, k)
+    print(f"wrote {dst}")
 
 
 if __name__ == "__main__":

@@ -43,6 +43,14 @@ SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = os.path.join(ROOT, ".localdata", "sf1")
 FACTOR = 10.0  # data ratio between the two dirs
 
+# Second-decade check (r05 verdict ask #8): the two flattest measured
+# exponents (pagerank 0.05, ngram-jaccard 0.09 at 10x) could be real or
+# could be fixed-cost domination at sf1 — a 100x datapoint
+# (.localdata/sf10, from gen_scale_data.py chained off sf1) separates
+# the two.  Only the tables these keys read exist at sf10.
+SF_100X = os.path.join(ROOT, ".localdata", "sf10")
+KEYS_100X = ["pagerank", "dedup_ngram_jaccard"]
+
 
 def main() -> None:
     from parquet_merger_spark.queries import QUERIES
@@ -66,7 +74,9 @@ def main() -> None:
             t_best = min(t_best, time.perf_counter() - t0)
         return round(t_best, 3)
 
-    out: dict[str, dict] = {}
+    from parquet_merger_spark.session import first_touch_canary_s
+
+    out: dict[str, dict] = {"_host_canary_s": {"before": first_touch_canary_s()}}
     for name in KEYS:
         t_small = best(name, SF_SMALL)
         t_big = best(name, SF_BIG)
@@ -80,6 +90,32 @@ def main() -> None:
             "scaling_exponent": exponent,
         }
         print(f"{name}: {t_small}s -> {t_big}s  ratio {ratio} exp {exponent}", flush=True)
+
+    if os.path.isdir(SF_100X):
+        for name in KEYS_100X:
+            t100 = best(name, SF_100X)
+            t_small = out[name]["sf0.1_s"]
+            ratio = round(t100 / t_small, 2)
+            exponent = round(math.log(max(ratio, 1e-9)) / math.log(100.0), 2)
+            # second-decade exponent alone (sf1 -> sf10): fixed costs
+            # amortized away by the first decade no longer flatter it
+            r2 = round(t100 / out[name]["sf1_s"], 2)
+            e2 = round(math.log(max(r2, 1e-9)) / math.log(FACTOR), 2)
+            out[name].update(
+                {
+                    "sf10_s": t100,
+                    "wall_ratio_100x_data": ratio,
+                    "scaling_exponent_100x": exponent,
+                    "scaling_exponent_2nd_decade": e2,
+                }
+            )
+            print(
+                f"{name} @100x: {t100}s  ratio {ratio} exp {exponent} "
+                f"(2nd decade exp {e2})",
+                flush=True,
+            )
+
+    out["_host_canary_s"]["after"] = first_touch_canary_s()
 
     from parquet_merger_spark.oracle import next_round
 
