@@ -1476,3 +1476,136 @@ def pq_topk_portable(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", F.col("id").alias("vec_id"), "score")
     )
+
+
+def ivfpq_topk_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 5,
+    k_clusters: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m_subs: int = 4,
+    k_codes: int = 8,
+    topk: int = 10,
+) -> DataFrame:
+    """(query_id, rank, vec_id, score): IVF-PQ approximate top-k with a
+    full cross-engine oracle — the production composition (Jegou et al.,
+    the Faiss ``IVFPQ`` index) assembled from the already-certified
+    pieces: coarse portable-Lloyd quantizer -> RESIDUAL encoding
+    (vector minus its coarse centroid, exact integer differences) ->
+    per-subspace portable codebooks trained on the residuals -> nprobe
+    coarse-list probe -> asymmetric-distance scoring where a candidate's
+    score decomposes as  dot(query, coarse_centroid) + sum of per-
+    subspace LUT entries for its residual codes.  Every step is exact
+    integer / floor arithmetic, so DuckDB reproduces ranks, ids AND
+    scores.
+
+    Scale shape is the production one: the corpus is touched once to
+    assign + residual-encode (m code bytes per vector); query cost =
+    nprobe/k_clusters of the corpus scored via a broadcast LUT of
+    n_queries * m_subs * k_codes integers — never full-vector math per
+    candidate, never the full corpus.  Verification tier at 100 TB (the
+    rows-only xxhash64/driver-trainer IVF+PQ keys stay the headline
+    path)."""
+    dims = 64
+    dsub = dims // m_subs
+    q, cent, dist_expr = _portable_centroids(df, id_col, vec_col, k_clusters, iters)
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_expr)
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .select("id", F.col("best.cid").alias("cid"))
+    )
+    resid = (
+        assign.join(q, "id")
+        .join(F.broadcast(cent), "cid")
+        .select(
+            "id",
+            "cid",
+            F.zip_with("q", "cvec", lambda a, b: a - b).alias("r"),
+        )
+    )
+    queries = q.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qq")
+    )
+    probes = (
+        queries.withColumnRenamed("qq", "q")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_expr)
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cid")
+            ),
+        )
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "cid")
+    )
+    coarse_dot = F.aggregate(
+        F.zip_with("qq", "cvec", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coarse_part = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id", "cid", coarse_dot.alias("cpart")
+    )
+    code_frames = []
+    lut_frames = []
+    for s in range(m_subs):
+        rs = resid.select("id", F.slice("r", s * dsub + 1, dsub).alias("q"))
+        cent_s, dist_s = _lloyd_centroids(rs, k_codes, iters)
+        code_frames.append(
+            rs.crossJoin(F.broadcast(cent_s))
+            .withColumn("dist", dist_s)
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "cid")).alias("b"))
+            .select("id", F.lit(s).alias("sub"), F.col("b.cid").alias("code"))
+        )
+        sub_dot = F.aggregate(
+            F.zip_with("q", "cvec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        lut_frames.append(
+            queries.select(
+                "query_id", F.slice("qq", s * dsub + 1, dsub).alias("q")
+            )
+            .crossJoin(F.broadcast(cent_s))
+            .select(
+                "query_id",
+                F.lit(s).alias("sub"),
+                F.col("cid").alias("code"),
+                sub_dot.alias("part"),
+            )
+        )
+    codes = code_frames[0]
+    for f in code_frames[1:]:
+        codes = codes.unionByName(f)
+    lut = lut_frames[0]
+    for f in lut_frames[1:]:
+        lut = lut.unionByName(f)
+    cand = (
+        probes.join(resid.select("id", "cid"), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "cid", "id")
+    )
+    adc = (
+        cand.join(codes, "id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "cid", "id")
+        .agg(F.sum("part").alias("rpart"), F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") == m_subs)
+        .drop("__m")
+    )
+    scored = adc.join(F.broadcast(coarse_part), ["query_id", "cid"]).select(
+        "query_id", "id", (F.col("rpart") + F.col("cpart")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", F.col("id").alias("vec_id"), "score")
+    )

@@ -9036,3 +9036,154 @@ def q_decontaminate_bloom_probe(spark, sf_dir):
 
 ORACLE_SQL["decontaminate_bloom_probe"] = ORACLE_SQL["decontaminate"]
 QUERIES["decontaminate_bloom_probe"] = q_decontaminate_bloom_probe
+
+
+def q_ivfpq_topk_portable(spark, sf_dir):
+    """Cross-engine IVF-PQ top-k — the production composition (coarse
+    quantizer -> residual encoding -> per-subspace codebooks -> nprobe
+    probe -> coarse-dot + residual-LUT asymmetric scoring) assembled
+    from the certified portable pieces; ranks, ids AND scores
+    hash-match the unrolled DuckDB oracle.  Completes the ANN algebra:
+    kmeans (train), IVF (bucket+probe), PQ (ADC rank), and now their
+    production composition are all cross-engine certified.
+    Verification tier at 100 TB."""
+    from parquet_merger_spark.operators.simsearch import ivfpq_topk_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_portable(e, "vec_id", "embedding")
+
+
+def _ivfpq_portable_sql(
+    k_clusters: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    n_queries: int = 5,
+    nprobe: int = 2,
+    m_subs: int = 4,
+    k_codes: int = 8,
+    topk: int = 10,
+) -> str:
+    parts, dist = _kmeans_cte_parts(k_clusters, iters, dims)
+    dsub = dims // m_subs
+    sq_dist = (
+        f"CAST(list_sum(list_transform(range(1, {dsub + 1}), "
+        "i -> (v.q[i] - c.cvec[i]) * (v.q[i] - c.cvec[i]))) AS BIGINT)"
+    )
+    sub_dot = (
+        f"CAST(list_sum(list_transform(range(1, {dsub + 1}), "
+        "i -> (v.q[i] * c.cvec[i]))) AS BIGINT)"
+    )
+    parts.append(f"""assign AS (
+          SELECT id, cid FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {dist}, c.cid)
+                     AS rn
+            FROM v CROSS JOIN c{iters} c
+          ) WHERE rn = 1
+        ),
+        resid AS (
+          SELECT v.id, a.cid,
+                 list_transform(range(1, {dims + 1}), i -> v.q[i] - c.cvec[i]) AS q
+          FROM assign a JOIN v USING (id) JOIN c{iters} c ON c.cid = a.cid
+        ),
+        qv AS (SELECT id AS query_id, q AS qq FROM v WHERE id < {n_queries}),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT qv.query_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY qv.query_id
+                     ORDER BY CAST(list_sum(list_transform(range(1, {dims + 1}),
+                       i -> (qv.qq[i] - c.cvec[i]) * (qv.qq[i] - c.cvec[i])))
+                       AS BIGINT), c.cid) AS prank
+            FROM qv CROSS JOIN c{iters} c
+          ) WHERE prank <= {nprobe}
+        ),
+        cpart AS (
+          SELECT qv.query_id, c.cid,
+                 CAST(list_sum(list_transform(range(1, {dims + 1}),
+                   i -> (qv.qq[i] * c.cvec[i]))) AS BIGINT) AS cpart
+          FROM qv CROSS JOIN c{iters} c
+        )""")
+    for s in range(m_subs):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f"rs{s} AS (SELECT id, q[{lo}:{hi}] AS q FROM resid),\n"
+            f"        cs{s}_0 AS (SELECT id AS cid, q AS cvec FROM rs{s} WHERE id < {k_codes})"
+        )
+        for t in range(1, iters + 1):
+            parts.append(f"""as{s}_{t} AS (
+          SELECT id, cid FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {sq_dist}, c.cid) AS rn
+            FROM rs{s} v CROSS JOIN cs{s}_{t - 1} c
+          ) WHERE rn = 1
+        ),
+        ms{s}_{t} AS (
+          SELECT a.cid, gs.i AS pos,
+                 CAST(floor(sum(v.q[gs.i]) / count(*)) AS BIGINT) AS cval
+          FROM as{s}_{t} a JOIN rs{s} v USING (id)
+          CROSS JOIN range(1, {dsub + 1}) gs(i)
+          GROUP BY 1, 2
+        ),
+        cs{s}_{t} AS (
+          SELECT cid, list(cval ORDER BY pos) AS cvec FROM ms{s}_{t} GROUP BY cid
+        )""")
+        parts.append(f"""code{s} AS (
+          SELECT id, {s} AS sub, cid AS code FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {sq_dist}, c.cid) AS rn
+            FROM rs{s} v CROSS JOIN cs{s}_{iters} c
+          ) WHERE rn = 1
+        ),
+        lut{s} AS (
+          SELECT v.id AS query_id, {s} AS sub, c.cid AS code, {sub_dot} AS part
+          FROM (SELECT query_id AS id, qq[{lo}:{hi}] AS q FROM qv) v
+          CROSS JOIN cs{s}_{iters} c
+        )""")
+    codes_u = "\n          UNION ALL ".join(
+        f"SELECT * FROM code{s}" for s in range(m_subs)
+    )
+    lut_u = "\n          UNION ALL ".join(
+        f"SELECT * FROM lut{s}" for s in range(m_subs)
+    )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        codes AS (
+          {codes_u}
+        ),
+        lut AS (
+          {lut_u}
+        ),
+        cand AS (
+          SELECT p.query_id, r.cid, r.id
+          FROM probes p JOIN resid r ON r.cid = p.cid
+          WHERE r.id <> p.query_id
+        ),
+        adc AS (
+          SELECT cn.query_id, cn.cid, cn.id, CAST(sum(l.part) AS BIGINT) AS rpart
+          FROM cand cn
+          JOIN codes cd ON cd.id = cn.id
+          JOIN lut l ON l.query_id = cn.query_id
+                    AND l.sub = cd.sub AND l.code = cd.code
+          GROUP BY 1, 2, 3
+          HAVING count(*) = {m_subs}
+        ),
+        scored AS (
+          SELECT a.query_id, a.id, a.rpart + cp.cpart AS score
+          FROM adc a JOIN cpart cp
+            ON cp.query_id = a.query_id AND cp.cid = a.cid
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS vec_id, score FROM (
+          SELECT query_id, id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, id) AS rank
+          FROM scored
+        ) WHERE rank <= {topk}
+    """
+    )
+
+
+ORACLE_SQL["ivfpq_topk_portable"] = _ivfpq_portable_sql()
+QUERIES["ivfpq_topk_portable"] = q_ivfpq_topk_portable
