@@ -365,3 +365,92 @@ def bloom_filter_rows(
     for c in conds[1:]:
         cond = cond & c
     return out.filter(cond).drop(*tmp)
+
+
+# ---------------------------------------------------------------------------
+# MinCount sketch (Flajolet-Martin with stochastic averaging; Giroire 2009):
+# the STREAMING member of the distinct-sketch family.  The bottom-k KMV
+# above cannot be maintained by a native streaming aggregation (its state —
+# "the k smallest distinct hashes" — needs custom bounded state and a sort),
+# but MinCount can: hash once per row, route to register ``h mod k``, keep
+# MIN(h div k) — an elementwise-min matrix that a plain complete-mode
+# streaming groupBy maintains with state bounded at groups * k rows BY
+# CONSTRUCTION (the sketch bounds the state store, not a watermark), exactly
+# like the count-min matrix in ``cms_freq_stream``.  Min is associative and
+# commutative, so the streamed registers equal the batch sketch bit-for-bit,
+# and merge to coarser grains (elementwise min) is LOSSLESS: min of mins ==
+# global min.  One integer probe per row — at 100 TB this is the cheap
+# always-on distinct tier (KMV stays the batch rollup tier with its sharper
+# bottom-k estimator).
+# ---------------------------------------------------------------------------
+
+MINCOUNT_WHICH = 8  # disjoint member of the portable hash family
+
+
+def mincount_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """(group_cols..., reg, m): per-group MinCount registers — for each of
+    ``k`` registers the minimum of ``hash(id) div k`` over rows routed to
+    it by ``hash(id) mod k``.  Registers never touched by a row are
+    absent (the estimator fills them with the register ceiling).  No
+    distinct and no sort: one hash + one (group, reg) MIN aggregation,
+    map-side combined."""
+    h = portable_hash64(F.col(id_col), MINCOUNT_WHICH)
+    return (
+        df.select(*group_cols, h.alias("hv"))
+        .select(
+            *group_cols,
+            F.pmod(F.col("hv"), F.lit(k)).alias("reg"),
+            F.expr(f"hv div {k}").alias("val"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.min("val").alias("m"))
+    )
+
+
+def mincount_merge(
+    sketch: DataFrame, to_group_cols: list[str]
+) -> DataFrame:
+    """Roll registers up to a coarser grain: elementwise min.  LOSSLESS —
+    equals :func:`mincount_sketch` run directly at the coarse grain
+    (min of mins is the global min), pinned in tests."""
+    return sketch.groupBy(*to_group_cols, "reg").agg(F.min("m").alias("m"))
+
+
+def mincount_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """(group_cols..., n_est): distinct-count estimate from MinCount
+    registers.  Each register's min over n_j routed values sits near
+    ceiling/(n_j+1), so the SUM of all k mins sits near p/(n/k + 1) and
+    ``n_est = (k * p) div sum - k`` — pure int64 arithmetic any engine
+    reproduces (``k * p`` ~ 6.4e10 << 2^63, so the multiply comes
+    FIRST and the estimator keeps unit resolution; empty registers
+    contribute the ceiling ``p div k``; the max(sum, 1) guard covers
+    the all-zero-mins corner)."""
+    ceiling = PORTABLE_MOD // k
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum("m").alias("__s"), F.count(F.lit(1)).alias("__k")
+    )
+    return (
+        agg.withColumn(
+            "__t",
+            F.greatest(
+                F.col("__s") + (F.lit(k) - F.col("__k")) * F.lit(ceiling),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .select(
+            *group_cols,
+            (
+                F.expr(
+                    f"CAST({k} * CAST({PORTABLE_MOD} AS BIGINT) AS BIGINT) div __t"
+                )
+                - F.lit(k)
+            ).cast("long").alias("n_est"),
+        )
+    )

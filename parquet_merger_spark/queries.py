@@ -9187,3 +9187,120 @@ def _ivfpq_portable_sql(
 
 ORACLE_SQL["ivfpq_topk_portable"] = _ivfpq_portable_sql()
 QUERIES["ivfpq_topk_portable"] = q_ivfpq_topk_portable
+
+
+def q_mincount_distinct_rollup(spark, sf_dir):
+    """Portable MinCount (FM + stochastic averaging, Giroire 2009)
+    distinct-count sketch with lossless rollup — the STREAMING-capable
+    member of the distinct family (KMV's bottom-k needs a per-group
+    sort; MinCount state is an elementwise-min register matrix a plain
+    streaming aggregation maintains).  Per-(event_type, day) register
+    sketches merge to the event_type grain by elementwise min —
+    LOSSLESS: merged == direct sketch, pinned in tests — then the pure
+    int64 estimator (k * (p div sum-of-register-mins) - k) runs per
+    type over event_id (distinct-event cardinality; ~2000 per type at
+    sf0.01, enough load per register for the estimator's bias regime)
+    with the exact COUNT(DISTINCT) riding along as the truth column.  One integer probe per row, no distinct shuffle: at 100 TB
+    this is the cheap always-on distinct tier.  All portable-hash
+    arithmetic, so DuckDB reproduces every estimate bit-for-bit."""
+    from parquet_merger_spark.operators.sketches import (
+        mincount_estimate,
+        mincount_merge,
+        mincount_sketch,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+        "event_id",
+    )
+    sk = mincount_sketch(e, ["event_type", "day_epoch"], "event_id")
+    merged = mincount_merge(sk, ["event_type"])
+    est = mincount_estimate(merged, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", F.col("n_est").cast("long").alias("n_est")
+    )
+
+
+def _mincount_sql(k: int = 64, which: int = 8) -> str:
+    from parquet_merger_spark.operators.dedup import PORTABLE_HASH_AC, PORTABLE_MOD
+
+    a, c = PORTABLE_HASH_AC[which]
+    p = PORTABLE_MOD
+    return f"""
+        WITH h AS (
+          SELECT event_type,
+                 (({a} * (event_id % {p}) + {c}) % {p}) AS hv,
+                 event_id
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, hv % {k} AS reg, MIN(hv // {k}) AS m
+          FROM h GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT event_type, SUM(m) AS s, COUNT(*) AS kk FROM r GROUP BY 1
+        ),
+        est AS (
+          SELECT event_type,
+                 CAST(({k} * CAST({p} AS BIGINT))
+                        // GREATEST(s + ({k} - kk) * ({p} // {k}), 1)
+                      - {k} AS BIGINT) AS n_est
+          FROM agg
+        ),
+        ex AS (
+          SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact
+          FROM events GROUP BY 1
+        )
+        SELECT event_type, n_exact, n_est FROM ex JOIN est USING (event_type)
+    """
+
+
+ORACLE_SQL["mincount_distinct_rollup"] = _mincount_sql()
+QUERIES["mincount_distinct_rollup"] = q_mincount_distinct_rollup
+
+
+def q_stream_mincount_distinct(spark, sf_dir):
+    """STREAMING MinCount maintenance driven end-to-end: events replay
+    in three mtime-pinned micro-batches; the register matrix is a
+    complete-mode streaming aggregation whose state is bounded at
+    |event_types| * 64 rows BY CONSTRUCTION (the sketch bounds the
+    state store, not a watermark); after the drain, the estimator runs
+    on the STREAMED registers and is certified by the batch twin's
+    oracle (``mincount_distinct_rollup``) — min is associative, so
+    stream == batch bit-for-bit.  With ``stream_cms_freq`` this gives
+    the streaming tier both mergeable-sketch families: frequencies
+    (counters add) and distinct counts (registers min)."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.operators.sketches import mincount_estimate
+    from parquet_merger_spark.streaming.events import mincount_distinct_stream
+
+    base = _scratch_dir(spark, "stream_mincount")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select("event_id", "event_type")
+    slices = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    src = _write_replay_batches(base, slices)
+
+    name = f"smc_{uuid.uuid4().hex[:8]}"
+    q = mincount_distinct_stream(
+        spark, src, os.path.join(base, "ckpt"), key_col="event_id", query_name=name
+    )
+    _drain_stream(q, "stream_mincount_distinct")
+    registers = spark.table(name)
+    est = mincount_estimate(registers, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", F.col("n_est").cast("long").alias("n_est")
+    )
+
+
+ORACLE_SQL["stream_mincount_distinct"] = ORACLE_SQL["mincount_distinct_rollup"]
+QUERIES["stream_mincount_distinct"] = q_stream_mincount_distinct

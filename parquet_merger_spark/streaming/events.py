@@ -921,3 +921,58 @@ def cms_freq_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def mincount_distinct_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    k: int = 64,
+    query_name: str = "mincount_registers",
+) -> StreamingQuery:
+    """Streaming MinCount distinct-cardinality maintenance: the register
+    matrix is a plain complete-mode streaming aggregation — one portable
+    hash per row routed to register ``h mod k``, state = MIN(h div k)
+    per (group, register), bounded at ``groups * k`` rows BY
+    CONSTRUCTION (the sketch bounds the state store, not a watermark).
+    Min is associative and commutative, so the streamed registers equal
+    the batch :func:`~parquet_merger_spark.operators.sketches.
+    mincount_sketch` bit-for-bit after any replay — the
+    ``stream_mincount_distinct`` key certifies that with the batch
+    twin's own DuckDB oracle.  This is the distinct-count sibling of
+    :func:`cms_freq_stream`: the bottom-k KMV sketch cannot be
+    maintained by a native streaming aggregation (its state needs a
+    per-group sort), MinCount can."""
+    from parquet_merger_spark.operators.sketches import (
+        MINCOUNT_WHICH,
+        portable_hash64,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    registers = (
+        stream.select(
+            F.col(group_col),
+            portable_hash64(F.col(key_col), MINCOUNT_WHICH).alias("hv"),
+        )
+        .select(
+            group_col,
+            F.pmod(F.col("hv"), F.lit(k)).alias("reg"),
+            F.expr(f"hv div {k}").alias("val"),
+        )
+        .groupBy(group_col, "reg")
+        .agg(F.min("val").alias("m"))
+    )
+    return (
+        registers.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

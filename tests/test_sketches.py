@@ -323,3 +323,67 @@ def test_kmv_set_ops_accuracy_and_merge_identity(spark):
         ["seg"],
     ).collect()[0].n_est
     assert via_merge == direct == rows["union"].n_est
+
+
+def _events_typed(spark):
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    return e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("long").alias("day_epoch"),
+        "event_id",
+    )
+
+
+def test_mincount_merge_lossless(spark):
+    """Elementwise-min rollup of per-(type, day) registers equals the
+    sketch computed directly at the type grain — the property that lets
+    a 100 TB pipeline keep per-partition registers and answer any
+    coarser distinct-count without rescanning."""
+    from parquet_merger_spark.operators.sketches import (
+        mincount_merge,
+        mincount_sketch,
+    )
+
+    e = _events_typed(spark)
+    fine = mincount_sketch(e, ["event_type", "day_epoch"], "event_id")
+    merged = {
+        (r.event_type, r.reg, r.m)
+        for r in mincount_merge(fine, ["event_type"]).collect()
+    }
+    direct = {
+        (r.event_type, r.reg, r.m)
+        for r in mincount_sketch(e, ["event_type"], "event_id").collect()
+    }
+    assert merged == direct and len(direct) > 0
+
+
+def test_mincount_accuracy_and_determinism(spark):
+    """Estimates stay within the sum-of-mins estimator's envelope
+    (sigma ~ 1.3/sqrt(k) ~ 16% at k=64; bound 0.5 covers the 1/x
+    skew tails — measured max 0.40 on the fixture) and the sketch is
+    partition-invariant."""
+    from parquet_merger_spark.operators.sketches import (
+        mincount_estimate,
+        mincount_sketch,
+    )
+
+    e = _events_typed(spark)
+    sk = mincount_sketch(e, ["event_type"], "event_id")
+    est = {r.event_type: r.n_est for r in mincount_estimate(sk, ["event_type"]).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n <= 0.5, (t, est[t], n)
+
+    again = {
+        (r.event_type, r.reg, r.m)
+        for r in mincount_sketch(
+            e.repartition(11), ["event_type"], "event_id"
+        ).collect()
+    }
+    assert again == {(r.event_type, r.reg, r.m) for r in sk.collect()}

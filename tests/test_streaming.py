@@ -785,3 +785,41 @@ def test_micro_batch_latency_budget(spark):
             f"{key}: steady-state addBatch {max(steady)}ms exceeds "
             f"{budget}ms budget ({steady})"
         )
+
+
+def test_mincount_stream_equals_batch_sketch(spark, event_files, tmp_path):
+    """The streamed register matrix equals the batch MinCount sketch
+    bit-for-bit after a real multi-batch replay (min is associative and
+    commutative), and state is bounded at |types| * 64 rows by
+    construction."""
+    from parquet_merger_spark.operators.sketches import mincount_sketch
+    from parquet_merger_spark.streaming.events import mincount_distinct_stream
+
+    events_dir, real = event_files
+    q = mincount_distinct_stream(
+        spark,
+        events_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_mc"),
+        group_col="event_type",
+        key_col="event_id",
+        query_name="mc_smoke",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.event_type, r.reg, r.m) for r in spark.table("mc_smoke").collect()}
+    full = pd.concat(
+        [real, pd.DataFrame([{"event_id": 999_999, "ts": SENTINEL_TS.tz_localize("UTC"),
+                              "user_id": 99, "event_type": "sentinel", "value": 0.0}])]
+    )
+    expected = {
+        (r.event_type, r.reg, r.m)
+        for r in mincount_sketch(
+            spark.createDataFrame(full), ["event_type"], "event_id"
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+    n_types = len({t for t, _, _ in got})
+    assert len(got) <= n_types * 64
