@@ -100,7 +100,10 @@ def snapshot_diff(
 
 
 def upsert_by_key(
-    base: DataFrame, updates: DataFrame, key_cols: list[str]
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    bloom_prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Last-write-wins upsert: every row of ``updates``, plus the rows of
     ``base`` whose key does not appear in ``updates``.
@@ -108,13 +111,46 @@ def upsert_by_key(
     Requires both frames to share a schema (same contract as the merge
     engine's union).  Deterministic: output depends only on the two
     inputs, not on partitioning or arrival order.
-    """
+
+    ``bloom_prefilter_bits`` (single-key upserts) turns on the runtime
+    Bloom key-set reduction: the update keys are packed into a
+    broadcast m-bit Bloom and tested against the base ROW-LOCALLY —
+    bloom-NEGATIVE rows cannot match any update key (no false
+    negatives), so they bypass the anti-join entirely and only the
+    bloom-positive slice rides through its exchange.  At 100 TB this
+    turns "shuffle the whole base to apply a 0.1% refresh" into
+    "shuffle ~the refresh-sized slice"; false positives only cost
+    shuffle bytes and are removed by the anti-join itself.  Result is
+    IDENTICAL to the plain upsert (pinned in tests); rows with a NULL
+    key never equi-join and stay on the bypass branch."""
     missing = [c for c in base.columns if c not in updates.columns]
     if missing:
         raise ValueError(
             f"upsert requires matching schemas; updates lacks {missing}"
         )
-    kept = base.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    update_keys = updates.select(*key_cols).distinct()
+    if bloom_prefilter_bits and len(key_cols) == 1:
+        from pyspark.sql import functions as F
+
+        from parquet_merger_spark.operators.sketches import (
+            bloom_build,
+            bloom_test_col,
+        )
+
+        key = key_cols[0]
+        bloom = bloom_build(update_keys, key, m_bits=bloom_prefilter_bits)
+        tagged = base.crossJoin(F.broadcast(bloom))
+        may_match = F.coalesce(
+            bloom_test_col("words", key, m_bits=bloom_prefilter_bits),
+            F.lit(False),
+        )
+        sure_keep = tagged.filter(~may_match).drop("words")
+        maybe = tagged.filter(may_match).drop("words")
+        kept = maybe.join(update_keys, key_cols, "left_anti").unionByName(
+            sure_keep
+        )
+    else:
+        kept = base.join(update_keys, key_cols, "left_anti")
     return kept.unionByName(updates.select(*base.columns))
 
 

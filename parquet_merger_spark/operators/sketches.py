@@ -332,6 +332,38 @@ def bloom_build(
     )
 
 
+def bloom_test_col(
+    words_col: str,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    which_base: int = 5,
+) -> Column:
+    """Boolean column: ``key_col`` MAY be in the Bloom filter carried in
+    ``words_col`` (all ``k_hashes`` bits set) — row-local integer tests,
+    no shuffle; the arithmetic-shift sign extension is masked off by the
+    & 1.  Never false for a true member; NULL for a NULL key (callers
+    splitting keep/maybe branches must coalesce)."""
+    conds = []
+    for i in range(k_hashes):
+        pos = (
+            f"pmod({PORTABLE_HASH_AC[which_base + i][0]} * pmod({key_col}, "
+            f"{PORTABLE_MOD}) + {PORTABLE_HASH_AC[which_base + i][1]}, "
+            f"{PORTABLE_MOD}) % {m_bits}"
+        )
+        conds.append(
+            F.expr(
+                f"(shiftright(element_at({words_col}, "
+                f"CAST(({pos}) div 64 AS INT) + 1), "
+                f"CAST(({pos}) % 64 AS INT)) & 1) = 1"
+            )
+        )
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return cond
+
+
 def bloom_filter_rows(
     df: DataFrame,
     words_col: str,
@@ -341,30 +373,10 @@ def bloom_filter_rows(
     which_base: int = 5,
 ) -> DataFrame:
     """Rows of ``df`` whose ``key_col`` MAY be in the Bloom filter
-    carried in ``words_col`` (all ``k_hashes`` bits set) — row-local
-    integer tests, no shuffle; the arithmetic-shift sign extension is
-    masked off by the & 1.  Never drops a true member."""
-    out = df
-    conds = []
-    tmp = []
-    for i in range(k_hashes):
-        pcol = f"__bloom_pos{i}"
-        tmp.append(pcol)
-        out = out.withColumn(
-            pcol,
-            F.pmod(portable_hash64(F.col(key_col), which_base + i), F.lit(m_bits)),
-        )
-        conds.append(
-            F.expr(
-                f"(shiftright(element_at({words_col}, "
-                f"CAST({pcol} div 64 AS INT) + 1), "
-                f"CAST({pcol} % 64 AS INT)) & 1) = 1"
-            )
-        )
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond & c
-    return out.filter(cond).drop(*tmp)
+    carried in ``words_col`` — see :func:`bloom_test_col`."""
+    return df.filter(
+        bloom_test_col(words_col, key_col, m_bits, k_hashes, which_base)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -9304,3 +9304,24 @@ def q_stream_mincount_distinct(spark, sf_dir):
 
 ORACLE_SQL["stream_mincount_distinct"] = ORACLE_SQL["mincount_distinct_rollup"]
 QUERIES["stream_mincount_distinct"] = q_stream_mincount_distinct
+
+
+def q_upsert_orders_bloom(spark, sf_dir):
+    """The keyed upsert with the runtime Bloom key-set reduction ON
+    (`upsert_by_key(bloom_prefilter_bits=...)`): update keys ride along
+    as a broadcast 8 KB Bloom; bloom-negative base rows bypass the
+    anti-join entirely and only the bloom-positive slice rides through
+    its exchange.  No false negatives => identical to the plain upsert,
+    so the key is certified by `upsert_orders`' DuckDB oracle; the
+    bypass-fraction and result-identity are pinned in
+    ``tests/test_round6.py``.  At 100 TB: shuffle the refresh-sized
+    slice, not the base."""
+    from parquet_merger_spark.operators.incremental import upsert_by_key
+
+    o, repriced, fresh = _upsert_fixture_frames(spark, sf_dir)
+    updates = repriced.unionByName(fresh)
+    return upsert_by_key(o, updates, ["o_orderkey"], bloom_prefilter_bits=1 << 16)
+
+
+ORACLE_SQL["upsert_orders_bloom"] = ORACLE_SQL["upsert_orders"]
+QUERIES["upsert_orders_bloom"] = q_upsert_orders_bloom

@@ -146,3 +146,39 @@ def test_ivfpq_portable_determinism_and_recall(spark):
     }
     got = {(r.query_id, r.vec_id) for r in res.collect()}
     assert len(got & exact) / len(exact) >= 0.25
+
+
+def test_upsert_bloom_knob_identical_and_bypasses(spark):
+    """Bloom-knob'd upsert returns the plain upsert's exact rows, and
+    the bloom-negative bypass is real: the slice that rides through the
+    anti-join stays within 2x the true-match count."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.incremental import upsert_by_key
+    from parquet_merger_spark.operators.sketches import (
+        bloom_build,
+        bloom_test_col,
+    )
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    plain = upsert_by_key(o, updates, ["o_orderkey"])
+    bloomed = upsert_by_key(
+        o, updates, ["o_orderkey"], bloom_prefilter_bits=1 << 16
+    )
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in bloomed.collect()}
+    assert a == b and len(a) == o.count()
+
+    keys = updates.select("o_orderkey").distinct()
+    bloom = bloom_build(keys, "o_orderkey", m_bits=1 << 16)
+    tagged = o.crossJoin(F.broadcast(bloom))
+    maybe = tagged.filter(
+        F.coalesce(bloom_test_col("words", "o_orderkey", m_bits=1 << 16), F.lit(False))
+    )
+    n_maybe = maybe.count()
+    n_true = o.join(keys, "o_orderkey", "left_semi").count()
+    assert n_true <= n_maybe <= 2 * n_true
+    assert n_maybe < o.count()
