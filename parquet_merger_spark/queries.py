@@ -9325,3 +9325,84 @@ def q_upsert_orders_bloom(spark, sf_dir):
 
 ORACLE_SQL["upsert_orders_bloom"] = ORACLE_SQL["upsert_orders"]
 QUERIES["upsert_orders_bloom"] = q_upsert_orders_bloom
+
+
+def q_zorder_pruned_scan(spark, sf_dir):
+    """Z-ORDER layout + 2-D pruned re-scan — the multi-dimension
+    data-skipping primitive 1-D partitioning cannot express
+    (`partition_pruned_scan` is its categorical little sibling): orders
+    are bucketized on BOTH o_custkey and price-cents (256 uniform
+    integer buckets each, boundaries from a 1-row min/max meta), the
+    two bucket ids interleave into a Morton z-value, and the sink
+    partitions by the z-value's top 4 bits (16 quad-tree cells).  A
+    rectangle predicate (custkey buckets 64-191 x cents buckets 0-127)
+    then touches only the 4 intersecting cells — `PartitionFilters`
+    directory pruning, 75% of the layout never listed (plan-pinned in
+    ``tests/test_round6.py``) — and the row-level re-filter makes the
+    covering-set superset exact, so the key is certified by the plain
+    full-scan predicate's DuckDB oracle.  At 100 TB: one clustering
+    write serves range scans on EITHER dimension."""
+    from parquet_merger_spark.operators.bucketing import (
+        zorder_covering_buckets,
+        zorder_value,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = (
+        o.agg(
+            F.min("o_custkey").alias("kmin"),
+            F.max("o_custkey").alias("kmax"),
+            F.min(cents).alias("cmin"),
+            F.max(cents).alias("cmax"),
+        ).collect()[0]
+    )  # 1-row layout meta — sanctioned model-sized collect
+    kspan = m.kmax - m.kmin + 1
+    cspan = m.cmax - m.cmin + 1
+    bx = ((F.col("o_custkey") - F.lit(int(m.kmin))) * 256) / F.lit(int(kspan))
+    by = ((cents - F.lit(int(m.cmin))) * 256) / F.lit(int(cspan))
+    laid = o.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("cents"),
+        F.floor(bx).cast("long").alias("bx"),
+        F.floor(by).cast("long").alias("by"),
+    ).withColumn(
+        "zbucket",
+        F.shiftright(zorder_value(F.col("bx"), F.col("by")), 12),
+    )
+    out = _scratch_dir(spark, "zorder_layout")
+    laid.write.mode("overwrite").partitionBy("zbucket").parquet(out)
+
+    cover = zorder_covering_buckets((64, 191), (0, 127))
+    r = (
+        spark.read.parquet(out)
+        .filter(F.col("zbucket").isin(cover))
+        .filter(F.col("bx").between(64, 191) & F.col("by").between(0, 127))
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+ORACLE_SQL["zorder_pruned_scan"] = """
+    WITH meta AS (
+      SELECT min(o_custkey) AS kmin, max(o_custkey) AS kmax,
+             min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cmin,
+             max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cmax
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(floor(((o_custkey - kmin) * 256.0) / (kmax - kmin + 1)) AS BIGINT) AS bx,
+             CAST(floor(((CAST(round(o_totalprice * 100, 0) AS BIGINT) - cmin) * 256.0)
+                        / (cmax - cmin + 1)) AS BIGINT) AS by,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders, meta
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b
+    WHERE bx BETWEEN 64 AND 191 AND by BETWEEN 0 AND 127
+"""
+QUERIES["zorder_pruned_scan"] = q_zorder_pruned_scan

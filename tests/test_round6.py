@@ -182,3 +182,25 @@ def test_upsert_bloom_knob_identical_and_bypasses(spark):
     n_true = o.join(keys, "o_orderkey", "left_semi").count()
     assert n_true <= n_maybe <= 2 * n_true
     assert n_maybe < o.count()
+
+
+def test_zorder_scan_prunes_partitions(spark):
+    """The z-layout re-scan lists only the covering cells: the scan
+    node carries a PartitionFilters entry on zbucket, the covering set
+    is 4 of 16 cells for the pinned rectangle, and the pruned result
+    equals the full-scan predicate (superset + row re-filter)."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.operators.bucketing import (
+        zorder_covering_buckets,
+    )
+    from parquet_merger_spark.queries import QUERIES
+
+    cover = zorder_covering_buckets((64, 191), (0, 127))
+    assert len(cover) == 4  # 2 x-cells x 2 y-cells of the 16
+
+    df = QUERIES["zorder_pruned_scan"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zbucket" in plan
+    row = df.collect()[0]
+    assert row.n_orders > 0 and row.sum_cents > 0
