@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_range_join"]
+__all__ = ["bucketed_range_join", "interval_overlap_pairs"]
 
 _BUCKET = "__range_bucket"
 
@@ -90,3 +90,90 @@ def bucketed_range_join(
         )
         return f.join(d, cond, "left_semi").drop(_BUCKET)
     return f.join(d, _BUCKET, "inner").filter(refine).drop(_BUCKET)
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """All pairs of rows whose CLOSED integer intervals
+    ``[start_col, end_col]`` overlap (within the same
+    ``partition_cols`` group, if given) — the interval SELF-join, the
+    primitive behind concurrent-session detection, shipment-window
+    collision checks, and co-occurrence mining.
+
+    The naive form is a quadratic theta-join Spark would plan as a
+    cartesian product.  Scale shape here: each interval explodes into
+    the fixed-width buckets it covers (amplification
+    ``~width/bucket_width + 1``); candidates come from a plain hash
+    equi-join on ``(partition_cols…, bucket)``; the exact overlap
+    predicate (``a.start <= b.end AND b.start <= a.end``) re-filters
+    collisions.  A pair overlapping across several shared buckets would
+    match once per bucket, so a count-once gate keeps only the bucket
+    containing ``greatest(a.start, b.start)`` (the overlap's left edge
+    — by construction a bucket BOTH intervals cover): every true pair
+    survives in exactly one bucket, no ``distinct`` shuffle needed.
+
+    Returns one row per unordered pair (``a.id < b.id``) with the two
+    ids, both intervals, and ``overlap_len`` (closed-interval day
+    count).  Linear in data + candidate pairs; AQE handles skewed
+    buckets like any equi-join.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keys = list(partition_cols or [])
+    w = F.lit(int(bucket_width))
+    e = df.select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(F.floor(F.col("__s") / w), F.floor(F.col("__e") / w))
+        ),
+    )
+    a = e.select(
+        *keys,
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("start_a"),
+        F.col("__e").alias("end_a"),
+        _BUCKET,
+    )
+    b = e.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("start_b"),
+        F.col("__e").alias("end_b"),
+        F.col(_BUCKET).alias("__bucket_b"),
+    )
+    cond = (F.col(_BUCKET) == F.col("__bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    overlap = (F.col("start_a") <= F.col("end_b")) & (
+        F.col("start_b") <= F.col("end_a")
+    )
+    count_once = F.col(_BUCKET) == F.floor(
+        F.greatest("start_a", "start_b") / w
+    )
+    return (
+        a.join(b, cond, "inner")
+        .filter(overlap & count_once)
+        .select(
+            *keys,
+            "id_a",
+            "id_b",
+            "start_a",
+            "end_a",
+            "start_b",
+            "end_b",
+            (
+                F.least("end_a", "end_b") - F.greatest("start_a", "start_b") + 1
+            ).alias("overlap_len"),
+        )
+    )

@@ -9406,3 +9406,136 @@ ORACLE_SQL["zorder_pruned_scan"] = """
     WHERE bx BETWEEN 64 AND 191 AND by BETWEEN 0 AND 127
 """
 QUERIES["zorder_pruned_scan"] = q_zorder_pruned_scan
+
+
+def q_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap SELF-join (`operators.rangejoin.interval_overlap_pairs`)
+    — the quadratic theta-join every engine special-cases (concurrent
+    sessions, shipment-window collisions), here as a linear bucketized
+    equi-join: each shipment's active window [ship, ship + 1 +
+    qty % 14 days] explodes into 16-day buckets, candidates come from a
+    plain hash join on (suppkey, bucket), the exact overlap predicate
+    re-filters, and a count-once gate (bucket of greatest(start) — a
+    bucket both intervals cover) keeps each true pair exactly once with
+    NO distinct shuffle.  Output: per-supplier overlapping-pair count +
+    total overlap days.  At 100 TB: candidate volume is O(rows x
+    width/bucket_width), never O(rows^2); AQE splits skewed buckets."""
+    from parquet_merger_spark.operators.rangejoin import interval_overlap_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("line_id"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("s"),
+        (F.col("l_quantity").cast("long") % 14).alias("qmod"),
+    ).select(
+        "l_suppkey", "line_id", "s", (F.col("s") + 1 + F.col("qmod")).alias("e")
+    )
+    pairs = interval_overlap_pairs(
+        iv, "line_id", "s", "e", bucket_width=16, partition_cols=["l_suppkey"]
+    )
+    return pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("overlap_len").cast("long").alias("sum_overlap_days"),
+    )
+
+
+ORACLE_SQL["interval_overlap_join"] = """
+    WITH iv AS (
+      SELECT l_suppkey,
+             l_orderkey * 10 + l_linenumber AS line_id,
+             date_diff('day', DATE '1995-01-01', l_shipdate) AS s,
+             date_diff('day', DATE '1995-01-01', l_shipdate)
+               + 1 + (CAST(l_quantity AS BIGINT) % 14) AS e
+      FROM lineitem
+    ),
+    p AS (
+      SELECT a.l_suppkey,
+             least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov
+      FROM iv a JOIN iv b
+        ON a.l_suppkey = b.l_suppkey AND a.line_id < b.line_id
+       AND a.s <= b.e AND b.s <= a.e
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ov) AS BIGINT) AS sum_overlap_days
+    FROM p GROUP BY 1
+"""
+QUERIES["interval_overlap_join"] = q_interval_overlap_join
+
+
+def q_split_leakage_guard(spark, sf_dir):
+    """Leakage-safe train/val/test split: `train_test_split` hashes the
+    DOC id, so two near-duplicate documents can straddle train and test
+    — the classic eval-contamination bug.  This key splits by the
+    near-dup CLUSTER instead: exact-Jaccard pairs (t=0.8) resolve to
+    connected components (`operators.dedup.dup_clusters`), unpaired
+    docs form singleton clusters, and the split gate hashes the CLUSTER
+    id — every member of a component lands in the same split BY
+    CONSTRUCTION.  Same portable polynomial gate as train_test_split,
+    so DuckDB recomputes the identical assignment end-to-end (recursive
+    CTE components + the same gate).  At 100 TB: one components pass
+    (already measured sub-linear via the LSH pipeline) + a shuffle-free
+    row-local gate."""
+    from parquet_merger_spark.operators.sampling import (
+        portable_hash_gate,
+        split_by_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_words=2, threshold=0.8)
+    clusters = dup_clusters(pairs)
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    return split_by_hash(
+        labeled,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="cluster_id",
+        gate=portable_hash_gate(F.col("cluster_id")),
+    )
+
+
+ORACLE_SQL["split_leakage_guard"] = f"""
+    WITH RECURSIVE g AS ({_GRAMS}),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE sh / (sa.n + sb.n - sh) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    lab AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_chars, cluster_id,
+           CASE WHEN gate < 800000 THEN 'train'
+                WHEN gate < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *, ((cluster_id % 999983) * 7919) % 1000000 AS gate FROM lab)
+"""
+QUERIES["split_leakage_guard"] = q_split_leakage_guard
