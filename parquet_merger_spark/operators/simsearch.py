@@ -1609,3 +1609,86 @@ def ivfpq_topk_portable(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", F.col("id").alias("vec_id"), "score")
     )
+
+
+def mmr_rerank_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 4,
+    n_candidates: int = 16,
+    k: int = 4,
+) -> DataFrame:
+    """(query_id, rank, vec_id, mmr_score): Maximal-Marginal-Relevance
+    diversity re-rank (Carbonell & Goldstein 1998) over a retrieved
+    candidate set, fully cross-engine — the selection extends the
+    certified iterative family (kmeans/IVF/PQ/IVF-PQ) from *retrieval*
+    to *result diversification*, the step RAG/curation pipelines run
+    between ANN search and the consumer.
+
+    Semantics (lambda = 1/2, so ordering == argmax of
+    ``rel - max_sim_to_selected``; the first pick is pure relevance):
+    candidates = exact integer-dot top-``n_candidates`` per query
+    (self excluded), then ``k`` greedy picks, each maximizing
+    ``rel(x) - max(sim(x, s) for s in selected)``, ties by smallest id.
+    All scores are integer dots of grid-quantized vectors, so the
+    unrolled DuckDB oracle reproduces ranks, ids AND scores exactly.
+
+    Scale shape (the production one): rerank cost is per-QUERY-local —
+    after candidate retrieval each query's group is a bounded
+    ``n_candidates``-row problem (an O(n^2) integer GEMM on ~100 rows),
+    embarrassingly parallel across millions of queries via one
+    ``applyInPandas`` over query_id; no cross-query state, no shuffle
+    beyond the candidate groupBy.  The greedy loop lives INSIDE the
+    Arrow batch, never on the driver."""
+    q = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("q"))
+    queries = q.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qv")
+    )
+    rel = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("rel", quantized_dot(F.col("q"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("id"))
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_candidates)
+        .select("query_id", F.col("id").alias("cand_id"), "q", "rel")
+    )
+
+    kk = int(k)
+
+    def _rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        V = np.asarray(pdf["q"].tolist(), dtype=np.int64)
+        ids = pdf["cand_id"].to_numpy(np.int64)
+        rel_ = pdf["rel"].to_numpy(np.int64)
+        qid = int(pdf["query_id"].iloc[0])
+        n = len(ids)
+        sim = V @ V.T
+        maxsim = None  # step 1 has no selected set: score = pure rel
+        taken = np.zeros(n, dtype=bool)
+        out = []
+        for r in range(min(kk, n)):
+            score = rel_ if maxsim is None else rel_ - maxsim
+            for i in np.lexsort((ids, -score)):
+                if not taken[i]:
+                    pick = int(i)
+                    break
+            taken[pick] = True
+            out.append((qid, r + 1, int(ids[pick]), int(score[pick])))
+            maxsim = (
+                sim[:, pick].copy()
+                if maxsim is None
+                else np.maximum(maxsim, sim[:, pick])
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _rerank, "query_id long, rank long, vec_id long, mmr_score long"
+    )

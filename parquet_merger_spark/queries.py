@@ -9539,3 +9539,99 @@ ORACLE_SQL["split_leakage_guard"] = f"""
     FROM (SELECT *, ((cluster_id % 999983) * 7919) % 1000000 AS gate FROM lab)
 """
 QUERIES["split_leakage_guard"] = q_split_leakage_guard
+
+
+def q_mmr_diverse_topk(spark, sf_dir):
+    """MMR diversity re-rank (`operators.simsearch.mmr_rerank_portable`)
+    — the retrieval->diversification step RAG and curation pipelines run
+    after ANN search: exact integer-dot top-16 candidates per query,
+    then 4 greedy Maximal-Marginal-Relevance picks (lambda=1/2: argmax
+    of rel - max-sim-to-selected, empty set = 0, ties by smallest id).
+    The greedy loop runs INSIDE an Arrow batch per query group —
+    per-query-local, embarrassingly parallel across millions of queries,
+    never on the driver.  Sixth member of the oracle-certified iterative
+    family: ranks, ids AND scores hash-match the unrolled DuckDB
+    oracle."""
+    from parquet_merger_spark.operators.simsearch import mmr_rerank_portable
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank_portable(e, "vec_id", "embedding")
+
+
+def _mmr_portable_sql(
+    n_queries: int = 4, n_cand: int = 16, k: int = 4, dims: int = 64
+) -> str:
+    from parquet_merger_spark.operators.simsearch import QUANT_SCALE
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> ({a}[i] * {b}[i]))) AS BIGINT)"
+        )
+
+    parts = [
+        f"""v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}, 0) AS BIGINT)) AS q
+          FROM embeddings
+        ),
+        qv AS (SELECT id AS query_id, q AS qvec FROM v WHERE id < {n_queries}),
+        relall AS (
+          SELECT qv.query_id, v.id AS cand_id, v.q,
+                 {dot("qv.qvec", "v.q")} AS rel
+          FROM qv CROSS JOIN v WHERE v.id <> qv.query_id
+        ),
+        cand AS (
+          SELECT query_id, cand_id, q, rel FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM relall) WHERE rn <= {n_cand}
+        ),
+        sim AS (
+          SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+                 {dot("a.q", "b.q")} AS s
+          FROM cand a JOIN cand b ON a.query_id = b.query_id
+        ),
+        pick1 AS (
+          SELECT query_id, cand_id, rel AS score FROM (
+            SELECT query_id, cand_id, rel,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM cand) WHERE rn = 1
+        ),
+        sel1 AS (SELECT query_id, cand_id FROM pick1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(f"""ms{t} AS (
+          SELECT c.query_id, c.cand_id, c.rel, max(s.s) AS maxsim
+          FROM cand c
+          JOIN sim s ON s.query_id = c.query_id AND s.ia = c.cand_id
+          JOIN sel{t - 1} t ON t.query_id = s.query_id AND t.cand_id = s.ib
+          LEFT JOIN sel{t - 1} x
+            ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+          WHERE x.cand_id IS NULL
+          GROUP BY 1, 2, 3
+        ),
+        pick{t} AS (
+          SELECT query_id, cand_id, score FROM (
+            SELECT query_id, cand_id, rel - maxsim AS score,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY rel - maxsim DESC, cand_id) AS rn
+            FROM ms{t}) WHERE rn = 1
+        ),
+        sel{t} AS (
+          SELECT query_id, cand_id FROM sel{t - 1}
+          UNION ALL SELECT query_id, cand_id FROM pick{t}
+        )""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT query_id, CAST({t} AS BIGINT) AS rank, "
+        f"cand_id AS vec_id, score AS mmr_score FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return "\n        WITH " + ",\n        ".join(parts) + f"\n        {finals}"
+
+
+ORACLE_SQL["mmr_diverse_topk"] = _mmr_portable_sql()
+QUERIES["mmr_diverse_topk"] = q_mmr_diverse_topk

@@ -258,3 +258,44 @@ def test_split_leakage_guard_no_cluster_straddles(spark):
         assert n_clustered > 0  # the guard is exercised, not vacuous
     finally:
         lab.unpersist()
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR's picks (1) start from the pure-relevance argmax, (2) diverge
+    from the pure-relevance top-k on at least one query (the diversity
+    term did something), and (3) are deterministic across runs."""
+    from parquet_merger_spark.operators.simsearch import (
+        mmr_rerank_portable,
+        quantize,
+        quantized_dot,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = mmr_rerank_portable(e).toPandas().sort_values(["query_id", "rank"])
+    assert len(got) == 16 and set(got["rank"]) == {1, 2, 3, 4}
+
+    q = e.select(F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("q"))
+    queries = q.filter(F.col("id") < 4).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qv")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("id"))
+    top = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("rel", quantized_dot(F.col("q"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .toPandas()
+    )
+    for qid in range(4):
+        mmr1 = got[(got.query_id == qid) & (got["rank"] == 1)].vec_id.iloc[0]
+        rel1 = top[(top.query_id == qid) & (top.rn == 1)].id.iloc[0]
+        assert mmr1 == rel1  # first pick is pure relevance
+    mmr_sets = {q_: set(g.vec_id) for q_, g in got.groupby("query_id")}
+    rel_sets = {q_: set(g.id) for q_, g in top.groupby("query_id")}
+    assert any(mmr_sets[q_] != rel_sets[q_] for q_ in mmr_sets)
+
+    again = mmr_rerank_portable(e).toPandas().sort_values(["query_id", "rank"])
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
