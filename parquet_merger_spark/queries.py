@@ -9635,3 +9635,115 @@ def _mmr_portable_sql(
 
 ORACLE_SQL["mmr_diverse_topk"] = _mmr_portable_sql()
 QUERIES["mmr_diverse_topk"] = q_mmr_diverse_topk
+
+
+def q_incremental_dedup_ingest(spark, sf_dir):
+    """Incremental-ingest exact dedup — the gate every continuously-fed
+    corpus runs on each NEW batch: (1) within-batch dedup keeps the
+    smallest id per content hash, (2) an anti-join against the existing
+    corpus's hash set drops docs already ingested.  Content equality
+    travels as sha2-256 of the text, so the shuffle key is a constant
+    32 bytes regardless of document size — the production shape (the
+    corpus side reduces to a distinct hash column; at 100 TB that hash
+    column is the persisted ingest ledger, and the broadcast-Bloom
+    knob from `upsert_orders_bloom` applies when the batch is small).
+    Corpus = doc_id < 400, batch = doc_id >= 400; certified end-to-end
+    by the DuckDB twin (hash equality == text equality within each
+    engine, so representations never cross engines)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    fp = F.sha2(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)), 256
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    batch_first = (
+        batch.withColumn("h", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    ledger = corpus.select(fp.alias("h")).distinct()
+    return batch_first.join(ledger, "h", "left_anti").select("doc_id", "n_chars")
+
+
+ORACLE_SQL["incremental_dedup_ingest"] = """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+    batch AS (SELECT * FROM documents WHERE doc_id >= 400),
+    batch_first AS (
+      SELECT doc_id, n_chars, h FROM (
+        SELECT doc_id, n_chars,
+               sha256(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+               row_number() OVER (
+                 PARTITION BY
+                   sha256(array_to_string(string_split(text, ' ')[1:8], ' '))
+                 ORDER BY doc_id) AS rn
+        FROM batch) WHERE rn = 1
+    )
+    SELECT doc_id, n_chars FROM batch_first b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM corpus c
+      WHERE sha256(array_to_string(string_split(c.text, ' ')[1:8], ' ')) = b.h
+    )
+"""
+QUERIES["incremental_dedup_ingest"] = q_incremental_dedup_ingest
+
+
+def q_curriculum_interleave(spark, sf_dir):
+    """Curriculum ordering for training data: docs ranked per SOURCE by
+    quality (n_chars desc as the stand-in score, ties by id), then
+    interleaved round-robin across sources — position
+    ``seq * n_sources + source_idx`` — so a sequential reader sees
+    quality-descending data with per-position source diversity.  The
+    position is pure ARITHMETIC over (per-source rank, broadcast
+    source index): no global row_number, no single-task sort at any
+    corpus size; the only shuffle partitions by source (the classic
+    unpartitioned-window trap this engine red-lines).  Gaps where a
+    source exhausts are intentional — the position is a priority, not
+    a dense index; the sink sorts within partitions on it."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    seq = d.select("doc_id", "source", "n_chars").withColumn(
+        "seq", F.row_number().over(w).cast("long") - 1
+    )
+    src = (
+        d.select("source").distinct()
+        .withColumn(
+            "source_idx",
+            F.row_number()
+            .over(Window.orderBy("source"))  # tiny dim: |sources| rows
+            .cast("long") - 1,
+        )
+    )
+    n_sources = F.lit(src.count())  # 1-row model-sized count
+    return (
+        seq.join(F.broadcast(src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "seq",
+            (F.col("seq") * n_sources + F.col("source_idx")).alias(
+                "interleave_pos"
+            ),
+        )
+    )
+
+
+ORACLE_SQL["curriculum_interleave"] = """
+    WITH seq AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS seq
+      FROM documents
+    ),
+    src AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+               AS source_idx
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM src)
+    SELECT s.doc_id, s.source, s.seq,
+           s.seq * n.k + x.source_idx AS interleave_pos
+    FROM seq s JOIN src x USING (source) CROSS JOIN n
+"""
+QUERIES["curriculum_interleave"] = q_curriculum_interleave

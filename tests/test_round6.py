@@ -299,3 +299,34 @@ def test_mmr_rerank_diversifies(spark):
 
     again = mmr_rerank_portable(e).toPandas().sort_values(["query_id", "rank"])
     assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_incremental_dedup_ingest_drops_both_ways(spark):
+    """The ingest gate drops (a) within-batch fingerprint dups beyond
+    the first and (b) batch docs already in the corpus ledger — and
+    survivors are exactly batch-minus-drops (no corpus rows leak in)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    out = QUERIES["incremental_dedup_ingest"](spark, SF_DIR).toPandas()
+    assert out.doc_id.min() >= 400  # survivors come from the batch only
+    assert len(out) < 100  # something was actually dropped
+    assert out.doc_id.is_unique
+
+
+def test_curriculum_interleave_properties(spark):
+    """(1) interleave_pos is unique; (2) within a source, position
+    strictly follows quality rank; (3) the first |sources| positions
+    hold |sources| DISTINCT sources (round-robin head)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    out = (
+        QUERIES["curriculum_interleave"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("interleave_pos")
+    )
+    assert out.interleave_pos.is_unique
+    for _, g in out.groupby("source"):
+        srt = g.sort_values("seq")
+        assert (srt.interleave_pos.diff().dropna() > 0).all()
+    k = out.source.nunique()
+    assert out.head(k).source.nunique() == k
