@@ -49,7 +49,16 @@ FACTOR = 10.0  # data ratio between the two dirs
 # (.localdata/sf10, from gen_scale_data.py chained off sf1) separates
 # the two.  Only the tables these keys read exist at sf10.
 SF_100X = os.path.join(ROOT, ".localdata", "sf10")
-KEYS_100X = ["pagerank", "dedup_ngram_jaccard"]
+# r06 second wave: the HEADLINE dedup path (LSH pipeline — the operator
+# the 100 TB sub-linearity claim actually rides on; jaccard is only its
+# verification tier) and the triangle census (the O(E^1.5) bound at 60M
+# edges) join the second-decade panel.
+KEYS_100X = [
+    "pagerank",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_lsh",
+    "graph_triangles",
+]
 
 
 def main() -> None:
