@@ -58,6 +58,7 @@ KEYS_100X = [
     "dedup_ngram_jaccard",
     "dedup_pipeline_lsh",
     "graph_triangles",
+    "semdedup",  # needs the sf10 embeddings replica (gen_scale_data)
 ]
 
 
