@@ -1396,3 +1396,89 @@ def simhash_signatures_portable(
         .agg(*votes)
         .select(F.col(id_col), sig_expr.cast("long").alias("simhash"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003): per document, hash every word ``k``-gram, slide a window of
+    ``window`` consecutive gram hashes, and select the MINIMUM hash in
+    each window (ties -> rightmost position).  The union of selections,
+    deduplicated, is the document's fingerprint set — the local-algorithm
+    guarantee is that any shared substring of at least ``k + window - 1``
+    tokens between two documents yields at least one shared fingerprint,
+    at an expected density of 2/(window+1) of all grams.  This is the
+    copy-localising sibling of MinHash: MinHash answers "are these
+    documents similar overall", winnowing answers "WHERE do they share
+    passages" with position-level evidence, at a fraction of the
+    positional-gram volume of :func:`dup_passage_coverage`.
+
+    Output: one row per selected fingerprint, ``(id, fp_pos, fp)``, all
+    BIGINT — ``fp_pos`` is the 0-based gram position selected, ``fp`` the
+    portable gram hash.
+
+    Fully engine-portable, hence exactly DuckDB-checkable: gram identity
+    is the :func:`portable_vocab` term-id chain reduced mod
+    ``PORTABLE_MOD`` (same kernel as :func:`_portable_doc_grams`, k-ary
+    and positional), decorrelated through one (a*x+c) mod p universal
+    hash; the rightmost-min tie-break is encoded arithmetically as
+    ``min(h * 2^21 + (2^21-1-pos))`` so a single windowed MIN resolves
+    both the value and the position (positions < 2^21 per document; the
+    combined key stays < 2^51, exact int64 everywhere).
+
+    Scale design (100 TB): everything after the dictionary join is
+    row-local or per-document (lead/min windows partitioned by ``id``) —
+    no cross-document shuffle at all; output volume is ~2/(window+1) of
+    the gram stream.  Fingerprint matching downstream is a plain
+    equi-join on ``fp``."""
+    assert k >= 1 and window >= 1
+    a0, c0 = PORTABLE_HASH_AC[0]
+    poscap = 1 << 21
+    vocab = portable_vocab(df, text_col)
+    vsz = vocab.agg(F.max("term_id").alias("__V"))
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "term")
+    ).join(vocab, "term")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cur = tok.crossJoin(F.broadcast(vsz))
+    gid = F.col("term_id").cast("long")
+    for i in range(1, k):
+        cur = cur.withColumn(f"__n{i}", F.lead("term_id", i).over(w))
+        gid = F.pmod(
+            gid * (F.col("__V") + F.lit(1)) + F.col(f"__n{i}"),
+            F.lit(PORTABLE_MOD),
+        )
+    grams = cur if k == 1 else cur.where(F.col(f"__n{k - 1}").isNotNull())
+    grams = grams.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.pmod(F.lit(a0) * gid + F.lit(c0), F.lit(PORTABLE_MOD)).alias("h"),
+    )
+    wv = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    combined = F.col("h") * F.lit(poscap) + (F.lit(poscap - 1) - F.col("pos"))
+    sel = (
+        grams.withColumn("__c", combined)
+        .withColumn("__m", F.min("__c").over(wv))
+        .withColumn("__w", F.count(F.lit(1)).over(wv))
+        # full windows only; a doc with fewer than `window` grams keeps
+        # its single (pos == 0) short window so every doc with >= 1 gram
+        # fingerprints at least once
+        .where(
+            (F.col("__w") == window)
+            | ((F.col("pos") == 0) & (F.col("__w") < window))
+        )
+        .select(
+            F.col(id_col),
+            (F.lit(poscap - 1) - F.pmod(F.col("__m"), F.lit(poscap)))
+            .cast("long")
+            .alias("fp_pos"),
+            F.expr(f"CAST(__m DIV {poscap} AS BIGINT)").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

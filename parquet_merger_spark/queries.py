@@ -9747,3 +9747,289 @@ ORACLE_SQL["curriculum_interleave"] = """
     FROM seq s JOIN src x USING (source) CROSS JOIN n
 """
 QUERIES["curriculum_interleave"] = q_curriculum_interleave
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprint selection (`operators.dedup.
+    winnow_fingerprints`): word-3-gram portable hashes, window of 4,
+    min-per-window with rightmost tie-break — the position-level
+    copy-detection primitive (any shared run of >= 6 tokens across two
+    documents shares a fingerprint; expected density 2/(w+1) of grams).
+    Output: the selected (doc_id, fp_pos, fp) set itself.  At 100 TB:
+    row-local after the dictionary join (per-doc lead/min windows, no
+    cross-doc shuffle); matching is a downstream equi-join on fp."""
+    from parquet_merger_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+
+
+def _winnowing_sql() -> str:
+    AC, P, vocab = _portable_sql_parts()
+    a0, c0 = AC[0]
+    poscap = 1 << 21
+    return f"""
+        WITH {vocab},
+        vsz AS (SELECT max(term_id) AS v FROM vocab),
+        ids AS (
+          SELECT t.doc_id, t.pos - 1 AS pos, v.term_id
+          FROM tok t JOIN vocab v USING (term)
+        ),
+        g AS (
+          SELECT a.doc_id, a.pos,
+                 ({a0} * (((a.term_id * (vsz.v + 1) + b.term_id) % {P})
+                            * (vsz.v + 1) + c.term_id) % {P} + {c0}) % {P}
+                   AS h
+          FROM ids a
+          JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN ids c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+          CROSS JOIN vsz
+        ),
+        win AS (
+          SELECT doc_id, pos,
+                 min(h * {poscap} + ({poscap - 1} - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {4 - 1} FOLLOWING) AS m,
+                 count(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {4 - 1} FOLLOWING) AS n
+          FROM g
+        )
+        SELECT DISTINCT doc_id,
+               CAST({poscap - 1} - (m % {poscap}) AS BIGINT) AS fp_pos,
+               CAST(m // {poscap} AS BIGINT) AS fp
+        FROM win WHERE n = 4 OR (pos = 0 AND n < 4)
+    """
+
+
+ORACLE_SQL["winnowing_fingerprints"] = _winnowing_sql()
+QUERIES["winnowing_fingerprints"] = q_winnowing_fingerprints
+
+
+def q_embedding_rhp_lsh(spark, sf_dir):
+    """Sign-random-projection LSH near-dup pairs over the embeddings
+    table (`operators.simsearch.rhp_lsh_pairs`, bits=12/bands=6,
+    cosine >= 0.35 verify) — the bucketed embedding-space candidate
+    generator: signatures are one row-local integer pass (hyperplanes
+    regenerate from two literals, no stored model), the only wide op is
+    the banded equi-join, and the exact quantized-cosine filter runs on
+    candidates only.  Every step is portable integer arithmetic, so the
+    DuckDB twin replays the identical buckets: exact oracle despite the
+    operator being an approximate (recall-bounded) candidate generator."""
+    from parquet_merger_spark.operators.simsearch import rhp_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return rhp_lsh_pairs(e, "vec_id", "embedding", bits=12, bands=6,
+                         threshold=0.35)
+
+
+def _rhp_lsh_sql() -> str:
+    from parquet_merger_spark.operators.dedup import (
+        PORTABLE_HASH_AC,
+        PORTABLE_MOD,
+    )
+
+    a1, c1 = PORTABLE_HASH_AC[1]
+    P = PORTABLE_MOD
+    dim, bits, bands, r = 64, 12, 6, 2
+    bit_exprs = ",\n                 ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, {dim + 1}), d -> "
+        f"qe[d] * ((({a1} * ({j * dim} + d) + {c1}) % {P}) % 21 - 10)))"
+        f" >= 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(bits)
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT vec_id, qe, q2, {b} AS band, "
+        + " + ".join(f"b{b * r + i} * {1 << i}" for i in range(r))
+        + " AS sig FROM bits"
+        for b in range(bands)
+    )
+    return f"""
+        WITH q AS ({_QVIEW}),
+        bits AS (
+          SELECT vec_id, qe, q2,
+                 {bit_exprs}
+          FROM q
+        ),
+        bb AS (
+          {band_rows}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bb a
+          JOIN bb b ON a.band = b.band AND a.sig = b.sig
+                 AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(CAST(list_sum(list_transform(list_zip(x.qe, y.qe),
+                            p -> struct_extract(p, 1) * struct_extract(p, 2)))
+                          AS BIGINT) / (sqrt(x.q2) * sqrt(y.q2)), 6) AS cosine
+        FROM cand c
+        JOIN q x ON x.vec_id = c.id_a
+        JOIN q y ON y.vec_id = c.id_b
+        WHERE CAST(list_sum(list_transform(list_zip(x.qe, y.qe),
+                     p -> struct_extract(p, 1) * struct_extract(p, 2)))
+                   AS BIGINT) / (sqrt(x.q2) * sqrt(y.q2)) >= 0.35
+    """
+
+
+ORACLE_SQL["embedding_rhp_lsh"] = _rhp_lsh_sql()
+QUERIES["embedding_rhp_lsh"] = q_embedding_rhp_lsh
+
+
+def q_quality_score_auc(spark, sf_dir):
+    """Exact ROC-AUC (`operators.textstats.binary_auc`) of a short-token
+    quality score (permille of tokens with <= 3 chars, integer) against
+    the lang == 'en' label — the "does this filter actually separate the
+    classes" gate run before thresholding a corpus on any score.  Ties
+    get average ranks; the corpus collapses to a <= 1001-row distinct-
+    score count table before any window, so no global row sort exists in
+    the plan at any scale."""
+    from parquet_merger_spark.operators.textstats import binary_auc
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        F.floor(
+            (F.lit(1000.0)
+             * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
+            / F.size(toks)
+        ).cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return binary_auc(scored, "score", "label")
+
+
+ORACLE_SQL["quality_score_auc"] = """
+    WITH scored AS (
+      SELECT CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
+                                                  t -> len(t) <= 3)))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    by_score AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(label) AS BIGINT) AS cp
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT c, cp,
+             coalesce(sum(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      FROM by_score
+    ),
+    agg AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+             CAST(sum(c) - sum(cp) AS BIGINT) AS n_neg,
+             CAST(sum(cp * (2 * o + c + 1)) AS BIGINT) AS s2
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((s2 - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg), 6)
+             AS auc
+    FROM agg
+"""
+QUERIES["quality_score_auc"] = q_quality_score_auc
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    """Pairwise cross-SOURCE contamination matrix: for every source pair,
+    how many distinct word-3-grams they share — the corpus-level overlap
+    audit run before mixing sources into one training set (high shared-
+    gram counts between a "clean" and a "web" source flag boilerplate or
+    mirrored content).  Shape at 100 TB: the corpus collapses to DISTINCT
+    (source, gram) — bounded by vocabulary x |sources|, not corpus size —
+    and the per-gram self-join fans out at most C(|sources|, 2) pairs per
+    gram (sources is a small dimension; production keys the join on
+    xxhash64(gram) to shuffle 8-byte keys instead of strings — equality
+    of text is what the oracle certifies here)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    return (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+ORACLE_SQL["source_overlap_matrix"] = """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source,
+             unnest(CASE WHEN len(t) >= 3
+                         THEN list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS gram
+      FROM toks
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+"""
+QUERIES["source_overlap_matrix"] = q_source_overlap_matrix
+
+
+def q_length_bucketed_batches(spark, sf_dir):
+    """Length-bucketed batch assignment for training: docs bucket by
+    length band (n_chars div 200), shard by hash within the bucket, and
+    take batch ids from a row_number over (bucket, shard) — the padding-
+    waste killer for sequence training (a batch's members share a length
+    band, so pad-to-longest wastes <= band width per row).  The shard
+    dimension is the scale release valve: the per-partition sort behind
+    row_number runs over (bucket, shard), never a whole bucket, so no
+    single task sorts a popular length band at 100 TB; batches stay
+    deterministic because the shard is a pure function of doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.expr("CAST(n_chars DIV 200 AS BIGINT)").alias("bucket"),
+            F.pmod(F.col("doc_id"), F.lit(8)).cast("long").alias("shard"),
+        )
+        .withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w) - 1) / 16).cast("long"),
+        )
+    )
+
+
+ORACLE_SQL["length_bucketed_batches"] = """
+    SELECT doc_id,
+           CAST(n_chars // 200 AS BIGINT) AS bucket,
+           CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard,
+           CAST((row_number() OVER (
+                   PARTITION BY n_chars // 200, ((doc_id % 8) + 8) % 8
+                   ORDER BY doc_id) - 1) // 16 AS BIGINT) AS batch_id
+    FROM documents
+"""
+QUERIES["length_bucketed_batches"] = q_length_bucketed_batches

@@ -1,0 +1,233 @@
+"""Round-6 widening pins: winnowing fingerprints (MOSS local-algorithm
+guarantees), sign-random-projection LSH over embeddings (recall vs the
+exact cosine join, verify-filter soundness), rank-sum AUC identities,
+source-overlap symmetry, and length-bucketed batch shape.  The
+cross-engine value certification for all five keys lives in
+``tests/test_oracle.py`` (auto-parameterized); these pin the ALGORITHMIC
+properties an oracle hash cannot express.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _embs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+def test_winnowing_every_window_is_covered(spark):
+    """The winnowing guarantee: every window of `w` consecutive gram
+    positions contains at least one SELECTED position — checked
+    exhaustively on a small doc sample by replaying the gram stream."""
+    from parquet_merger_spark.operators.dedup import winnow_fingerprints
+
+    d = _docs(spark).filter(F.col("doc_id") < 40)
+    sel = winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+    picked: dict[int, set[int]] = {}
+    for r in sel.collect():
+        picked.setdefault(r.doc_id, set()).add(r.fp_pos)
+    n_grams = {
+        r.doc_id: max(r.n - 2, 0)
+        for r in d.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    checked = 0
+    for doc, g in n_grams.items():
+        if g == 0:
+            assert doc not in picked
+            continue
+        pos = picked[doc]
+        for s in range(max(g - 4 + 1, 1)):
+            lo, hi = s, min(s + 4, g)
+            assert any(lo <= p < hi for p in pos), (doc, s)
+            checked += 1
+    assert checked > 50
+
+
+def test_winnowing_shared_run_shares_a_fingerprint(spark):
+    """Two docs sharing a run of >= k + w - 1 = 6 tokens share >= 1
+    fingerprint hash (the local-algorithm detection guarantee)."""
+    from parquet_merger_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "intro words here " + shared + " tail one two"),
+        (2, shared + " completely different ending tokens"),
+        (3, "unrelated content with no overlap at all whatsoever"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sel = winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+    fps = {}
+    for r in sel.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+
+
+def test_winnowing_density(spark):
+    """Selected-fingerprint density is near the theoretical 2/(w+1) of
+    gram positions (loose band: the bound is expectation, not worst case)."""
+    from parquet_merger_spark.operators.dedup import winnow_fingerprints
+
+    d = _docs(spark)
+    n_sel = winnow_fingerprints(d, "doc_id", "text", k=3, window=4).count()
+    n_grams = d.select(
+        F.sum(F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0)))
+    ).collect()[0][0]
+    density = n_sel / n_grams
+    assert 0.25 <= density <= 0.6, density  # 2/(4+1) = 0.4 expected
+
+
+# ---------------------------------------------------------------------------
+# RHP LSH
+# ---------------------------------------------------------------------------
+
+def test_rhp_lsh_output_sound_and_ordered(spark):
+    from parquet_merger_spark.operators.simsearch import rhp_lsh_pairs
+
+    out = rhp_lsh_pairs(_embs(spark), threshold=0.35).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.35 - 1e-9
+
+
+def test_rhp_lsh_recall_vs_exact_join(spark):
+    """Candidate recall on similar pairs (cos >= 0.4 — the fixture's
+    near-dup regime; its max pairwise cosine is ~0.51): with
+    bits=12/bands=6 the per-pair hit probability is 1-(1-p^2)^6 with
+    p = 1 - theta/pi ~ 0.63 at cos 0.4 -> ~0.94 expected; assert a
+    looser 0.7 floor so the pin is about the MECHANISM (bucketing finds
+    most similar pairs), not sampling luck."""
+    from parquet_merger_spark.operators.simsearch import (
+        quantize,
+        quantized_cosine,
+        quantized_dot,
+        rhp_lsh_pairs,
+    )
+
+    e = _embs(spark)
+    q = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("qe")
+    ).withColumn("q2", quantized_dot(F.col("qe"), F.col("qe")))
+    exact = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            quantized_cosine(
+                F.col("a.qe"), F.col("b.qe"), F.col("a.q2"), F.col("b.q2")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
+    truth = {(r.id_a, r.id_b) for r in exact.collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in rhp_lsh_pairs(e, threshold=0.4).collect()
+    }
+    assert truth, "fixture must contain strong pairs"
+    assert got <= truth  # verify filter at the same threshold: no extras
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, recall
+
+
+def test_rhp_lsh_signature_is_shuffle_free(spark):
+    """The signature computation is row-local: the physical plan below
+    the band explode has no Exchange (the only exchanges belong to the
+    candidate self-join)."""
+    from parquet_merger_spark.operators.simsearch import rhp_lsh_pairs
+
+    plan = rhp_lsh_pairs(_embs(spark))._jdf.queryExecution().executedPlan().toString()
+    # the full plan has exchanges (the join); pin that the scan side
+    # reaches the join through project/filter only by counting exchanges:
+    # one per join input re-use + AQE artifacts; must be < 4 total.
+    assert plan.count("Exchange") <= 4, plan
+
+
+# ---------------------------------------------------------------------------
+# AUC
+# ---------------------------------------------------------------------------
+
+def _auc_of(spark, rows):
+    from parquet_merger_spark.operators.textstats import binary_auc
+
+    df = spark.createDataFrame(rows, ["score", "label"])
+    return binary_auc(df, "score", "label").collect()[0]
+
+
+def test_auc_perfect_constant_reversed(spark):
+    perfect = [(i, 1 if i >= 50 else 0) for i in range(100)]
+    r = _auc_of(spark, perfect)
+    assert (r.n_pos, r.n_neg) == (50, 50) and r.auc == 1.0
+
+    constant = [(7, i % 2) for i in range(100)]
+    assert _auc_of(spark, constant).auc == 0.5
+
+    reversed_ = [(100 - i, 1 if i >= 50 else 0) for i in range(100)]
+    assert _auc_of(spark, reversed_).auc == 0.0
+
+
+def test_auc_matches_quadratic_definition(spark):
+    """Rank-sum AUC == the O(n^2) pairwise definition
+    (P(score_pos > score_neg) + 0.5 * P(tie)) on a tied, messy sample."""
+    import random
+
+    rng = random.Random(6)
+    rows = [(rng.randint(0, 9), rng.randint(0, 1)) for _ in range(200)]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    r = _auc_of(spark, rows)
+    assert abs(r.auc - round(expected, 6)) <= 1e-9
+
+
+# ---------------------------------------------------------------------------
+# source overlap + batches
+# ---------------------------------------------------------------------------
+
+def test_source_overlap_matrix_shape(spark):
+    from parquet_merger_spark.queries import QUERIES
+
+    out = QUERIES["source_overlap_matrix"](spark, SF_DIR).collect()
+    assert all(r.source_a < r.source_b and r.n_shared_grams >= 1 for r in out)
+    # at most C(n_sources, 2) rows
+    n_src = _docs(spark).select("source").distinct().count()
+    assert len(out) <= n_src * (n_src - 1) // 2
+
+
+def test_length_bucketed_batches_shape(spark):
+    from parquet_merger_spark.queries import QUERIES
+
+    rows = QUERIES["length_bucketed_batches"](spark, SF_DIR).collect()
+    assert len(rows) == _docs(spark).count()
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault((r.bucket, r.shard, r.batch_id), []).append(r.doc_id)
+    for (_, _, _), members in groups.items():
+        assert len(members) <= 16
+    # batch ids dense from 0 within each (bucket, shard)
+    per_bs: dict[tuple, set] = {}
+    for (b, s, bid), members in groups.items():
+        per_bs.setdefault((b, s), set()).add(bid)
+    for ids in per_bs.values():
+        assert ids == set(range(len(ids)))
