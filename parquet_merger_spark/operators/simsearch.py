@@ -1824,3 +1824,70 @@ def rhp_lsh_pairs(
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
     )
+
+
+def pca_power_projection_portable(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """1-D PCA by POWER ITERATION on the quantized-integer grid — project
+    every embedding onto the corpus's dominant principal direction (the
+    whitening / coarse-ordering primitive for embedding pipelines:
+    curriculum by spectral position, 1-D blocking for ANN, drift
+    monitoring of the top component).  The Gram matrix is NEVER
+    materialized: one power step is one corpus pass computing the scalar
+    p_row = <qe, v> per row and accumulating the 64-cell aggregate
+    v'[i] = sum_rows qe[i] * p_row — the classic distributed power
+    iteration (cf. the Arnoldi/Lanczos family), with v held as a
+    model-sized driver list exactly like the k-means twin's centroids.
+
+    Fully engine-portable, hence exactly DuckDB-checkable (the SEVENTH
+    certified iterative operator, after k-means/IVF/PQ/IVF-PQ/MMR/LSH
+    families): v0 = ones; each step rescales v to [-scale, scale] via
+    ``floor((v * scale.0) / max(|v|, 1))`` — an IEEE-double op both
+    engines evaluate identically — so every accumulation stays exact
+    int64 (with scale=1000 and 1e4-grid embeddings, sums stay < 2^63
+    up to ~1e6 rows; the production tier accumulates in double and is
+    bounded against this twin instead).  Output: (id, proj) — the exact
+    integer projection of each row onto the iterated direction.
+
+    Scale design (100 TB): `iters` corpus passes, each a partial-agg
+    sum to 64 cells (no shuffle wider than 64 rows), one broadcast of a
+    64-int literal per pass; the per-pass collect is model-sized (64
+    longs), the sanctioned idiom."""
+    import math
+
+    base = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qe")
+    )
+    dim = len(base.select("qe").first()["qe"])
+
+    def _scale(vs: list[int]) -> list[int]:
+        m = max(max(abs(x) for x in vs), 1)
+        return [int(math.floor((x * float(scale)) / m)) for x in vs]
+
+    v: list[int] | None = None  # None = ones vector
+    for _ in range(iters):
+        if v is None:
+            p = F.aggregate(
+                F.col("qe"), F.lit(0).cast("long"), lambda a, x: a + x
+            )
+        else:
+            vlit = F.array(*[F.lit(c).cast("long") for c in v])
+            p = quantized_dot(F.col("qe"), vlit)
+        sums = (
+            base.select(F.posexplode(F.transform(F.col("qe"), lambda x: x * p)))
+            .groupBy("pos")
+            .agg(F.sum("col").alias("s"))
+            .collect()
+        )
+        by_pos = {r["pos"]: r["s"] for r in sums}
+        v = _scale([by_pos[i] for i in range(dim)])
+
+    vlit = F.array(*[F.lit(c).cast("long") for c in v])
+    return base.select(
+        F.col(id_col), quantized_dot(F.col("qe"), vlit).alias("proj")
+    )

@@ -10033,3 +10033,180 @@ ORACLE_SQL["length_bucketed_batches"] = """
     FROM documents
 """
 QUERIES["length_bucketed_batches"] = q_length_bucketed_batches
+
+
+def q_dedup_winnowing_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs: the inverted-index join over
+    `winnow_fingerprints` output — docs sharing >= 3 distinct selected
+    fingerprint hashes, with the shared count as passage-overlap
+    evidence.  This is the MOSS matching step: unlike MinHash (whole-doc
+    similarity) the shared count lower-bounds COPIED PASSAGE mass (each
+    shared fingerprint witnesses a shared >= 3-token run), so the pair
+    list ranks by how much text is actually duplicated.  At 100 TB:
+    candidate volume is O(sum over fingerprints of df^2) on a stream
+    already thinned to ~2/(w+1) of grams; production caps hot
+    fingerprints' document frequency exactly like the decontamination
+    index (the cap is off here so the oracle is parameter-free)."""
+    from parquet_merger_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = (
+        winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+def _winnowing_pairs_sql() -> str:
+    return f"""
+        WITH sel AS ({_winnowing_sql()}),
+        fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    """
+
+
+ORACLE_SQL["dedup_winnowing_pairs"] = _winnowing_pairs_sql()
+QUERIES["dedup_winnowing_pairs"] = q_dedup_winnowing_pairs
+
+
+def q_bigram_familiarity(spark, sf_dir):
+    """CCNet-style language-model quality proxy WITHOUT floating-point
+    logs: each document scores the mean corpus frequency of its bigram
+    OCCURRENCES (a doc full of common constructions scores high; rare or
+    garbled text scores low) — the monotone integer-arithmetic stand-in
+    for perplexity filtering (Wenzek et al. 2019) whose cross-engine hash
+    can't drift on transcendental-function ulps.  Output: (doc_id,
+    n_bigrams, familiarity) for every doc with >= 1 bigram.
+
+    Scale: one distributive groupBy(gram) count (the "LM"), one join
+    back on the gram key, one groupBy(doc) — all O(token stream); the
+    count table is vocabulary-sized and the join key is production-
+    hashable (xxhash64) without changing results."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    lm = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return (
+        grams.join(lm, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("__n") / F.count(F.lit(1)), 6).alias("familiarity"),
+        )
+    )
+
+
+ORACLE_SQL["bigram_familiarity"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS gram
+      FROM toks
+    ),
+    lm AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lm.n) / count(*), 6) AS familiarity
+    FROM g JOIN lm USING (gram)
+    GROUP BY 1
+"""
+QUERIES["bigram_familiarity"] = q_bigram_familiarity
+
+
+def q_pca_power_portable(spark, sf_dir):
+    """1-D PCA projection by distributed power iteration
+    (`operators.simsearch.pca_power_projection_portable`, 2 steps,
+    integer grid) — the seventh oracle-certified iterative operator:
+    DuckDB replays both unrolled power steps (per-row scalar, 64-cell
+    per-dimension sums, the floor-rescale) and the final projections
+    hash-match exactly.  The Gram matrix never materializes: each step
+    is one corpus pass reduced to 64 cells, so the plan scales as
+    O(iters x corpus) with model-sized driver state."""
+    from parquet_merger_spark.operators.simsearch import (
+        pca_power_projection_portable,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_power_projection_portable(e, "vec_id", "embedding", iters=2)
+
+
+def _pca_power_sql() -> str:
+    quant = _QUANT
+    return f"""
+        WITH q AS (SELECT vec_id, {quant} AS qe FROM embeddings),
+        d1 AS (
+          SELECT vec_id, qe,
+                 CAST(list_sum(qe) AS BIGINT) AS p
+          FROM q
+        ),
+        v1 AS (
+          SELECT t.i AS i, CAST(sum(d1.qe[t.i] * d1.p) AS BIGINT) AS v
+          FROM d1 CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1
+        ),
+        m1 AS (SELECT greatest(max(abs(v)), 1) AS m FROM v1),
+        v1s AS (
+          SELECT i, CAST(floor((v * 1000.0) / m) AS BIGINT) AS v
+          FROM v1, m1
+        ),
+        d2 AS (
+          SELECT q.vec_id, CAST(sum(q.qe[s.i] * s.v) AS BIGINT) AS p
+          FROM q CROSS JOIN v1s s
+          GROUP BY 1
+        ),
+        v2 AS (
+          SELECT t.i AS i, CAST(sum(q.qe[t.i] * d2.p) AS BIGINT) AS v
+          FROM q JOIN d2 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1
+        ),
+        m2 AS (SELECT greatest(max(abs(v)), 1) AS m FROM v2),
+        v2s AS (
+          SELECT i, CAST(floor((v * 1000.0) / m) AS BIGINT) AS v
+          FROM v2, m2
+        )
+        SELECT q.vec_id, CAST(sum(q.qe[s.i] * s.v) AS BIGINT) AS proj
+        FROM q CROSS JOIN v2s s
+        GROUP BY 1
+    """
+
+
+ORACLE_SQL["pca_power_portable"] = _pca_power_sql()
+QUERIES["pca_power_portable"] = q_pca_power_portable

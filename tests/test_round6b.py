@@ -231,3 +231,149 @@ def test_length_bucketed_batches_shape(spark):
         per_bs.setdefault((b, s), set()).add(bid)
     for ids in per_bs.values():
         assert ids == set(range(len(ids)))
+
+
+# ---------------------------------------------------------------------------
+# winnowing pairs + familiarity + PCA power iteration
+# ---------------------------------------------------------------------------
+
+def test_winnowing_pairs_find_copied_passage(spark):
+    """A long copied passage between two docs yields a pair with
+    several shared fingerprints; unrelated docs yield none."""
+    from parquet_merger_spark.queries import QUERIES  # noqa: F401
+    from parquet_merger_spark.operators.dedup import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    passage = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, "lead in words " + passage + " trailing remark"),
+        (2, passage + " other material follows here now"),
+        (3, " ".join(f"zzz{i}" for i in range(40))),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(d).select("doc_id", "fp").distinct()
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .count()
+        .collect()
+    )
+    by_pair = {(r.id_a, r.id_b): r["count"] for r in pairs}
+    assert by_pair.get((1, 2), 0) >= 3
+    assert (1, 3) not in by_pair and (2, 3) not in by_pair
+
+
+def test_bigram_familiarity_orders_common_above_gibberish(spark):
+    """Docs of corpus-common constructions outscore unique gibberish."""
+    from parquet_merger_spark.operators import dedup  # noqa: F401 (import path warm)
+    from parquet_merger_spark.queries import QUERIES
+
+    import os
+    import tempfile
+
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common, "en", "src0", len(common)) for i in range(10)]
+        + [(100, " ".join(f"q{i}x" for i in range(7)), "en", "src0", 20)]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        import pandas as pd
+
+        pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ).to_parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: r.familiarity
+            for r in QUERIES["bigram_familiarity"](spark, td).collect()
+        }
+    assert out[0] > out[100]
+
+
+def _numpy_power_replay(Q, iters=2, scale=1000):
+    import math
+
+    import numpy as np
+
+    v = np.ones(Q.shape[1], dtype=np.int64)
+    for _ in range(iters):
+        p = Q @ v
+        vn = Q.T @ p
+        m = max(int(np.max(np.abs(vn))), 1)
+        v = np.array(
+            [int(math.floor((int(x) * float(scale)) / m)) for x in vn],
+            dtype=np.int64,
+        )
+    return Q @ v
+
+
+def test_pca_power_matches_numpy_replay_and_partitioning(spark):
+    """The distributed iteration is ALGEBRAICALLY exact: projections
+    equal a numpy int64 replay of the same two scaled power steps
+    bit-for-bit, and are partition-invariant.  (Eigenvector alignment is
+    NOT asserted on the sf0.01 fixture — its spectrum is nearly flat,
+    eig2/eig1 ~ 0.98, so two steps cannot converge there by design;
+    convergence is pinned on a planted-spectrum synthetic below.)"""
+    import numpy as np
+
+    from parquet_merger_spark.operators.simsearch import (
+        pca_power_projection_portable,
+    )
+
+    e = _embs(spark)
+    out = pca_power_projection_portable(e, "vec_id", "embedding", iters=2)
+    proj = {r.vec_id: r.proj for r in out.collect()}
+
+    pdf = e.toPandas()
+    Q = np.array(
+        [np.round(np.array(v, dtype=np.float64) * 10000) for v in pdf["embedding"]],
+        dtype=np.int64,
+    )
+    exact = _numpy_power_replay(Q, iters=2)
+    got = np.array([proj[v] for v in pdf["vec_id"]], dtype=np.int64)
+    assert np.array_equal(got, exact)
+
+    shuffled = pca_power_projection_portable(
+        e.repartition(13), "vec_id", "embedding", iters=2
+    )
+    proj2 = {r.vec_id: r.proj for r in shuffled.collect()}
+    assert proj == proj2
+
+
+def test_pca_power_converges_on_planted_spectrum(spark):
+    """With a genuinely dominant direction (planted spectrum), two power
+    steps align with numpy's exact top eigenvector (|cos| >= 0.99)."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.simsearch import (
+        pca_power_projection_portable,
+    )
+
+    rng = np.random.RandomState(6)
+    n, d = 300, 16
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    strength = rng.randn(n)[:, None] * 5.0
+    X = strength * direction[None, :] + 0.1 * rng.randn(n, d)
+    X = np.clip(X / np.abs(X).max(), -1, 1)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pca_power_projection_portable(df, "vec_id", "embedding", iters=2)
+    proj = {r.vec_id: r.proj for r in out.collect()}
+
+    Q = np.round(X * 10000).astype(np.int64)
+    G = (Q.T @ Q).astype(np.float64)
+    w, V = np.linalg.eigh(G)
+    top = V[:, np.argmax(w)]
+    exact = Q.astype(np.float64) @ top
+    got = np.array([proj[i] for i in range(n)], dtype=np.float64)
+    cos = abs(
+        float(got @ exact) / (np.linalg.norm(got) * np.linalg.norm(exact))
+    )
+    assert cos >= 0.99, cos
