@@ -10210,3 +10210,349 @@ def _pca_power_sql() -> str:
 
 ORACLE_SQL["pca_power_portable"] = _pca_power_sql()
 QUERIES["pca_power_portable"] = q_pca_power_portable
+
+
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch CALIBRATION report for the portable MinHash: for every
+    LSH candidate pair, the signature-agreement Jaccard estimate
+    (fraction of the 12 portable minima that agree — the unbiased
+    MinHash estimator) side by side with the EXACT 2-gram Jaccard and
+    the absolute error.  This is the continuous-monitoring operator a
+    dedup pipeline runs on a sample to verify its sketches still track
+    ground truth after corpus drift; at 100 TB the exact column is
+    computed only for the candidate sample, never all pairs.  Every
+    step is portable integer arithmetic -> full cross-engine oracle."""
+    from parquet_merger_spark.operators.dedup import (
+        PORTABLE_HASH_AC,
+        PORTABLE_MOD,
+        _portable_doc_grams,
+        minhash_lsh_pairs_portable,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nh = 12
+    pairs = minhash_lsh_pairs_portable(d, "doc_id", "text", num_hashes=nh)
+    grams = _portable_doc_grams(d, "doc_id", "text")
+    mins = [
+        F.min(
+            F.pmod(F.lit(a) * F.col("xm") + F.lit(c), F.lit(PORTABLE_MOD))
+        ).alias(f"m{i}")
+        for i, (a, c) in enumerate(PORTABLE_HASH_AC[:nh])
+    ]
+    sig = grams.groupBy("doc_id").agg(
+        *mins, F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), "xm")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "xm")
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "xm"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("ng").alias("na"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(nh)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("ng").alias("nb"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(nh)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(nh)
+    )
+    est = F.round(agree / F.lit(float(nh)), 6)
+    iv = F.coalesce(F.col("inter"), F.lit(0).cast("long"))
+    exact = F.round(iv / (F.col("na") + F.col("nb") - iv), 6)
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_est_sql() -> str:
+    AC, P, vocab = _portable_sql_parts()
+    nh, bands, r = 12, 6, 2
+    mins = ",\n                 ".join(
+        f"min(({a} * xm + {c}) % {P}) AS m{i}"
+        for i, (a, c) in enumerate(AC[:nh])
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2 * b} AS h1, m{2 * b + 1} AS h2 FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(nh)
+    )
+    return f"""
+        WITH {vocab},
+        vsz AS (SELECT max(term_id) AS v FROM vocab),
+        ids AS (
+          SELECT t.doc_id, t.pos, v.term_id
+          FROM tok t JOIN vocab v USING (term)
+        ),
+        grams AS (
+          SELECT DISTINCT a.doc_id,
+                 ((a.term_id * (vsz.v + 1) + b.term_id) % {P}) AS xm
+          FROM ids a
+          JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          CROSS JOIN vsz
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {mins},
+                 CAST(count(*) AS BIGINT) AS ng
+          FROM grams GROUP BY doc_id
+        ),
+        bb AS (
+          {band_rows}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bb a
+          JOIN bb b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+                 AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+          FROM pairs p
+          JOIN grams ga ON ga.doc_id = p.id_a
+          JOIN grams gb ON gb.doc_id = p.id_b AND gb.xm = ga.xm
+          GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               round(({agree}) / {float(nh)}, 6) AS est_jaccard,
+               round(coalesce(i.i, 0) / (sa.ng + sb.ng - coalesce(i.i, 0)), 6)
+                 AS exact_jaccard,
+               round(abs(round(({agree}) / {float(nh)}, 6)
+                         - round(coalesce(i.i, 0)
+                                 / (sa.ng + sb.ng - coalesce(i.i, 0)), 6)), 6)
+                 AS abs_err
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    """
+
+
+ORACLE_SQL["minhash_jaccard_estimate"] = _minhash_est_sql()
+QUERIES["minhash_jaccard_estimate"] = q_minhash_jaccard_estimate
+
+
+def q_two_hop_neighbors(spark, sf_dir):
+    """2-hop reach census over the part co-purchase graph (quarter-order
+    subgraph): per part, how many DISTINCT parts are reachable in <= 2
+    hops — the neighborhood-size signal behind collaborative filtering
+    fan-out sizing and graph-sampling budgets.  Shape: one symmetric
+    edge list, one self-join on the middle vertex (cost O(sum deg^2) —
+    the quantity production bounds by removing hub vertices above a
+    degree cap, exactly like the decontamination index's df cap; uncapped
+    here so the oracle is parameter-free), then one distinct + count per
+    source.  All-integer output, hash-exact across engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    two = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.d") == F.col("y.s"))
+        .select(F.col("x.s").alias("s"), F.col("y.d").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    reach = sym.unionAll(two).distinct()
+    return reach.groupBy(F.col("s").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_2hop")
+    )
+
+
+ORACLE_SQL["two_hop_neighbors"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+    ),
+    sym AS (
+      SELECT pa AS s, pb AS d FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    two AS (
+      SELECT x.s, y.d FROM sym x JOIN sym y ON x.d = y.s
+      WHERE x.s <> y.d
+    ),
+    reach AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT s, d FROM sym UNION ALL SELECT s, d FROM two
+      )
+    )
+    SELECT s AS part, CAST(count(*) AS BIGINT) AS n_2hop
+    FROM reach GROUP BY 1
+"""
+QUERIES["two_hop_neighbors"] = q_two_hop_neighbors
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """ANN index-quality monitor: per query, recall@10 of the
+    oracle-certified portable IVF (8 centroids, nprobe=2) against the
+    EXACT integer-dot brute-force top-10 — the continuous check a
+    production ANN deployment runs on a query sample to catch index
+    staleness/drift before users do.  Both arms are deterministic
+    portable arithmetic, so even this META-operator has a full
+    cross-engine oracle.  At 100 TB the exact arm runs only on the
+    sampled queries (5 here) — cost is one corpus scan per sample batch,
+    while the IVF arm stays at probe cost."""
+    from parquet_merger_spark.operators.simsearch import (
+        ivf_topk_portable,
+        quantize,
+        quantized_dot,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    topk = 10
+    ivf = ivf_topk_portable(e, "vec_id", "embedding").select(
+        "query_id", "vec_id"
+    )
+    q = e.select(F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("q"))
+    queries = q.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qq")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    exact = (
+        queries.crossJoin(q)
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("vec_id"),
+            quantized_dot(F.col("qq"), F.col("q")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id")
+    )
+    hits = exact.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+                / F.lit(float(topk)),
+                6,
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _ann_recall_sql(
+    k: int = 8,
+    iters: int = 2,
+    dims: int = 64,
+    n_queries: int = 5,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    parts, dist = _kmeans_cte_parts(k, iters, dims)
+    score = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (qv.qq[i] * cp.q[i]))) AS BIGINT)"
+    )
+    exact_score = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (qv.qq[i] * v.q[i]))) AS BIGINT)"
+    )
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        assign AS (
+          SELECT id, cid FROM (
+            SELECT v.id, c.cid,
+                   row_number() OVER (PARTITION BY v.id ORDER BY {dist}, c.cid)
+                     AS rn
+            FROM v CROSS JOIN c{iters} c
+          ) WHERE rn = 1
+        ),
+        qv AS (SELECT id AS query_id, q AS qq FROM v WHERE id < {n_queries}),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT qv.query_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY qv.query_id
+                     ORDER BY CAST(list_sum(list_transform(range(1, {dims + 1}),
+                       i -> (qv.qq[i] - c.cvec[i]) * (qv.qq[i] - c.cvec[i])))
+                       AS BIGINT), c.cid) AS prank
+            FROM qv CROSS JOIN c{iters} c
+          ) WHERE prank <= {nprobe}
+        ),
+        cp AS (SELECT a.id AS vec_id, v.q, a.cid FROM assign a JOIN v ON a.id = v.id),
+        ivf AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rank
+            FROM (
+              SELECT qv.query_id, cp.vec_id, {score} AS score
+              FROM probes p
+              JOIN cp ON p.cid = cp.cid
+              JOIN qv ON qv.query_id = p.query_id
+              WHERE cp.vec_id <> qv.query_id
+            )
+          ) WHERE rank <= {topk}
+        ),
+        exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT qv.query_id, v.id AS vec_id,
+                   row_number() OVER (PARTITION BY qv.query_id
+                                      ORDER BY {exact_score} DESC, v.id)
+                     AS rank
+            FROM qv CROSS JOIN v
+            WHERE v.id <> qv.query_id
+          ) WHERE rank <= {topk}
+        ),
+        hits AS (
+          SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM exact e JOIN ivf USING (query_id, vec_id)
+          GROUP BY 1
+        )
+        SELECT qv.query_id,
+               coalesce(h.n_hits, 0) AS n_hits,
+               round(coalesce(h.n_hits, 0) / {float(topk)}, 6) AS recall_at_10
+        FROM qv LEFT JOIN hits h USING (query_id)
+    """
+    )
+
+
+ORACLE_SQL["ann_recall_report"] = _ann_recall_sql()
+QUERIES["ann_recall_report"] = q_ann_recall_report

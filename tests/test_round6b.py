@@ -377,3 +377,71 @@ def test_pca_power_converges_on_planted_spectrum(spark):
         float(got @ exact) / (np.linalg.norm(got) * np.linalg.norm(exact))
     )
     assert cos >= 0.99, cos
+
+
+# ---------------------------------------------------------------------------
+# minhash calibration + 2-hop reach + ANN recall report
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_is_valid_estimator(spark):
+    """Estimates are multiples of 1/12 in [0,1], exact Jaccard in [0,1],
+    and the estimator tracks truth within the 12-hash binomial noise on
+    average (mean |err| under 3 standard errors of a p~0.5 sketch)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    rows = QUERIES["minhash_jaccard_estimate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard * 12 - round(r.est_jaccard * 12)) < 1e-4  # 6-dp rounding
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err <= 3 * (0.25 / 12) ** 0.5, mean_err
+
+
+def test_two_hop_contains_one_hop(spark):
+    """Reach(2) >= degree for every vertex (1-hop set is a subset), and
+    a python replay on the same subgraph agrees exactly."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.queries import QUERIES
+
+    out = {r.part: r.n_2hop for r in QUERIES["two_hop_neighbors"](spark, SF_DIR).collect()}
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders: dict[int, set[int]] = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, set[int]] = {}
+    for parts in orders.values():
+        for p in parts:
+            adj.setdefault(p, set()).update(x for x in parts if x != p)
+    expected = {}
+    for p, nbrs in adj.items():
+        reach = set(nbrs)
+        for n in nbrs:
+            reach.update(adj[n])
+        reach.discard(p)
+        expected[p] = len(reach)
+    assert out == expected
+    assert all(out[p] >= len(adj[p]) for p in adj)
+
+
+def test_ann_recall_report_mechanism(spark):
+    """Recall values are in [0,1] on a 10-denominator grid, one row per
+    sampled query, and the probe mechanism finds most true neighbors on
+    the fixture (mean recall >= 0.5 — nprobe=2 of 8 lists)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    rows = QUERIES["ann_recall_report"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert r.n_hits == round(r.recall_at_10 * 10)
+    assert sum(r.recall_at_10 for r in rows) / 5 >= 0.5
