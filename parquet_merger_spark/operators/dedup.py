@@ -33,16 +33,25 @@ def tokens_col(text: Column | str, sep: str = " ") -> Column:
 
 
 def word_ngrams(tokens: Column, n: int) -> Column:
-    """Word n-grams as strings, 1-based positions i..i+n-1; empty array when
-    the doc has fewer than n tokens (guards Spark's descending-sequence
-    behavior when start > stop)."""
-    num = F.size(tokens) - (n - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + j) for j in range(n)]
-    )
-    return F.when(
-        num >= 1, F.transform(F.sequence(F.lit(1), num), gram)
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-grams as strings; empty array when the doc has fewer than
+    n tokens.
+
+    Built as iterated ``zip_with`` over SLICED arrays, never
+    ``transform(sequence) + element_at``: when ``tokens`` is an
+    unmaterialized expression (the common ``F.split(text)`` call site),
+    per-index ``element_at`` re-evaluates that expression on every
+    access — measured 13x slower at sf1 on the bigram-familiarity
+    gram build.  The slice/zip_with form evaluates ``tokens`` once per
+    slice regardless of what the caller passes."""
+    num = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    acc = F.slice(tokens, 1, num)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(tokens, j + 1, num),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return acc
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:

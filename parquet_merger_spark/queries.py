@@ -9946,21 +9946,24 @@ def q_source_overlap_matrix(spark, sf_dir):
     of text is what the oracle certifies here)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # zip_with over SLICED arrays, not transform(sequence)+element_at:
+    # per-index element_at re-evaluates the split per access (measured
+    # 13x slower at sf1); the slice/zip_with form is one linear pass
+    n2 = F.size(toks) - 2
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n2),
+            F.slice(toks, 2, n2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        F.slice(toks, 3, n2),
+        lambda p, c: F.concat_ws(" ", p, c),
+    )
     grams = d.select(
         "source",
         F.explode(
-            F.when(
-                F.size(toks) >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(F.size(toks) >= 3, tri)
+            .otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     ).distinct()
     return (
@@ -10102,18 +10105,19 @@ def q_bigram_familiarity(spark, sf_dir):
     hashable (xxhash64) without changing results."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # slice/zip_with, not transform(sequence)+element_at — see
+    # source_overlap_matrix for the 13x measurement
+    n1 = F.size(toks) - 1
+    bi = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     grams = d.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.when(F.size(toks) >= 2, bi)
+            .otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
     lm = grams.groupBy("gram").agg(

@@ -38,6 +38,14 @@ KEYS = [
     # pair growth of the EXACT n-gram Jaccard tier the same way the
     # four headline elephants were bounded in r04
     "dedup_ngram_jaccard",
+    # r06 widening-wave elephants: the winnowing fingerprint pipeline
+    # (row-local selection + inverted-index pair join) and the bigram
+    # LM-familiarity pass (inherently linear in the token stream; its
+    # r06 measurement also pinned the 13x gram-builder fix — zip_with
+    # over sliced arrays, never transform(sequence)+element_at)
+    "winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    "bigram_familiarity",
 ]
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = os.path.join(ROOT, ".localdata", "sf1")
