@@ -10560,3 +10560,173 @@ def _ann_recall_sql(
 
 ORACLE_SQL["ann_recall_report"] = _ann_recall_sql()
 QUERIES["ann_recall_report"] = q_ann_recall_report
+
+
+def q_embedding_quantile_normalize(spark, sf_dir):
+    """Per-DIMENSION empirical-CDF (quantile) normalization of the
+    embedding matrix — the feature-preprocessing step before histogram
+    comparisons, drift monitors, or rank-based blocking: each of the 64
+    dimensions maps its values to exact permille ranks in [0, 1000].
+    SCALE SHAPE (the grouped assign_row_ids idiom, same as
+    `percentile_bands_per_type`): NO per-dimension global window — rows
+    bucket into 64 uniform value ranges per dim from the broadcast
+    min/max aggregate, the (dim, bucket) COUNT TABLE (model-sized 64x64)
+    yields exclusive offsets via a tiny window, and the exact rank is
+    offset + row_number within (dim, bucket) — every sort bucket-local
+    and parallel at any corpus size.  The oracle runs the textbook
+    per-dim row_number instead; both produce identical permilles."""
+    e = _t(spark, sf_dir, "embeddings")
+    nb = 64
+    vals = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("dim", "qv"),
+    )
+    rng = vals.groupBy("dim").agg(
+        F.min("qv").alias("__lo"), F.max("qv").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo") + 1) / nb
+    bucketed = vals.join(F.broadcast(rng), "dim").withColumn(
+        "__bucket",
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col("qv") - F.col("__lo")) / width),
+            )
+        )
+        .cast("int"),
+    )
+    counts = bucketed.groupBy("dim", "__bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    woff = Window.partitionBy("dim").orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "dim", "__bucket",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__offset"),
+    )
+    wrank = Window.partitionBy("dim", "__bucket").orderBy("qv", "vec_id")
+    return (
+        bucketed.join(F.broadcast(offsets), ["dim", "__bucket"])
+        .withColumn(
+            "__rank",
+            F.col("__offset") + F.row_number().over(wrank),
+        )
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.expr("CAST((__rank - 1) * 1000 DIV (__n - 1) AS BIGINT)")
+            .alias("qnorm"),
+        )
+    )
+
+
+ORACLE_SQL["embedding_quantile_normalize"] = """
+    WITH vals AS (
+      SELECT vec_id,
+             t.i - 1 AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000, 0) AS BIGINT)
+               AS qv
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    n AS (SELECT dim, CAST(count(*) AS BIGINT) AS nn FROM vals GROUP BY 1),
+    r AS (
+      SELECT vec_id, dim,
+             row_number() OVER (PARTITION BY dim ORDER BY qv, vec_id) AS rk
+      FROM vals
+    )
+    SELECT r.vec_id, r.dim,
+           CAST((r.rk - 1) * 1000 // (n.nn - 1) AS BIGINT) AS qnorm
+    FROM r JOIN n USING (dim)
+"""
+QUERIES["embedding_quantile_normalize"] = q_embedding_quantile_normalize
+
+
+def q_cluster_separation_report(spark, sf_dir):
+    """Clustering-quality monitor over the certified portable k-means
+    (k=8, 2 Lloyd steps): per cluster, member count, mean squared-L2 to
+    the OWN centroid, mean squared-L2 to the NEAREST OTHER centroid, and
+    the separation ratio (>1 = clusters are tighter than their
+    surroundings; ~1 = the clustering is not separating anything — the
+    "should we even use these assignments for blocking" gate, completing
+    the eval family: recall monitor, sketch calibration, AUC, and now
+    cluster separation).  Row-local after the broadcast centroid model;
+    means are exact integer sums over int64 squared distances divided
+    once at the end.  Full cross-engine oracle via the shared unrolled-
+    Lloyd CTEs."""
+    from parquet_merger_spark.operators.simsearch import (
+        _portable_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q, cent, dist_expr = _portable_centroids(e, "vec_id", "embedding", 8, 2)
+    scored = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_expr)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("dist", "cid")
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    own = scored.filter(F.col("rn") == 1).select(
+        "id", F.col("cid").alias("cid"), F.col("dist").alias("d_own")
+    )
+    other = scored.filter(F.col("rn") == 2).select(
+        "id", F.col("dist").alias("d_other")
+    )
+    per = own.join(other, "id")
+    return (
+        per.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("d_own").alias("__so"),
+            F.sum("d_other").alias("__st"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            F.expr("CAST(__so DIV n_members AS BIGINT)").alias("mean_d_own"),
+            F.expr("CAST(__st DIV n_members AS BIGINT)").alias("mean_d_other"),
+            F.round(F.col("__st") / F.col("__so"), 6).alias("separation"),
+        )
+    )
+
+
+def _cluster_separation_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    parts, dist = _kmeans_cte_parts(k, iters, dims)
+    return (
+        "\n        WITH "
+        + ",\n        ".join(parts)
+        + f""",
+        scored AS (
+          SELECT v.id, c.cid, {dist} AS dist,
+                 row_number() OVER (PARTITION BY v.id
+                                    ORDER BY {dist}, c.cid) AS rn
+          FROM v CROSS JOIN c{iters} c
+        ),
+        own AS (SELECT id, cid, dist AS d_own FROM scored WHERE rn = 1),
+        oth AS (SELECT id, dist AS d_other FROM scored WHERE rn = 2),
+        per AS (SELECT own.cid, own.d_own, oth.d_other
+                FROM own JOIN oth USING (id))
+        SELECT cid,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(d_own) // count(*) AS BIGINT) AS mean_d_own,
+               CAST(sum(d_other) // count(*) AS BIGINT) AS mean_d_other,
+               round(sum(d_other) / sum(d_own), 6) AS separation
+        FROM per GROUP BY 1
+    """
+    )
+
+
+ORACLE_SQL["cluster_separation_report"] = _cluster_separation_sql()
+QUERIES["cluster_separation_report"] = q_cluster_separation_report

@@ -445,3 +445,83 @@ def test_ann_recall_report_mechanism(spark):
         assert 0.0 <= r.recall_at_10 <= 1.0
         assert r.n_hits == round(r.recall_at_10 * 10)
     assert sum(r.recall_at_10 for r in rows) / 5 >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# quantile normalize + cluster separation
+# ---------------------------------------------------------------------------
+
+def test_quantile_normalize_is_exact_cdf(spark):
+    """Per dim: permilles span [0, 1000], one value per (vec, dim), and
+    the mapping is monotone in the raw value (rank order preserved)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_quantile_normalize"](spark, SF_DIR).collect()
+    n_vecs = _embs(spark).count()
+    by_dim: dict[int, list] = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r.qnorm)
+    assert len(by_dim) == 64
+    for dim, qs in by_dim.items():
+        assert len(qs) == n_vecs
+        assert min(qs) == 0 and max(qs) == 1000
+
+    # monotone: replay dim 0 in python
+    import numpy as np
+
+    pdf = _embs(spark).toPandas()
+    v0 = {
+        int(r["vec_id"]): int(round(float(r["embedding"][0]) * 10000))
+        for _, r in pdf.iterrows()
+    }
+    got0 = {r.vec_id: r.qnorm for r in rows if r.dim == 0}
+    order = sorted(v0, key=lambda i: (v0[i], i))
+    expected = {i: (rk * 1000) // (len(order) - 1) for rk, i in enumerate(order)}
+    assert got0 == expected
+
+
+def test_cluster_separation_invariants(spark):
+    """Membership partitions the corpus, and separation >= 1 EXACTLY
+    (the own centroid is the argmin, so the second-nearest distance
+    can never be smaller)."""
+    from parquet_merger_spark.queries import QUERIES
+
+    rows = QUERIES["cluster_separation_report"](spark, SF_DIR).collect()
+    assert sum(r.n_members for r in rows) == _embs(spark).count()
+    for r in rows:
+        assert r.mean_d_other >= r.mean_d_own
+        assert r.separation >= 1.0
+
+
+def test_cluster_separation_detects_planted_clusters(spark):
+    """On vectors with genuinely separated planted clusters, the
+    separation ratio is large (>> the fixture's ~1.07)."""
+    import numpy as np
+
+    from parquet_merger_spark.operators.simsearch import _portable_centroids
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(6)
+    centers = rng.randn(4, 16) * 0.8
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.02 * rng.randn(16)
+        v = np.clip(v, -1, 1)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q, cent, dist_expr = _portable_centroids(df, "vec_id", "embedding", 4, 2)
+    scored = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist_expr)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("dist", "cid")),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+    own = scored.filter(F.col("rn") == 1).select("id", F.col("dist").alias("a"))
+    oth = scored.filter(F.col("rn") == 2).select("id", F.col("dist").alias("b"))
+    per = own.join(oth, "id").agg(F.sum("a").alias("sa"), F.sum("b").alias("sb")).collect()[0]
+    assert per.sb / per.sa > 10, per.sb / per.sa
