@@ -10730,3 +10730,177 @@ def _cluster_separation_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
 
 ORACLE_SQL["cluster_separation_report"] = _cluster_separation_sql()
 QUERIES["cluster_separation_report"] = q_cluster_separation_report
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the part co-purchase graph (quarter-order
+    subgraph): the Pearson correlation between the degrees at the two
+    ends of every edge — one scalar that says whether hubs connect to
+    hubs (r > 0) or to leaves (r < 0); the graph-shape statistic that
+    predicts whether degree-capping (the 2-hop/decontamination hub
+    valve) will bite.  Newman 2002 formula over the DIRECTED edge list
+    (each undirected edge contributes both orientations, the standard
+    symmetrization).  All moments are exact integer sums — one groupBy
+    for degrees, one broadcast-joined edge pass — and the single
+    division happens at the end, so the scalar hash-matches DuckDB."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    deg = sym.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    ed = (
+        sym.join(deg.select(F.col("v").alias("s"), F.col("dg").alias("ds")), "s")
+        .join(deg.select(F.col("v").alias("d"), F.col("dg").alias("dd")), "d")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("ds") * F.col("dd")).alias("sxy"),
+        F.sum("ds").alias("sx"),
+        F.sum("dd").alias("sy"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sxx"),
+        F.sum(F.col("dd") * F.col("dd")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+ORACLE_SQL["graph_assortativity"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+    ),
+    sym AS (
+      SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e
+    ),
+    deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+    ed AS (
+      SELECT x.dg AS ds, y.dg AS dd
+      FROM sym JOIN deg x ON x.v = sym.s JOIN deg y ON y.v = sym.d
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(ds * dd) AS BIGINT) AS sxy,
+             CAST(sum(ds) AS BIGINT) AS sx,
+             CAST(sum(dd) AS BIGINT) AS sy,
+             CAST(sum(ds * ds) AS BIGINT) AS sxx,
+             CAST(sum(dd * dd) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT m AS n_directed_edges,
+           round((m * sxy - sx * sy)
+                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM m
+"""
+QUERIES["graph_assortativity"] = q_graph_assortativity
+
+
+def q_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema — the
+    constraint check a lakehouse runs after every ingest: for each FK
+    edge (orders.o_custkey -> customer, lineitem.l_orderkey -> orders,
+    lineitem.l_partkey -> part, lineitem.l_suppkey -> supplier), the
+    row count, orphan count (left-anti join against the parent key set),
+    and distinct orphan keys.  Anti-joins on dimension key sets
+    broadcast where the parent is small; at 100 TB the parent side
+    reduces to its distinct key column first (the ingest-ledger shape),
+    so the shuffle carries keys, never rows.  Clean fixtures report
+    zero orphans — the audit's value is the loud nonzero row."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+
+    def edge(name, child, fk, parent, pk):
+        orphans = child.select(F.col(fk).alias("k")).join(
+            parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans"),
+                    F.countDistinct("k").cast("long").alias("n_orphan_keys"),
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_rows", "n_orphans",
+                    "n_orphan_keys")
+        )
+
+    return (
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+    )
+
+
+ORACLE_SQL["fk_orphan_audit"] = """
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT l_partkey) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+           CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+"""
+QUERIES["fk_orphan_audit"] = q_fk_orphan_audit

@@ -525,3 +525,79 @@ def test_cluster_separation_detects_planted_clusters(spark):
     oth = scored.filter(F.col("rn") == 2).select("id", F.col("dist").alias("b"))
     per = own.join(oth, "id").agg(F.sum("a").alias("sa"), F.sum("b").alias("sb")).collect()[0]
     assert per.sb / per.sa > 10, per.sb / per.sa
+
+
+# ---------------------------------------------------------------------------
+# assortativity + FK audit
+# ---------------------------------------------------------------------------
+
+def test_assortativity_matches_python_replay(spark):
+    """The scalar equals a direct python Pearson-over-edges replay."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.queries import QUERIES
+
+    got = QUERIES["graph_assortativity"](spark, SF_DIR).collect()[0]
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders: dict[int, set[int]] = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    r = (m * sxy - sx * sy) / (
+        (m * sxx - sx * sx) ** 0.5 * (m * syy - sy * sy) ** 0.5
+    )
+    assert got.n_directed_edges == m
+    assert abs(got.assortativity - round(r, 6)) <= 1e-6
+
+
+def test_fk_orphan_audit_detects_planted_orphans(spark):
+    """Zero orphans on the clean fixture; a planted orphan FK rings the
+    bell with exact counts."""
+    import tempfile
+
+    import pandas as pd
+
+    from parquet_merger_spark.queries import QUERIES
+
+    clean = QUERIES["fk_orphan_audit"](spark, SF_DIR).collect()
+    assert all(r.n_orphans == 0 and r.n_orphan_keys == 0 for r in clean)
+    assert len(clean) == 4
+
+    with tempfile.TemporaryDirectory() as td:
+        src = SF_DIR
+        for t in ["orders", "lineitem", "customer", "part", "supplier"]:
+            pdf = pd.read_parquet(os.path.join(src, f"{t}.parquet"))
+            if t == "orders":
+                pdf = pdf.head(100).copy()
+                pdf.loc[pdf.index[:3], "o_custkey"] = 99_999_999  # orphan key
+            if t == "lineitem":
+                pdf = pdf.head(50).copy()
+            pdf.to_parquet(os.path.join(td, f"{t}.parquet"))
+        rows = {r.fk_edge: r for r in QUERIES["fk_orphan_audit"](spark, td).collect()}
+        cust = rows["orders.o_custkey->customer"]
+        assert cust.n_orphans == 3 and cust.n_orphan_keys == 1
