@@ -10904,3 +10904,410 @@ ORACLE_SQL["fk_orphan_audit"] = """
                                    WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
 """
 QUERIES["fk_orphan_audit"] = q_fk_orphan_audit
+
+
+# --- round-6 widening wave 7: corpus divergence & distribution audits -----
+
+
+def q_source_divergence_tv(spark, sf_dir):
+    """Per-source corpus drift: total-variation distance between each
+    crawl source's token unigram distribution and the whole-corpus
+    distribution — the mixture-rebalancing signal a data pipeline
+    watches when a new dump lands.  TV = 1/2 * sum_t |p_s(t) - p(t)|
+    is the exact-rational sibling of KL (no logs, so no libm ulp
+    drift): the numerator folds |c_st*N - C_t*n_s| over PRESENT
+    tokens as exact int64 and adds the absent-token mass
+    n_s*(N - sum_present C_t) in closed form, so the only double is
+    ONE final division.  int64 ceiling: products are bounded by
+    2*n_s*N — safe to ~3e9 total corpus tokens (cast to decimal past
+    that).  Scale: one (source, token) wordcount shuffle, one
+    token-keyed join against the vocab-sized count table; the source
+    totals ride a broadcast, the grand total a 1-row crossJoin."""
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok = cells.groupBy("token").agg(F.sum("c").alias("ct"))
+    src = cells.groupBy("source").agg(F.sum("c").alias("ns"))
+    total = src.agg(F.sum("ns").alias("nn"))
+    j = (
+        cells.join(F.broadcast(src), "source")
+        .join(tok, "token")
+        .crossJoin(F.broadcast(total))
+    )
+    per = j.groupBy("source").agg(
+        F.sum(F.abs(F.col("c") * F.col("nn") - F.col("ct") * F.col("ns"))).alias("a"),
+        F.sum("ct").alias("p"),
+        F.max("ns").alias("ns"),
+        F.max("nn").alias("nn"),
+    )
+    return per.select(
+        "source",
+        F.col("ns").cast("long").alias("n_tokens"),
+        F.round(
+            (F.col("a") + F.col("ns") * (F.col("nn") - F.col("p"))).cast("double")
+            / (F.lit(2.0) * F.col("ns").cast("double") * F.col("nn").cast("double")),
+            6,
+        ).alias("tv_divergence"),
+    )
+
+
+ORACLE_SQL["source_divergence_tv"] = """
+    WITH cells AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cc AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY 1, 2
+    ),
+    tok AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM cc GROUP BY 1),
+    src AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cc GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cc),
+    per AS (
+      SELECT cc.source,
+             CAST(sum(abs(cc.c * tot.nn - tok.ct * src.ns)) AS BIGINT) AS a,
+             CAST(sum(tok.ct) AS BIGINT) AS p,
+             max(src.ns) AS ns,
+             max(tot.nn) AS nn
+      FROM cc
+      JOIN tok USING (token)
+      JOIN src USING (source)
+      CROSS JOIN tot
+      GROUP BY 1
+    )
+    SELECT source,
+           ns AS n_tokens,
+           round(CAST(a + ns * (nn - p) AS DOUBLE)
+                 / (2.0 * CAST(ns AS DOUBLE) * CAST(nn AS DOUBLE)),
+                 6) AS tv_divergence
+    FROM per
+"""
+QUERIES["source_divergence_tv"] = q_source_divergence_tv
+
+
+def q_benford_digit_audit(spark, sf_dir):
+    """Benford's-law audit of order totals — the fraud/synthetic-data
+    smell test: observed first-significant-digit counts vs the Benford
+    expectation log10(1+1/d), with a per-digit chi-square contribution.
+    The digit is extracted EXACTLY (first character of the integer
+    cents string — no log10/pow in the extraction path); the nine
+    expected shares are hardcoded 12-decimal literals so both engines
+    parse the identical double; the chi term is one fixed IEEE
+    expression tree (diff*diff/expected), bit-identical cross-engine.
+    A 9-row digit spine left-joins the counts so a digit with zero
+    observations still reports (its chi term is then n*p — loud, as an
+    audit should be).  Scale: a single 9-group aggregate over one
+    column; everything else is model-sized."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    obs = (
+        o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    ben = spark.createDataFrame(
+        [
+            (1, 0.301029995664),
+            (2, 0.176091259056),
+            (3, 0.124938736608),
+            (4, 0.096910013008),
+            (5, 0.079181246048),
+            (6, 0.066946789631),
+            (7, 0.057991946978),
+            (8, 0.051152522447),
+            (9, 0.045757490561),
+        ],
+        "digit int, expected_share double",
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        ben.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    expected = F.col("n").cast("double") * F.col("expected_share")
+    diff = F.col("n_obs").cast("double") - expected
+    return j.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "expected_share",
+        F.round(diff * diff / expected, 6).alias("chi_term"),
+    ).orderBy("digit")
+
+
+ORACLE_SQL["benford_digit_audit"] = """
+    WITH obs AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1
+    ),
+    ben(digit, expected_share) AS (
+      VALUES (1, CAST(0.301029995664 AS DOUBLE)),
+             (2, CAST(0.176091259056 AS DOUBLE)),
+             (3, CAST(0.124938736608 AS DOUBLE)),
+             (4, CAST(0.096910013008 AS DOUBLE)),
+             (5, CAST(0.079181246048 AS DOUBLE)),
+             (6, CAST(0.066946789631 AS DOUBLE)),
+             (7, CAST(0.057991946978 AS DOUBLE)),
+             (8, CAST(0.051152522447 AS DOUBLE)),
+             (9, CAST(0.045757490561 AS DOUBLE))
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+    SELECT ben.digit,
+           COALESCE(obs.n_obs, 0) AS n_obs,
+           ben.expected_share,
+           round((CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                  - CAST(tot.n AS DOUBLE) * ben.expected_share)
+                 * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+                    - CAST(tot.n AS DOUBLE) * ben.expected_share)
+                 / (CAST(tot.n AS DOUBLE) * ben.expected_share),
+                 6) AS chi_term
+    FROM ben LEFT JOIN obs ON obs.digit = ben.digit CROSS JOIN tot
+    ORDER BY ben.digit
+"""
+QUERIES["benford_digit_audit"] = q_benford_digit_audit
+
+
+def q_value_skewness_by_type(spark, sf_dir):
+    """Per-event-type skewness (population g1) of the value column via
+    EXACT integer moment sums: values are fixed to integer cents at the
+    row level, then S1/S2 fold as int64 and the cube sum S3 as
+    decimal(38,0) (int64 would overflow past ~2e5 events at this value
+    range; decimal is exact to 1e38).  The closed form reduces to
+    g1 = A / B^{3/2} with A = n^2*S3 - 3n*S1*S2 + 2*S1^3 and
+    B = n*S2 - S1^2 both exact, so the doubles are one cast, one sqrt,
+    one multiply, one division — a fixed IEEE tree, bit-identical
+    cross-engine.  Scale: a single per-type aggregate (map-side
+    partial), model-sized result."""
+    e = _events(spark, sf_dir)
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    base = e.select("event_type", c.alias("c"))
+    agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")).alias("s3"),
+    )
+    a = (
+        F.col("s3") * F.col("n") * F.col("n")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s2") * F.col("n") * 3
+        + F.col("s1").cast("decimal(38,0)") * F.col("s1") * F.col("s1") * 2
+    )
+    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("s1").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6
+        ).alias("mean_value"),
+        F.round(
+            a.cast("double") / (F.sqrt(b.cast("double")) * b.cast("double")), 6
+        ).alias("skewness"),
+    )
+
+
+ORACLE_SQL["value_skewness_by_type"] = """
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             sum(CAST(c AS HUGEINT) * c * c) AS s3
+      FROM base GROUP BY 1
+    )
+    SELECT event_type,
+           n,
+           round(CAST(s1 AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6) AS mean_value,
+           round(CAST(s3 * n * n
+                      - 3 * CAST(s1 AS HUGEINT) * s2 * n
+                      + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS DOUBLE)
+                 / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                    * CAST(n * s2 - s1 * s1 AS DOUBLE)),
+                 6) AS skewness
+    FROM agg
+"""
+QUERIES["value_skewness_by_type"] = q_value_skewness_by_type
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the top-100 tokens (a healthy natural-language corpus
+    sits near -1; a template-spam corpus goes flat).  Determinism
+    recipe: the top-k selection is a TakeOrdered with the total order
+    (n DESC, token ASC); each ln is rounded to 9 decimals and scaled to
+    an exact int64 at the ROW level, so the OLS moment sums fold as
+    exact integers (cross products in decimal(38,0) — xi*yi can exceed
+    int64) and the slope/r2 are one division each.  Scale: the vocab
+    wordcount shuffle dominates; the fit itself runs on a 100-row
+    model-sized table (the sanctioned unpartitioned-window exemption)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = tok.select(
+        F.row_number().over(w).alias("rank"), F.col("n")
+    )
+    xi = F.round(F.log(F.col("rank").cast("double")) * 1e9, 0).cast("long")
+    yi = F.round(F.log(F.col("n").cast("double")) * 1e9, 0).cast("long")
+    pts = ranked.select(xi.alias("x"), yi.alias("y"))
+    m = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    num = F.col("sxy") * F.col("k") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    den = F.col("sxx") * F.col("k") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    deny = F.col("syy") * F.col("k") - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    return m.select(
+        F.col("k").cast("long").alias("n_tokens"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("zipf_slope"),
+        F.round(
+            num.cast("double") * num.cast("double")
+            / (den.cast("double") * deny.cast("double")),
+            6,
+        ).alias("r2"),
+    )
+
+
+ORACLE_SQL["zipf_slope"] = """
+    WITH tok AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 100
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank, n FROM tok
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9, 0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(n AS DOUBLE)) * 1e9, 0) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pts
+    )
+    SELECT k AS n_tokens,
+           round(CAST(sxy * k - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(sxx * k - CAST(sx AS HUGEINT) * sx AS DOUBLE),
+                 6) AS zipf_slope,
+           round(CAST(sxy * k - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 * CAST(sxy * k - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (CAST(sxx * k - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(syy * k - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                 6) AS r2
+    FROM m
+"""
+QUERIES["zipf_slope"] = q_zipf_slope
+
+
+def q_neighbor_jaccard(spark, sf_dir):
+    """Link-prediction feature over the part co-occurrence graph (same
+    graph as graph_assortativity: parts co-occurring in a sampled
+    order): Jaccard similarity of adjacency sets for the top-20 vertex
+    pairs that share at least one common neighbor.  Everything is
+    exact-integer (common neighbors by wedge counting, degrees from the
+    symmetric edge list, J = inter/(da+db-inter) as ONE division,
+    rounded before the ordering so the top-k total order
+    (jaccard DESC, part_a, part_b) is cross-engine identical).  Scale:
+    the wedge join is the O(sum deg^2) step — at 100 TB it takes the
+    standard mitigation (cap or split high-degree hubs before the
+    self-join, as two_hop_neighbors documents); degrees join in
+    model-sized broadcasts."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+    sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("s", "v")
+    w1 = sym.select(F.col("s").alias("mid"), F.col("d").alias("pa"))
+    w2 = sym.select(F.col("s").alias("mid"), F.col("d").alias("pb"))
+    wedges = (
+        w1.join(w2, "mid")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.withColumnRenamed("v", "pa").withColumnRenamed("dg", "da")
+    db = deg.withColumnRenamed("v", "pb").withColumnRenamed("dg", "db")
+    j = wedges.join(da, "pa").join(db, "pb")
+    return (
+        j.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("inter").cast("long").alias("common_neighbors"),
+            F.col("da").cast("long").alias("degree_a"),
+            F.col("db").cast("long").alias("degree_b"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("da") + F.col("db") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ORACLE_SQL["neighbor_jaccard"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+    ),
+    sym AS (
+      SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e
+    ),
+    deg AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+    wedges AS (
+      SELECT w1.d AS pa, w2.d AS pb, CAST(count(*) AS BIGINT) AS inter
+      FROM sym w1 JOIN sym w2 ON w1.s = w2.s AND w1.d < w2.d
+      GROUP BY 1, 2
+    )
+    SELECT wedges.pa AS part_a,
+           wedges.pb AS part_b,
+           inter AS common_neighbors,
+           da.dg AS degree_a,
+           db.dg AS degree_b,
+           round(CAST(inter AS DOUBLE)
+                 / CAST(da.dg + db.dg - inter AS DOUBLE), 6) AS jaccard
+    FROM wedges
+    JOIN deg da ON da.v = wedges.pa
+    JOIN deg db ON db.v = wedges.pb
+    ORDER BY jaccard DESC, part_a, part_b
+    LIMIT 20
+"""
+QUERIES["neighbor_jaccard"] = q_neighbor_jaccard
