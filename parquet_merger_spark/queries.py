@@ -11311,3 +11311,361 @@ ORACLE_SQL["neighbor_jaccard"] = """
     LIMIT 20
 """
 QUERIES["neighbor_jaccard"] = q_neighbor_jaccard
+
+
+# --- round-6 widening wave 8: ML/eval statistics -------------------------
+
+
+def q_ols_multivariate(spark, sf_dir):
+    """Two-regressor OLS (order total cents on #lineitems and total
+    quantity) via the closed-form 2x2 normal equations — the
+    feature-attribution fit that needs no iteration.  First-level
+    moment sums fold as exact int64 (per-row products bounded by
+    ~2e10, sums safe past sf10); the centered cross-moments, Cramer
+    determinants and beta numerators are decimal(38,0)/HUGEINT exact,
+    so each beta is ONE division and the intercept one fixed IEEE
+    tree over those two quotients — bit-identical cross-engine.
+    Scale: one lineitem groupBy(orderkey) shuffle + an orders join on
+    the same key; the fit itself is a 1-row fold."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.round(F.sum("l_quantity"), 0).cast("long").alias("x2"),
+        )
+    )
+    pts = o.join(li, o.o_orderkey == li.l_orderkey).select("x1", "x2", "y")
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    a11 = dec("s11") * F.col("n") - dec("sx1") * F.col("sx1")
+    a12 = dec("s12") * F.col("n") - dec("sx1") * F.col("sx2")
+    a22 = dec("s22") * F.col("n") - dec("sx2") * F.col("sx2")
+    b1 = dec("s1y") * F.col("n") - dec("sx1") * F.col("sy")
+    b2 = dec("s2y") * F.col("n") - dec("sx2") * F.col("sy")
+    det = a11 * a22 - a12 * a12
+    beta1 = (a22 * b1 - a12 * b2).cast("double") / det.cast("double")
+    beta2 = (a11 * b2 - a12 * b1).cast("double") / det.cast("double")
+    intercept = (
+        F.col("sy").cast("double")
+        - beta1 * F.col("sx1").cast("double")
+        - beta2 * F.col("sx2").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(beta1, 6).alias("beta_lines_cents"),
+        F.round(beta2, 6).alias("beta_qty_cents"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
+ORACLE_SQL["ols_multivariate"] = """
+    WITH pts AS (
+      SELECT li.x1, li.x2, CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS y
+      FROM orders o
+      JOIN (SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS x1,
+                   CAST(round(sum(l_quantity), 0) AS BIGINT) AS x2
+            FROM lineitem GROUP BY 1) li
+        ON o.o_orderkey = li.l_orderkey
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1,
+             CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM pts
+    ),
+    c AS (
+      SELECT n, sx1, sx2, sy,
+             CAST(s11 AS HUGEINT) * n - CAST(sx1 AS HUGEINT) * sx1 AS a11,
+             CAST(s12 AS HUGEINT) * n - CAST(sx1 AS HUGEINT) * sx2 AS a12,
+             CAST(s22 AS HUGEINT) * n - CAST(sx2 AS HUGEINT) * sx2 AS a22,
+             CAST(s1y AS HUGEINT) * n - CAST(sx1 AS HUGEINT) * sy AS b1,
+             CAST(s2y AS HUGEINT) * n - CAST(sx2 AS HUGEINT) * sy AS b2
+      FROM m
+    )
+    SELECT n AS n_orders,
+           round(CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+                 / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 6) AS beta_lines_cents,
+           round(CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+                 / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 6) AS beta_qty_cents,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+                     / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
+                    * CAST(sx1 AS DOUBLE)
+                  - (CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+                     / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
+                    * CAST(sx2 AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_cents
+    FROM c
+"""
+QUERIES["ols_multivariate"] = q_ols_multivariate
+
+
+def q_rater_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two deterministic document raters (rater A:
+    n_chars > 500; rater B: whitespace token count > 80) — the
+    inter-annotator-agreement check run before trusting any pair of
+    quality filters to vote.  The 2x2 contingency counts are exact
+    int64 and kappa reduces to (n*(a+d) - E) / (n^2 - E) with
+    E = (a+b)(a+c) + (c+d)(b+d) exact, so the statistic is ONE
+    division of exact integers.  Scale: a single 4-cell aggregate,
+    shuffle-free map-side fold."""
+    d = _t(spark, sf_dir, "documents")
+    ra = (F.col("n_chars") > 500).cast("int")
+    rb = (F.size(F.split(F.col("text"), " ")) > 80).cast("int")
+    cells = d.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).alias("a"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).alias("c"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).alias("d"),
+    )
+    e = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    return cells.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("a").cast("long").alias("both_pass"),
+        F.col("b").cast("long").alias("only_a"),
+        F.col("c").cast("long").alias("only_b"),
+        F.col("d").cast("long").alias("neither"),
+        F.round(
+            (F.col("n") * (F.col("a") + F.col("d")) - e).cast("double")
+            / (F.col("n") * F.col("n") - e).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+ORACLE_SQL["rater_agreement_kappa"] = """
+    WITH cells AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ra * rb) AS BIGINT) AS a,
+             CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+             CAST(sum((1 - ra) * rb) AS BIGINT) AS c,
+             CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS d
+      FROM (SELECT CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN len(string_split(text, ' ')) > 80 THEN 1 ELSE 0 END AS rb
+            FROM documents)
+    )
+    SELECT n AS n_docs, a AS both_pass, b AS only_a, c AS only_b, d AS neither,
+           round(CAST(n * (a + d) - ((a + b) * (a + c) + (c + d) * (b + d))
+                      AS DOUBLE)
+                 / CAST(n * n - ((a + b) * (a + c) + (c + d) * (b + d))
+                        AS DOUBLE), 6) AS kappa
+    FROM cells
+"""
+QUERIES["rater_agreement_kappa"] = q_rater_agreement_kappa
+
+
+def q_winsorized_mean_by_nation(spark, sf_dir):
+    """Per-nation winsorized mean order price (clamp to [p05, p95], then
+    average) — the robust revenue statistic that survives fat-tail
+    outliers.  Percentiles are EXACT rank selections over the
+    per-nation value-count table (rank k = ceil(q*n) via integer
+    arithmetic, value = first cents whose cumulative count reaches k) —
+    the same no-single-task-sort design as percentile_bands_per_type:
+    the window runs over (nation, distinct-cents) count rows, never
+    raw orders.  The clamped mean folds exact cents; one final
+    division.  Scale: one orders->customer join (nation broadcast),
+    one count-table shuffle."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    counts = j.groupBy("n_name", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("n_name").orderBy("cents")
+    cum = counts.select(
+        "n_name", "cents", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = counts.groupBy("n_name").agg(F.sum("cnt").alias("nn"))
+    cj = cum.join(F.broadcast(tot), "n_name")
+    p = cj.groupBy("n_name").agg(
+        F.min(F.when(F.col("cum") * 100 >= F.lit(5) * F.col("nn"), F.col("cents"))).alias("p05"),
+        F.min(F.when(F.col("cum") * 100 >= F.lit(95) * F.col("nn"), F.col("cents"))).alias("p95"),
+        F.max("nn").alias("nn"),
+    )
+    clamped = counts.join(F.broadcast(p), "n_name").select(
+        "n_name",
+        "nn",
+        (
+            F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("cents")))
+            * F.col("cnt")
+        ).alias("wsum"),
+    )
+    return (
+        clamped.groupBy("n_name")
+        .agg(F.sum("wsum").alias("ws"), F.max("nn").alias("nn"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("nn").cast("long").alias("n_orders"),
+            F.round(
+                F.col("ws").cast("double") / (F.lit(100.0) * F.col("nn").cast("double")),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+ORACLE_SQL["winsorized_mean_by_nation"] = """
+    WITH o AS (
+      SELECT n.n_name,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer c ON o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    counts AS (
+      SELECT n_name, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM o GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT n_name, cents, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY n_name ORDER BY cents) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY n_name) AS BIGINT) AS nn
+      FROM counts
+    ),
+    p AS (
+      SELECT n_name,
+             min(CASE WHEN cum * 100 >= 5 * nn THEN cents END) AS p05,
+             min(CASE WHEN cum * 100 >= 95 * nn THEN cents END) AS p95,
+             max(nn) AS nn
+      FROM cum GROUP BY 1
+    )
+    SELECT counts.n_name AS nation,
+           max(p.nn) AS n_orders,
+           round(CAST(sum(greatest(p.p05, least(p.p95, counts.cents)) * counts.cnt)
+                      AS DOUBLE)
+                 / (100.0 * CAST(max(p.nn) AS DOUBLE)), 6) AS winsorized_mean
+    FROM counts JOIN p ON counts.n_name = p.n_name
+    GROUP BY 1
+"""
+QUERIES["winsorized_mean_by_nation"] = q_winsorized_mean_by_nation
+
+
+def q_seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonality index of order revenue: per-dow revenue
+    share scaled by 7, so 1.0 = flat.  Revenue folds as exact cents;
+    the index is ONE division (dow-cents*7 / total-cents).  Day keys
+    use the Sunday=0 convention (Spark dayofweek-1 == DuckDB
+    dayofweek) so the two engines group identically.  Scale: a 7-group
+    aggregate with map-side partials; the total rides a 1-row
+    broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per = o.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("rev")
+    )
+    tot = per.agg(F.sum("rev").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("rev").cast("long").alias("revenue_cents"),
+            F.round(
+                (F.col("rev") * 7).cast("double") / F.col("total").cast("double"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_SQL["seasonality_dow"] = """
+    WITH per AS (
+      SELECT dayofweek(o_orderdate) AS dow,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM per)
+    SELECT dow, n_orders, rev AS revenue_cents,
+           round(CAST(rev * 7 AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS seasonal_index
+    FROM per CROSS JOIN tot
+    ORDER BY dow
+"""
+QUERIES["seasonality_dow"] = q_seasonality_dow
+
+
+def q_quality_calibration_bins(spark, sf_dir):
+    """Calibration table for the short-token quality score against the
+    lang == 'en' label (the same score/label pair quality_score_auc
+    certifies): decile score bins with observed positive rate — the
+    reliability diagram as data, read before trusting the score as a
+    probability.  Counts are exact; the rate is one division.  Scale:
+    row-local scoring then a <= 11-group aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        F.floor(
+            (
+                F.lit(1000.0)
+                * F.size(F.filter(toks, lambda t: F.length(t) <= 3))
+            )
+            / F.size(toks)
+        ).cast("long").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    return (
+        scored.select((F.col("score") - F.col("score") % 100).alias("bin_lo"), "label")
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+        )
+        .select(
+            "bin_lo",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin_lo")
+    )
+
+
+ORACLE_SQL["quality_calibration_bins"] = """
+    WITH scored AS (
+      SELECT CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
+                                                  t -> len(t) <= 3)))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    )
+    SELECT score - score % 100 AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           round(CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS pos_rate
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["quality_calibration_bins"] = q_quality_calibration_bins
