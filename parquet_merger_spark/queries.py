@@ -11669,3 +11669,395 @@ ORACLE_SQL["quality_calibration_bins"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["quality_calibration_bins"] = q_quality_calibration_bins
+
+
+# --- round-6 widening wave 9: streaming sketch, k-core, drift, pareto -----
+
+
+def q_stream_quantile_rollup(spark, sf_dir):
+    """STREAMING quantile-sketch maintenance driven end-to-end — the
+    order-statistics member of the streaming sketch family: events
+    replay in three mtime-pinned micro-batches; the hash-sampled
+    value-count table is a complete-mode streaming aggregation whose
+    state is the SKETCH's own bounded size (sample distinct values, set
+    by rate_den — no watermark needed); counts add, so after the drain
+    the streamed table equals the batch ``vq_sketch`` bit-for-bit and
+    the p50/p95 rollup computed FROM THE STREAMED STATE is certified by
+    the batch twin's oracle (``quantile_sketch_rollup``).  The 100 TB
+    shape: a few thousand (value, cnt) rows of state answer percentile
+    dashboards continuously at any rollup grain."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.operators.sketches import vq_merge, vq_quantiles
+    from parquet_merger_spark.streaming.events import vq_sketch_stream
+
+    base = _scratch_dir(spark, "stream_quantile_rollup")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    slices = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    src = _write_replay_batches(base, slices)
+
+    name = f"svq_{uuid.uuid4().hex[:8]}"
+    q = vq_sketch_stream(
+        spark, src, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_quantile_rollup")
+    # sever the MemorySink lineage before self-referencing plans (union of
+    # the sketch with its own rollup trips Spark's conflicting-reference
+    # resolution on MemoryPlan); the checkpoint is sketch-bounded state,
+    # a few hundred rows by construction
+    sk = spark.table(name).localCheckpoint(eager=True)
+
+    qs = [("p50", 1, 2), ("p95", 19, 20)]
+    sk_all = vq_merge(sk.withColumn("scope", F.lit("__all__")), ["scope"])
+    est = vq_quantiles(sk.unionByName(sk_all), ["scope"], qs)
+
+    scoped = _events(spark, sf_dir).select(
+        F.col("event_type").alias("scope"), "value"
+    )
+    full = (
+        scoped.filter(F.col("value").isNotNull())
+        .groupBy("scope", F.col("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    full_all = vq_merge(full.withColumn("scope", F.lit("__all__")), ["scope"])
+    exact = vq_quantiles(full.unionByName(full_all), ["scope"], qs).select(
+        "scope", "q_label", F.col("v").alias("v_exact")
+    )
+    return est.join(exact, ["scope", "q_label"]).select(
+        "scope",
+        "q_label",
+        F.col("n").alias("n_sample"),
+        F.col("v").alias("v_est"),
+        "v_exact",
+    )
+
+
+ORACLE_SQL["stream_quantile_rollup"] = ORACLE_SQL["quantile_sketch_rollup"]
+QUERIES["stream_quantile_rollup"] = q_stream_quantile_rollup
+
+
+def q_graph_kcore_portable(spark, sf_dir):
+    """k-core decomposition (k=3), unrolled for two peeling rounds — the
+    seventh oracle-certified ITERATIVE operator (after the k-means/IVF/
+    PQ/PCA/MMR/power-iteration twins): each round drops vertices of
+    degree < k from the part co-occurrence graph and reports the
+    surviving census, so the fixpoint loop's algebra (degree -> filter
+    -> induced subgraph) is cross-engine certified on its first two
+    applications.  All counts exact; no doubles anywhere.  Scale: each
+    round is one degree aggregate + two key-wise semi-joins (the
+    label-propagation shuffle shape); production k-core iterates this
+    plan to fixpoint with the eager-checkpoint hygiene the components
+    operator pins."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+
+    def census(e, rnd):
+        sym = e.select(F.col("pa").alias("v")).unionAll(
+            e.select(F.col("pb").alias("v"))
+        )
+        return (
+            sym.agg(F.countDistinct("v").alias("n_vertices"))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(rnd).alias("round"),
+                F.col("n_vertices").cast("long").alias("n_vertices"),
+                F.col("n_edges").cast("long").alias("n_edges"),
+            )
+        )
+
+    def peel(e, k=3):
+        sym = e.select(F.col("pa").alias("s")).unionAll(
+            e.select(F.col("pb").alias("s"))
+        )
+        keep = (
+            sym.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select(F.col("s").alias("v"))
+        )
+        return (
+            e.join(keep.withColumnRenamed("v", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("v", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+        )
+
+    e1 = peel(edges)
+    e2 = peel(e1)
+    return (
+        census(edges, 0)
+        .unionByName(census(e1, 1))
+        .unionByName(census(e2, 2))
+        .orderBy("round")
+    )
+
+
+ORACLE_SQL["graph_kcore_portable"] = """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+      FROM lineitem WHERE l_orderkey % 4 = 0
+    ),
+    e0 AS (
+      SELECT DISTINCT a.p AS pa, b.p AS pb
+      FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+    ),
+    keep1 AS (
+      SELECT v FROM (
+        SELECT v, count(*) AS dg
+        FROM (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0)
+        GROUP BY 1
+      ) WHERE dg >= 3
+    ),
+    e1 AS (
+      SELECT pa, pb FROM e0
+      WHERE pa IN (SELECT v FROM keep1) AND pb IN (SELECT v FROM keep1)
+    ),
+    keep2 AS (
+      SELECT v FROM (
+        SELECT v, count(*) AS dg
+        FROM (SELECT pa AS v FROM e1 UNION ALL SELECT pb FROM e1)
+        GROUP BY 1
+      ) WHERE dg >= 3
+    ),
+    e2 AS (
+      SELECT pa, pb FROM e1
+      WHERE pa IN (SELECT v FROM keep2) AND pb IN (SELECT v FROM keep2)
+    )
+    SELECT 0 AS round,
+           CAST((SELECT count(DISTINCT v)
+                 FROM (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0))
+                AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges
+    UNION ALL
+    SELECT 1,
+           CAST((SELECT count(DISTINCT v)
+                 FROM (SELECT pa AS v FROM e1 UNION ALL SELECT pb FROM e1))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM e1) AS BIGINT)
+    UNION ALL
+    SELECT 2,
+           CAST((SELECT count(DISTINCT v)
+                 FROM (SELECT pa AS v FROM e2 UNION ALL SELECT pb FROM e2))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM e2) AS BIGINT)
+    ORDER BY round
+"""
+QUERIES["graph_kcore_portable"] = q_graph_kcore_portable
+
+
+def q_embedding_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift between two deterministic
+    halves of the corpus (even vs odd vec_id — the batch-over-batch
+    drift monitor for an embedding pipeline): L2 distance between the
+    half-centroids.  Exactness recipe: dims quantize to integer
+    1e-4 grid at the row level; the per-(label, dim) difference of
+    means cross-multiplies to the exact integer d = s1*c2 - s2*c1; the
+    squared sum folds in decimal(38,0) (d^2 can pass int64); drift =
+    sqrt(S)/(c1*c2*1e4) is a fixed IEEE tree.  Scale: one
+    (label, dim) aggregate over the exploded matrix — the blocked-GEMM
+    layout's statistics pass, shuffle bounded by labels x dims."""
+    e = _t(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("dim", "qv"),
+    )
+    per = vals.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("qv")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("qv")).otherwise(0)).alias("s2"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    d = (F.col("s1") * F.col("c2") - F.col("s2") * F.col("c1")).cast("decimal(38,0)")
+    agg = per.groupBy("label").agg(
+        F.sum(d * d).alias("ss"),
+        F.max(F.col("c1")).alias("c1"),
+        F.max(F.col("c2")).alias("c2"),
+    )
+    return agg.select(
+        "label",
+        (F.col("c1") / 64).cast("long").alias("n_even"),
+        (F.col("c2") / 64).cast("long").alias("n_odd"),
+        F.round(
+            F.sqrt(F.col("ss").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double") / 4096.0
+               * 10000.0),
+            6,
+        ).alias("centroid_l2_drift"),
+    ).orderBy("label")
+
+
+ORACLE_SQL["embedding_centroid_drift"] = """
+    WITH vals AS (
+      SELECT label,
+             vec_id % 2 AS half,
+             t.i - 1 AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000, 0) AS BIGINT)
+               AS qv
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    per AS (
+      SELECT label, dim,
+             CAST(sum(CASE WHEN half = 0 THEN qv ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN half = 1 THEN qv ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM vals GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT label,
+             sum(CAST(s1 * c2 - s2 * c1 AS HUGEINT)
+                 * (s1 * c2 - s2 * c1)) AS ss,
+             max(c1) AS c1, max(c2) AS c2
+      FROM per GROUP BY 1
+    )
+    SELECT label,
+           c1 // 64 AS n_even,
+           c2 // 64 AS n_odd,
+           round(sqrt(CAST(ss AS DOUBLE))
+                 / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE) / 4096.0
+                    * 10000.0), 6) AS centroid_l2_drift
+    FROM agg ORDER BY label
+"""
+QUERIES["embedding_centroid_drift"] = q_embedding_centroid_drift
+
+
+def q_prefix_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster SIZE HISTOGRAM over template-prefix clusters
+    (documents sharing their first two tokens — the boilerplate-family
+    grouping a crawl dedup reports before choosing survivor policy):
+    for each cluster size, how many clusters and how many documents.
+    The two-level aggregate (doc -> cluster size -> histogram) is the
+    standard dedup-audit artifact; all counts exact.  Scale: one
+    cluster-key shuffle, then a model-sized histogram fold."""
+    d = _t(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    clusters = d.select(pfx.alias("pfx")).groupBy("pfx").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        clusters.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_SQL["prefix_cluster_histogram"] = """
+    WITH clusters AS (
+      SELECT array_to_string(string_split(text, ' ')[1:2], ' ') AS pfx,
+             CAST(count(*) AS BIGINT) AS size
+      FROM documents GROUP BY 1
+    )
+    SELECT size AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(size * count(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY 1 ORDER BY 1
+"""
+QUERIES["prefix_cluster_histogram"] = q_prefix_cluster_histogram
+
+
+def q_revenue_pareto_share(spark, sf_dir):
+    """Pareto concentration of revenue: the share of total order revenue
+    held by the top decile of customers (by lifetime spend) — the
+    80/20 audit.  The decile threshold is an EXACT rank selection over
+    the spend COUNT TABLE (k = ceil(n/10) via integer arithmetic;
+    t = the k-th largest distinct-spend boundary; ties at t are all
+    included, so the set is deterministic under any ordering engine).
+    All sums exact cents; the share is ONE division.  Scale: one
+    custkey aggregate, a count-table window, and a 1-row fold — no
+    global row sort."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("spend"))
+    counts = spend.groupBy("spend").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("spend").alias("rev")
+    )
+    w = Window.orderBy(F.desc("spend"))
+    cum = counts.select(
+        "spend", "cnt", "rev", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("n"), F.sum("rev").alias("total_rev")
+    )
+    cj = cum.crossJoin(F.broadcast(tot))
+    thr = cj.filter(F.col("cum") * 10 >= F.col("n")).agg(
+        F.max("spend").alias("t")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("spend") >= F.col("t"))
+        .agg(
+            F.sum("cnt").alias("n_top"),
+            F.sum("rev").alias("top_rev"),
+            F.max("t").alias("t"),
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("n_top").cast("long").alias("n_top_decile"),
+        F.col("t").cast("long").alias("threshold_cents"),
+        F.round(
+            F.col("top_rev").cast("double") / F.col("total_rev").cast("double"), 6
+        ).alias("top_decile_revenue_share"),
+    )
+
+
+ORACLE_SQL["revenue_pareto_share"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS spend
+      FROM orders GROUP BY 1
+    ),
+    counts AS (
+      SELECT spend, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(spend) AS BIGINT) AS rev
+      FROM spend GROUP BY 1
+    ),
+    cum AS (
+      SELECT spend, cnt, rev,
+             CAST(sum(cnt) OVER (ORDER BY spend DESC) AS BIGINT) AS cum
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(rev) AS BIGINT) AS total_rev
+      FROM counts
+    ),
+    thr AS (
+      SELECT max(spend) AS t FROM cum CROSS JOIN tot WHERE cum * 10 >= n
+    )
+    SELECT tot.n AS n_customers,
+           CAST((SELECT sum(cnt) FROM counts, thr WHERE spend >= t) AS BIGINT)
+             AS n_top_decile,
+           thr.t AS threshold_cents,
+           round(CAST((SELECT sum(rev) FROM counts, thr WHERE spend >= t)
+                      AS DOUBLE)
+                 / CAST(tot.total_rev AS DOUBLE), 6)
+             AS top_decile_revenue_share
+    FROM tot CROSS JOIN thr
+"""
+QUERIES["revenue_pareto_share"] = q_revenue_pareto_share

@@ -976,3 +976,53 @@ def mincount_distinct_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def vq_sketch_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    rate_den: int = 8,
+    query_name: str = "vq_sketch",
+) -> StreamingQuery:
+    """Streaming QUANTILE-sketch maintenance — the order-statistics member
+    of the streaming sketch family (count-min :func:`cms_freq_stream`,
+    MinCount :func:`mincount_distinct_stream`): the value-count table of
+    the deterministic 1/rate_den hash sample is a plain complete-mode
+    streaming aggregation, so Spark's state store IS the sketch.  State
+    is bounded by the SAMPLE's distinct (group, value) pairs — the
+    sketch's own size bound, tuned by ``rate_den``, not a watermark.
+    Counts add, so the streamed table equals the batch
+    :func:`~parquet_merger_spark.operators.sketches.vq_sketch`
+    bit-for-bit after any replay; the ``stream_quantile_rollup`` key
+    certifies that via the batch twin's DuckDB oracle."""
+    from parquet_merger_spark.operators.sketches import (
+        PORTABLE_MOD,
+        portable_hash64,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    thr = PORTABLE_MOD // rate_den
+    sketch = (
+        stream.filter(F.col(value_col).isNotNull())
+        .filter(portable_hash64(F.col(id_col), 1) < thr)
+        .groupBy(
+            F.col(group_col).alias("scope"), F.col(value_col).alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        sketch.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
