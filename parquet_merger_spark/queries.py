@@ -12061,3 +12061,376 @@ ORACLE_SQL["revenue_pareto_share"] = """
     FROM tot CROSS JOIN thr
 """
 QUERIES["revenue_pareto_share"] = q_revenue_pareto_share
+
+
+# --- round-6 widening wave 10: folds, anomalies, boxplots, rolling, asof --
+
+
+def q_stratified_kfold_assign(spark, sf_dir):
+    """Deterministic stratified k-fold assignment (k=5) for evaluation
+    splits: every document lands in fold portable_hash(doc_id) mod 5,
+    so the split is reproducible on ANY engine that does exact int64
+    arithmetic — no RNG, no collect, rerun-stable (the same recipe the
+    train_test_split key certifies, at k-way grain).  Output is the per
+    (lang, fold) census with each fold's within-language share — the
+    stratification audit.  Scale: row-local hashing, one model-sized
+    (lang, fold) aggregate."""
+    from parquet_merger_spark.operators.sketches import portable_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    folds = d.select(
+        "lang", F.pmod(portable_hash64(F.col("doc_id"), 4), F.lit(5)).alias("fold")
+    )
+    per = folds.groupBy("lang", "fold").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_lang").cast("double"), 6
+            ).alias("lang_share"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+ORACLE_SQL["stratified_kfold_assign"] = """
+    WITH folds AS (
+      SELECT lang,
+             ((402653189 * (doc_id % 1000000007) + 33333331) % 1000000007) % 5
+               AS fold
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, fold, CAST(count(*) AS BIGINT) AS n_docs
+      FROM folds GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM per GROUP BY 1)
+    SELECT per.lang, fold, n_docs,
+           round(CAST(n_docs AS DOUBLE) / CAST(n_lang AS DOUBLE), 6) AS lang_share
+    FROM per JOIN tot ON per.lang = tot.lang
+    ORDER BY per.lang, fold
+"""
+QUERIES["stratified_kfold_assign"] = q_stratified_kfold_assign
+
+
+def q_daily_count_anomalies(spark, sf_dir):
+    """Cross-sectional anomaly detection: days whose per-type event count
+    sits >= 2 population standard deviations from that type's daily
+    mean (the volume-spike/outage monitor; the time-ordered sibling is
+    drift_cusum).  The z statistic reduces to (c*n - S)/sqrt(n*S2 - S^2)
+    with every sum exact int64, and the >= 2-sigma GATE is evaluated on
+    exact integers ((c*n - S)^2 >= 4*(n*S2 - S^2)) so the survivor set
+    is engine-independent even when z sits exactly on the fence; the
+    reported z is then one fixed IEEE tree.  Days with zero events of a
+    type are absent from the fixture by construction (documented
+    semantics: z over OBSERVED days).  Scale: one (type, day) count
+    shuffle + a model-sized per-type moment broadcast."""
+    e = _events(spark, sf_dir).select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(mom), "event_type")
+    num = F.col("c") * F.col("n") - F.col("s")
+    var = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    return (
+        j.filter(num * num >= 4 * var)
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("long").alias("n_events"),
+            F.round(num.cast("double") / F.sqrt(var.cast("double")), 6).alias("z"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_SQL["daily_count_anomalies"] = """
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT daily.event_type, day, c AS n_events,
+           round(CAST(c * n - s AS DOUBLE)
+                 / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6) AS z
+    FROM daily JOIN mom ON daily.event_type = mom.event_type
+    WHERE (c * n - s) * (c * n - s) >= 4 * (n * s2 - s * s)
+    ORDER BY daily.event_type, day
+"""
+QUERIES["daily_count_anomalies"] = q_daily_count_anomalies
+
+
+def q_boxplot_by_segment(spark, sf_dir):
+    """Per-market-segment boxplot as data: five-number summary (min, q1,
+    median, q3, max) of order totals plus Tukey-fence outlier counts —
+    the distribution dashboard artifact.  Quantiles are EXACT rank
+    selections over the per-segment value COUNT TABLE (rank =
+    (n-1)*num div den + 1; the percentile_bands idiom — no per-group
+    row sort at any scale), and the 1.5*IQR fences are evaluated in
+    DOUBLED integer cents (2c < 5*q1 - 3*q3) so outlier membership
+    never touches a double.  Scale: one orders->customer broadcast-dim
+    join, one count-table shuffle, model-sized windows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "cents"
+    )
+    counts = j.groupBy("segment", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("segment").orderBy("cents")
+    cum = counts.select(
+        "segment", "cents", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = counts.groupBy("segment").agg(
+        F.sum("cnt").alias("n"),
+        F.min("cents").alias("v_min"),
+        F.max("cents").alias("v_max"),
+    )
+    cj = cum.join(F.broadcast(tot), "segment")
+
+    def pick(num, den, name):
+        rank = (F.col("n") - 1) * num - ((F.col("n") - 1) * num) % den
+        rank = rank / den + 1  # exact: (n-1)*num div den + 1
+        return (
+            cj.filter(
+                (F.col("cum") - F.col("cnt") < rank) & (rank <= F.col("cum"))
+            )
+            .groupBy("segment")
+            .agg(F.min("cents").alias(name))
+        )
+
+    q1, med, q3 = pick(1, 4, "q1"), pick(1, 2, "median"), pick(3, 4, "q3")
+    fences = (
+        tot.join(F.broadcast(q1), "segment")
+        .join(F.broadcast(med), "segment")
+        .join(F.broadcast(q3), "segment")
+    )
+    out = (
+        counts.join(F.broadcast(fences.select("segment", "q1", "q3")), "segment")
+        .groupBy("segment")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("cents") < 5 * F.col("q1") - 3 * F.col("q3"),
+                       F.col("cnt")).otherwise(0)
+            ).alias("n_low_outliers"),
+            F.sum(
+                F.when(2 * F.col("cents") > 5 * F.col("q3") - 3 * F.col("q1"),
+                       F.col("cnt")).otherwise(0)
+            ).alias("n_high_outliers"),
+        )
+    )
+    return fences.join(F.broadcast(out), "segment").select(
+        "segment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("v_min").cast("long").alias("min_cents"),
+        F.col("q1").cast("long").alias("q1_cents"),
+        F.col("median").cast("long").alias("median_cents"),
+        F.col("q3").cast("long").alias("q3_cents"),
+        F.col("v_max").cast("long").alias("max_cents"),
+        F.col("n_low_outliers").cast("long").alias("n_low_outliers"),
+        F.col("n_high_outliers").cast("long").alias("n_high_outliers"),
+    ).orderBy("segment")
+
+
+ORACLE_SQL["boxplot_by_segment"] = """
+    WITH j AS (
+      SELECT c_mktsegment AS segment,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    counts AS (
+      SELECT segment, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT segment, cents, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY cents) AS BIGINT)
+               AS cum
+      FROM counts
+    ),
+    tot AS (
+      SELECT segment, CAST(sum(cnt) AS BIGINT) AS n,
+             min(cents) AS v_min, max(cents) AS v_max
+      FROM counts GROUP BY 1
+    ),
+    cjt AS (SELECT cum.*, tot.n FROM cum JOIN tot USING (segment)),
+    q1 AS (
+      SELECT segment, min(cents) AS q1 FROM cjt
+      WHERE cum - cnt < (n - 1) * 1 // 4 + 1 AND (n - 1) * 1 // 4 + 1 <= cum
+      GROUP BY 1
+    ),
+    med AS (
+      SELECT segment, min(cents) AS median FROM cjt
+      WHERE cum - cnt < (n - 1) * 1 // 2 + 1 AND (n - 1) * 1 // 2 + 1 <= cum
+      GROUP BY 1
+    ),
+    q3 AS (
+      SELECT segment, min(cents) AS q3 FROM cjt
+      WHERE cum - cnt < (n - 1) * 3 // 4 + 1 AND (n - 1) * 3 // 4 + 1 <= cum
+      GROUP BY 1
+    ),
+    fences AS (
+      SELECT tot.segment, n, v_min, v_max, q1.q1, med.median, q3.q3
+      FROM tot JOIN q1 USING (segment) JOIN med USING (segment)
+               JOIN q3 USING (segment)
+    ),
+    outl AS (
+      SELECT counts.segment,
+             CAST(sum(CASE WHEN 2 * cents < 5 * q1 - 3 * q3 THEN cnt
+                           ELSE 0 END) AS BIGINT) AS n_low_outliers,
+             CAST(sum(CASE WHEN 2 * cents > 5 * q3 - 3 * q1 THEN cnt
+                           ELSE 0 END) AS BIGINT) AS n_high_outliers
+      FROM counts JOIN fences USING (segment)
+      GROUP BY 1
+    )
+    SELECT fences.segment, n AS n_orders, v_min AS min_cents, q1 AS q1_cents,
+           median AS median_cents, q3 AS q3_cents, v_max AS max_cents,
+           n_low_outliers, n_high_outliers
+    FROM fences JOIN outl USING (segment)
+    ORDER BY segment
+"""
+QUERIES["boxplot_by_segment"] = q_boxplot_by_segment
+
+
+def q_rolling_median_user(spark, sf_dir):
+    """Rolling lower-median of each sampled user's last five event values
+    — the robust trailing statistic (the mean sibling is
+    trailing_window_avg): a 5-row window frame per user ordered by
+    (ts, event_id), values as exact integer cents, median = element
+    (k+1) div 2 of the sorted frame (lower median — no averaging, no
+    doubles anywhere).  Scale: one user-keyed shuffle; frames are O(5);
+    the 1-in-50 user sample keys the contract row — the operator itself
+    is full-corpus."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 0).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    return e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias(
+            "rolling_median_cents"
+        ),
+    )
+
+
+ORACLE_SQL["rolling_median_user"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE user_id % 50 = 0
+    ),
+    framed AS (
+      SELECT user_id, event_id, cents,
+             list_sort(list(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+      FROM e
+    )
+    SELECT user_id, event_id, cents,
+           arr[(len(arr) + 1) // 2] AS rolling_median_cents
+    FROM framed
+"""
+QUERIES["rolling_median_user"] = q_rolling_median_user
+
+
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas merge_asof semantics): each
+    order gains the customer's latest event at or before the order
+    date, but a match older than 30 days is DISCARDED (nulled payload,
+    row kept) — the staleness bound every point-in-time feature store
+    enforces.  Built on the same union+window asof plan (one key
+    shuffle, no range-join blowup); the tolerance is a row-local gate
+    applied to the carried match, exact in epoch seconds."""
+    tol = 30 * 24 * 3600
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+    )
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").cast("long").alias("event_epoch"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("o_custkey", "event_epoch").orderBy(F.desc("event_id"))
+    e_uniq = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    joined = asof_join(
+        o,
+        e_uniq,
+        on="o_custkey",
+        left_ts="order_epoch",
+        right_ts="event_epoch",
+        right_cols=["event_id", "event_epoch", "value"],
+    )
+    fresh = F.col("order_epoch") - F.col("event_epoch") <= tol
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_epoch",
+        F.when(fresh, F.col("event_id")).alias("last_event_id"),
+        F.when(fresh, F.col("event_epoch")).alias("last_event_epoch"),
+        F.when(fresh, F.round(F.col("value"), 2)).alias("last_event_value"),
+    )
+
+
+ORACLE_SQL["asof_join_tolerance"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+      FROM orders
+    ), e0 AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS event_epoch,
+             event_id, value
+      FROM events
+    ), ed AS (
+      SELECT user_id, event_epoch, event_id, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_epoch ORDER BY event_id DESC) AS rn
+        FROM e0
+      ) WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.order_epoch,
+           CASE WHEN o.order_epoch - e.event_epoch <= 2592000
+                THEN e.event_id END AS last_event_id,
+           CASE WHEN o.order_epoch - e.event_epoch <= 2592000
+                THEN e.event_epoch END AS last_event_epoch,
+           CASE WHEN o.order_epoch - e.event_epoch <= 2592000
+                THEN round(e.value, 2) END AS last_event_value
+    FROM o ASOF LEFT JOIN ed e
+      ON o.o_custkey = e.user_id AND e.event_epoch <= o.order_epoch
+"""
+QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
