@@ -12434,3 +12434,360 @@ ORACLE_SQL["asof_join_tolerance"] = """
       ON o.o_custkey = e.user_id AND e.event_epoch <= o.order_epoch
 """
 QUERIES["asof_join_tolerance"] = q_asof_join_tolerance
+
+
+# --- round-6 widening wave 11: hygiene audits & association diagnostics ---
+
+
+def q_embedding_norm_audit(spark, sf_dir):
+    """Embedding-norm hygiene audit: vectors whose squared L2 norm sits
+    >= 2 population sigmas from the corpus mean — the collapsed/blown
+    vector detector run before any cosine math trusts the matrix.
+    Norms fold as exact int64 on the 1e-4 grid; the corpus moments use
+    decimal(38,0)/HUGEINT for the fourth-power sum; the 2-sigma GATE
+    compares exact integers (no double ever decides membership) and the
+    reported z is one fixed IEEE tree.  Scale: one row-local norm pass,
+    a 1-row moment broadcast, shuffle-free."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+    )
+    norms = e.select(
+        "vec_id",
+        "label",
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v * v).alias(
+            "norm2"
+        ),
+    )
+    mom = norms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("norm2").alias("s"),
+        F.sum(F.col("norm2").cast("decimal(38,0)") * F.col("norm2")).alias("s2"),
+    )
+    j = norms.crossJoin(F.broadcast(mom))
+    diff = (F.col("norm2") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    var = F.col("s2") * F.col("n") - F.col("s").cast("decimal(38,0)") * F.col("s")
+    return (
+        j.filter(diff * diff >= var * 4)
+        .select(
+            "vec_id",
+            "label",
+            F.col("norm2").cast("long").alias("norm2_q"),
+            F.round(diff.cast("double") / F.sqrt(var.cast("double")), 6).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SQL["embedding_norm_audit"] = """
+    WITH norms AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+                         * CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)))
+                  AS BIGINT) AS norm2
+      FROM embeddings
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(norm2) AS BIGINT) AS s,
+             sum(CAST(norm2 AS HUGEINT) * norm2) AS s2
+      FROM norms
+    )
+    SELECT vec_id, label, norm2 AS norm2_q,
+           round(CAST(CAST(norm2 AS HUGEINT) * n - s AS DOUBLE)
+                 / sqrt(CAST(s2 * n - CAST(s AS HUGEINT) * s AS DOUBLE)), 6)
+             AS z
+    FROM norms CROSS JOIN mom
+    WHERE (CAST(norm2 AS HUGEINT) * n - s) * (CAST(norm2 AS HUGEINT) * n - s)
+          >= (s2 * n - CAST(s AS HUGEINT) * s) * 4
+    ORDER BY vec_id
+"""
+QUERIES["embedding_norm_audit"] = q_embedding_norm_audit
+
+
+def q_interevent_burstiness(spark, sf_dir):
+    """Per-user inter-event burstiness: the index of dispersion of gap
+    lengths, D = n*S2/S^2 - 1 == (n*S2 - S^2)/S^2 (0 for a metronome,
+    ~1 for Poisson, >1 bursty) — the behavioral-rhythm feature, all
+    sums exact epoch-second integers and D ONE division.  Gaps come
+    from a lag window per user over (ts, event_id); the first event
+    contributes no gap; users keep the key's 1-in-25 sample.  Scale:
+    one user-keyed shuffle, frames O(1)."""
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 25 == 0).select(
+        "user_id", F.col("ts").cast("long").alias("epoch"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("epoch") - F.lag("epoch").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    )
+    return (
+        agg.filter(F.col("s") > 0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_gap_s"
+            ),
+            F.round(
+                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                / (F.col("s") * F.col("s")).cast("double"),
+                6,
+            ).alias("dispersion"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SQL["interevent_burstiness"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch,
+             event_id
+      FROM events WHERE user_id % 25 = 0
+    ),
+    gaps AS (
+      SELECT user_id,
+             epoch - lag(epoch) OVER (PARTITION BY user_id
+                                      ORDER BY epoch, event_id) AS g
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(g * g) AS BIGINT) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n AS n_gaps,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+           round(CAST(n * s2 - s * s AS DOUBLE) / CAST(s * s AS DOUBLE), 6)
+             AS dispersion
+    FROM agg WHERE s > 0
+    ORDER BY user_id
+"""
+QUERIES["interevent_burstiness"] = q_interevent_burstiness
+
+
+def q_segment_priority_association(spark, sf_dir):
+    """Categorical association diagnostic: the chi-square contribution of
+    every (market segment, order priority) contingency cell — the
+    feature-independence test as a TABLE (per-cell values are each one
+    exact-integer division through a fixed IEEE tree, so the artifact
+    is deterministic without summing doubles cross-engine; the total
+    chi-square and Cramer's V are one trivial fold away downstream).
+    Expected counts ride along.  Scale: one broadcast-dim join, a
+    model-sized contingency aggregate, two marginal broadcasts."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cells = j.groupBy("segment", "priority").agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("segment").agg(F.sum("o").alias("r"))
+    colsm = cells.groupBy("priority").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    full = (
+        cells.join(F.broadcast(rows), "segment")
+        .join(F.broadcast(colsm), "priority")
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    return full.select(
+        "segment",
+        "priority",
+        F.col("o").cast("long").alias("n_obs"),
+        F.round(
+            (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double"), 6
+        ).alias("n_expected"),
+        F.round(
+            (diff * diff).cast("double")
+            / (F.col("n") * F.col("r") * F.col("c")).cast("double"),
+            6,
+        ).alias("chi_term"),
+    ).orderBy("segment", "priority")
+
+
+ORACLE_SQL["segment_priority_association"] = """
+    WITH j AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cells AS (
+      SELECT segment, priority, CAST(count(*) AS BIGINT) AS o
+      FROM j GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT segment, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    cols_m AS (SELECT priority, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+    SELECT cells.segment, cells.priority, o AS n_obs,
+           round(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS n_expected,
+           round(CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
+                 / CAST(n * r * c AS DOUBLE), 6) AS chi_term
+    FROM cells
+    JOIN rows_m ON cells.segment = rows_m.segment
+    JOIN cols_m ON cells.priority = cols_m.priority
+    CROSS JOIN tot
+    ORDER BY cells.segment, cells.priority
+"""
+QUERIES["segment_priority_association"] = q_segment_priority_association
+
+
+def q_priority_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each customer's
+    successive order priorities (the sequence-behavior model; the event
+    sibling is event_transitions): lag window per customer ordered by
+    (o_orderdate, o_orderkey), exact transition counts, row-stochastic
+    probabilities as ONE division each.  Scale: one custkey shuffle,
+    O(1) frames, model-sized matrix out."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    trans = o.select(
+        F.lag("o_orderpriority").over(w).alias("from_priority"),
+        F.col("o_orderpriority").alias("to_priority"),
+    ).filter(F.col("from_priority").isNotNull())
+    cells = trans.groupBy("from_priority", "to_priority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = cells.groupBy("from_priority").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(rows), "from_priority")
+        .select(
+            "from_priority",
+            "to_priority",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_priority", "to_priority")
+    )
+
+
+ORACLE_SQL["priority_transition_matrix"] = """
+    WITH trans AS (
+      SELECT lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS from_priority,
+             o_orderpriority AS to_priority
+      FROM orders
+    ),
+    cells AS (
+      SELECT from_priority, to_priority, CAST(count(*) AS BIGINT) AS n
+      FROM trans WHERE from_priority IS NOT NULL GROUP BY 1, 2
+    ),
+    rows_m AS (
+      SELECT from_priority, CAST(sum(n) AS BIGINT) AS row_n
+      FROM cells GROUP BY 1
+    )
+    SELECT cells.from_priority, to_priority, n,
+           round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS prob
+    FROM cells JOIN rows_m ON cells.from_priority = rows_m.from_priority
+    ORDER BY cells.from_priority, to_priority
+"""
+QUERIES["priority_transition_matrix"] = q_priority_transition_matrix
+
+
+def q_monthly_revenue_mom(spark, sf_dir):
+    """Month-over-month revenue growth: exact cents per month, lag window
+    over the model-sized month table, growth = ONE division (null for
+    the first month) — the KPI delta series every revenue dashboard
+    leads with.  Scale: one month-grain aggregate (map-side partials);
+    the window runs over O(months) rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per = o.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return per.select(
+        "month",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("rev").cast("long").alias("revenue_cents"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_growth"),
+    ).orderBy("month")
+
+
+ORACLE_SQL["monthly_revenue_mom"] = """
+    WITH per AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, rev AS revenue_cents,
+           round(CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS mom_growth
+    FROM per ORDER BY month
+"""
+QUERIES["monthly_revenue_mom"] = q_monthly_revenue_mom
+
+
+def q_join_skew_diagnosis(spark, sf_dir):
+    """Join-key skew diagnosis — the pre-flight check before any big
+    equi-join (the runtime mitigation is skew_salted_join / AQE): the
+    l_suppkey frequency profile reduced to key count, max rows per key,
+    mean rows per key, the skew factor max/mean, and the hottest key
+    (arg-max with a min-key tie-break, exact).  All counts exact;
+    the two ratios are single divisions.  Scale: one key-count shuffle
+    + a 1-row fold — the diagnostic costs one pass."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    mx = counts.agg(F.max("cnt").alias("mx"))
+    agg = counts.crossJoin(F.broadcast(mx)).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_rows"),
+        F.min(
+            F.when(F.col("cnt") == F.col("mx"), F.col("l_suppkey"))
+        ).alias("hottest_key"),
+    )
+    return agg.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("n_rows"),
+        F.col("max_rows").cast("long").alias("max_rows_per_key"),
+        F.round(
+            F.col("total").cast("double") / F.col("n_keys").cast("double"), 6
+        ).alias("mean_rows_per_key"),
+        F.round(
+            (F.col("max_rows") * F.col("n_keys")).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("skew_factor"),
+        F.col("hottest_key").cast("long").alias("hottest_key"),
+    )
+
+
+ORACLE_SQL["join_skew_diagnosis"] = """
+    WITH counts AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (SELECT max(cnt) AS mx FROM counts)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+           round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_rows_per_key,
+           round(CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+             AS skew_factor,
+           CAST(min(CASE WHEN cnt = (SELECT mx FROM m) THEN l_suppkey END)
+                AS BIGINT) AS hottest_key
+    FROM counts
+"""
+QUERIES["join_skew_diagnosis"] = q_join_skew_diagnosis
