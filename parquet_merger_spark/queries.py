@@ -12791,3 +12791,208 @@ ORACLE_SQL["join_skew_diagnosis"] = """
     FROM counts
 """
 QUERIES["join_skew_diagnosis"] = q_join_skew_diagnosis
+
+
+# --- round-6 widening wave 12: langid eval, layout balance, cohort LTV ----
+
+
+def q_langid_confusion_matrix(spark, sf_dir):
+    """Confusion matrix of the certified marker-based language identifier
+    against the fixture's true lang label — the classifier-eval artifact
+    (per (actual, predicted) counts and the within-actual share, one
+    exact division per cell).  Reuses the language_scores operator the
+    text_langid key certifies per-document, so this key certifies its
+    AGGREGATE behavior: precision/recall per language are one fold away.
+    Scale: row-local scoring, model-sized matrix aggregate."""
+    from parquet_merger_spark.operators.textstats import language_scores
+
+    d = _t(spark, sf_dir, "documents")
+    pred = language_scores(d).select(
+        F.col("lang").alias("actual"), F.col("predicted_lang").alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = cells.groupBy("actual").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(rows), "actual")
+        .select(
+            "actual",
+            "predicted",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+            ).alias("actual_share"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+ORACLE_SQL["langid_confusion_matrix"] = f"""
+    WITH pred AS ({_langid_sql()}),
+    j AS (
+      SELECT d.lang AS actual, p.predicted_lang AS predicted
+      FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    ),
+    cells AS (
+      SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+      FROM j GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT actual, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY 1)
+    SELECT cells.actual, predicted, n AS n_docs,
+           round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS actual_share
+    FROM cells JOIN rows_m ON cells.actual = rows_m.actual
+    ORDER BY cells.actual, predicted
+"""
+QUERIES["langid_confusion_matrix"] = q_langid_confusion_matrix
+
+
+def q_partition_balance_report(spark, sf_dir):
+    """Layout pre-flight: how evenly a candidate hash partitioning spreads
+    rows — lineitem keyed by portable_hash(l_orderkey) mod 32, reduced
+    to bucket census, min/max/mean rows per bucket, and the imbalance
+    factor max*buckets/total (1.0 = perfectly even; the number that
+    predicts straggler tasks before a 100 TB shuffle is paid).  The
+    hash is the repo's portable universal hash, so the report is
+    engine-reproducible bit-for-bit.  Scale: one 32-group aggregate
+    with map-side partials; the diagnostic costs one narrow pass."""
+    from parquet_merger_spark.operators.sketches import portable_hash64
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.pmod(portable_hash64(F.col("l_orderkey"), 6), F.lit(32)).alias("bucket")
+    )
+    per = li.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.min("cnt").cast("long").alias("min_rows"),
+        F.max("cnt").cast("long").alias("max_rows"),
+        F.round(
+            F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_rows"),
+        F.round(
+            (F.max("cnt") * F.count(F.lit(1))).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("imbalance_factor"),
+    )
+
+
+ORACLE_SQL["partition_balance_report"] = """
+    WITH per AS (
+      SELECT ((934586471 * (l_orderkey % 1000000007) + 86420147)
+              % 1000000007) % 32 AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(min(cnt) AS BIGINT) AS min_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows,
+           round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_rows,
+           round(CAST(max(cnt) * count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+             AS imbalance_factor
+    FROM per
+"""
+QUERIES["partition_balance_report"] = q_partition_balance_report
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: users cohorted by first-event day
+    (the fixture's events span weeks, so day grain is the informative
+    one; at month-spanning scale swap the 86400 bucket for a month
+    index unchanged);
+    per (cohort, age-in-days) exact revenue cents, cumulative
+    revenue, and LTV per cohort user — the growth-analytics artifact
+    (the retention sibling counts users; this one follows the money).
+    Day arithmetic is integer epoch-day bucketing, revenue folds as
+    exact cents, the cumulative window runs over the model-sized
+    (cohort, age) table, and LTV is ONE division.  Scale: one user
+    shuffle for the cohort map (broadcast back), one (cohort, age)
+    aggregate."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        (F.col("ts").cast("long") - F.pmod(F.col("ts").cast("long"), 86400))
+        .alias("didx"),
+        F.date_format("ts", "yyyy-MM-dd").alias("dstr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cohort = e.groupBy("user_id").agg(
+        F.min("didx").alias("cidx"), F.min("dstr").alias("cohort_day")
+    )
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    j = e.join(F.broadcast(cohort), "user_id").select(
+        "cohort_day",
+        ((F.col("didx") - F.col("cidx")) / 86400).cast("long").alias("age_days"),
+        "cents",
+    )
+    per = j.groupBy("cohort_day", "age_days").agg(
+        F.sum("cents").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "cohort_day", "age_days", "rev", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            F.col("age_days").cast("long").alias("age_days"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("rev").cast("long").alias("revenue_cents"),
+            F.col("cum_rev").cast("long").alias("cum_revenue_cents"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / (F.lit(100.0) * F.col("n_users").cast("double")),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "age_days")
+    )
+
+
+ORACLE_SQL["cohort_ltv"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               - CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400
+               AS didx,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dstr,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, min(didx) AS cidx, min(dstr) AS cohort_day
+      FROM e GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM cohort GROUP BY 1
+    ),
+    per AS (
+      SELECT cohort_day, (e.didx - c.cidx) // 86400 AS age_days,
+             CAST(sum(cents) AS BIGINT) AS rev
+      FROM e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_day, age_days, rev,
+             CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_days)
+                  AS BIGINT) AS cum_rev
+      FROM per
+    )
+    SELECT cum.cohort_day, age_days, n_users, rev AS revenue_cents,
+           cum_rev AS cum_revenue_cents,
+           round(CAST(cum_rev AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)), 6)
+             AS ltv_per_user
+    FROM cum JOIN sizes ON cum.cohort_day = sizes.cohort_day
+    ORDER BY cum.cohort_day, age_days
+"""
+QUERIES["cohort_ltv"] = q_cohort_ltv
