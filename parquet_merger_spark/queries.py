@@ -11245,6 +11245,10 @@ def q_neighbor_jaccard(spark, sf_dir):
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .distinct()
+        # one barrier: the edge list feeds four subtrees (degree pass and
+        # both wedge sides); without it each reference recomputes the
+        # lineitem self-join
+        .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
@@ -11762,6 +11766,13 @@ def q_graph_kcore_portable(spark, sf_dir):
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .distinct()
+        # eager checkpoint per round — the components-loop hygiene: each
+        # peel round's edge set is consumed by THREE downstream subtrees
+        # (its census, the next peel's degree pass, the next peel's
+        # semi-joins); without the barrier the lineage doubles per round
+        # (plan-digested at 366 exchanges for two rounds) and the wedge
+        # join recomputes the base self-join every branch
+        .localCheckpoint(eager=True)
     )
 
     def census(e, rnd):
@@ -11794,8 +11805,8 @@ def q_graph_kcore_portable(spark, sf_dir):
             .select("pa", "pb")
         )
 
-    e1 = peel(edges)
-    e2 = peel(e1)
+    e1 = peel(edges).localCheckpoint(eager=True)
+    e2 = peel(e1).localCheckpoint(eager=True)
     return (
         census(edges, 0)
         .unionByName(census(e1, 1))
