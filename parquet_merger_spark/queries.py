@@ -13007,3 +13007,306 @@ ORACLE_SQL["cohort_ltv"] = """
     ORDER BY cum.cohort_day, age_days
 """
 QUERIES["cohort_ltv"] = q_cohort_ltv
+
+
+# --- round-6 widening wave 13: Heaps' law, dup curve, weights, conversion --
+
+
+def q_heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve in ONE corpus pass: each
+    token's FIRST document (min doc_id) is folded once; the vocabulary
+    size at every doc-count decile is then a count of tokens whose
+    first document precedes the decile boundary — no prefix re-scans
+    (the naive formulation scans the corpus once per checkpoint).
+    Decile boundaries are exact rank selections over the doc_id count
+    table (rank = (n-1)*k div 10 + 1).  All counts exact.  Scale: one
+    token shuffle for the min fold, a model-sized boundary broadcast,
+    one 10-group aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    first = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    ids = d.select("doc_id")
+    w = Window.orderBy("doc_id")
+    ranked = ids.select(
+        "doc_id", F.row_number().over(w).alias("rk")
+    )
+    n = ids.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        ranked.crossJoin(F.broadcast(n))
+        .join(
+            spark.range(1, 11).select(F.col("id").cast("int").alias("decile")),
+            F.expr("rk = ((n - 1) * decile) div 10 + 1"),
+        )
+        .select("decile", F.col("doc_id").alias("boundary_doc"), F.col("rk").alias("n_docs"))
+    )
+    return (
+        first.crossJoin(F.broadcast(bounds))
+        .filter(F.col("first_doc") <= F.col("boundary_doc"))
+        .groupBy("decile", "boundary_doc", "n_docs")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("boundary_doc").cast("long").alias("boundary_doc"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_SQL["heaps_vocab_growth"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    first AS (
+      SELECT token, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM toks GROUP BY 1
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    bounds AS (
+      SELECT t.decile, ranked.doc_id AS boundary_doc,
+             CAST(rk AS BIGINT) AS n_docs
+      FROM ranked CROSS JOIN n
+      JOIN (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS decile) t
+        ON rk = ((n.n - 1) * t.decile) // 10 + 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, boundary_doc,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM first CROSS JOIN bounds
+    WHERE first_doc <= boundary_doc
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+"""
+QUERIES["heaps_vocab_growth"] = q_heaps_vocab_growth
+
+
+def q_near_dup_threshold_curve(spark, sf_dir):
+    """Near-duplicate PAIR COUNT as a function of the Jaccard threshold —
+    the calibration curve read before choosing a dedup cutoff: word-
+    2-gram Jaccard pairs banded by EXACT integer division
+    ((10*inter) div union, so a pair sitting exactly on a band edge
+    lands identically in every engine), counted per band >= 0.1.
+    VERIFICATION TIER like dedup_ngram_jaccard: the inverted-index
+    gram equi-join is the exact path; at 100 TB the curve is computed
+    on LSH candidates instead (same banding downstream).  Scale: one
+    gram-keyed shuffle; posting lists bound the pair fan-out."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"})
+    j = shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    banded = j.select(
+        F.expr("(10 * sh) div (na + nb - sh)").alias("band")
+    ).filter(F.col("band") >= 1)
+    return (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.round(F.col("band").cast("double") / 10, 1).alias("threshold"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+        .orderBy("threshold")
+    )
+
+
+ORACLE_SQL["near_dup_threshold_curve"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(tk) >= 2
+                         THEN list_transform(range(1, len(tk)),
+                                             i -> tk[i] || ' ' || tk[i+1])
+                         ELSE [] END) AS gram
+      FROM toks
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS sh
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT (10 * sh) // (sa.n + sb.n - sh) AS band
+      FROM shared
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT round(CAST(band AS DOUBLE) / 10, 1) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM banded WHERE band >= 1
+    GROUP BY band ORDER BY threshold
+"""
+QUERIES["near_dup_threshold_curve"] = q_near_dup_threshold_curve
+
+
+def q_class_balance_weights(spark, sf_dir):
+    """Inverse-frequency class weights over the embedding labels — the
+    loss-reweighting table handed to any classifier trained on an
+    imbalanced corpus: w_c = n_total / (k * n_c), exact counts, ONE
+    division per class.  Scale: a model-sized label aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    per = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = per.agg(
+        F.sum("n_c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            F.col("n_c").cast("long").alias("n_vectors"),
+            F.round(
+                F.col("n").cast("double")
+                / (F.col("k") * F.col("n_c")).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_SQL["class_balance_weights"] = """
+    WITH per AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_c FROM embeddings GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k
+      FROM per
+    )
+    SELECT label, n_c AS n_vectors,
+           round(CAST(n AS DOUBLE) / CAST(k * n_c AS DOUBLE), 6) AS weight
+    FROM per CROSS JOIN tot
+    ORDER BY label
+"""
+QUERIES["class_balance_weights"] = q_class_balance_weights
+
+
+def q_time_to_first_purchase(spark, sf_dir):
+    """Conversion-lag summary: per user, seconds from first event to
+    first purchase; reduced to conversion rate, median and p90 lag via
+    EXACT rank selection over the lag count table (no row sort), plus
+    the unconverted population — the activation-funnel headline
+    numbers.  All time arithmetic integer epoch seconds; rate is ONE
+    division.  Scale: one user aggregate, one count-table window."""
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("epoch"),
+        "event_type",
+    )
+    per = e.groupBy("user_id").agg(
+        F.min("epoch").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("epoch"))).alias(
+            "tp"
+        ),
+    )
+    lags = per.select((F.col("tp") - F.col("t0")).alias("lag"))
+    counts = (
+        lags.filter(F.col("lag").isNotNull())
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("lag")
+    cum = counts.select("lag", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = counts.agg(F.sum("cnt").alias("nc"))
+    cj = cum.crossJoin(F.broadcast(tot))
+    med = cj.filter(
+        (F.col("cum") - F.col("cnt") < F.expr("(nc - 1) div 2 + 1"))
+        & (F.expr("(nc - 1) div 2 + 1") <= F.col("cum"))
+    ).agg(F.min("lag").alias("median_lag_s"))
+    p90 = cj.filter(
+        (F.col("cum") - F.col("cnt") < F.expr("((nc - 1) * 9) div 10 + 1"))
+        & (F.expr("((nc - 1) * 9) div 10 + 1") <= F.col("cum"))
+    ).agg(F.min("lag").alias("p90_lag_s"))
+    users = per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("tp").isNotNull(), 1).otherwise(0)).alias("n_converted"),
+    )
+    return (
+        users.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_users").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            F.col("median_lag_s").cast("long").alias("median_lag_s"),
+            F.col("p90_lag_s").cast("long").alias("p90_lag_s"),
+        )
+    )
+
+
+ORACLE_SQL["time_to_first_purchase"] = """
+    WITH per AS (
+      SELECT user_id,
+             min(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS t0,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                 END) AS tp
+      FROM events GROUP BY 1
+    ),
+    counts AS (
+      SELECT tp - t0 AS lag, CAST(count(*) AS BIGINT) AS cnt
+      FROM per WHERE tp IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT lag, cnt, CAST(sum(cnt) OVER (ORDER BY lag) AS BIGINT) AS cum
+      FROM counts
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nc FROM counts),
+    med AS (
+      SELECT min(lag) AS median_lag_s FROM cum CROSS JOIN tot
+      WHERE cum - cnt < (nc - 1) // 2 + 1 AND (nc - 1) // 2 + 1 <= cum
+    ),
+    p90 AS (
+      SELECT min(lag) AS p90_lag_s FROM cum CROSS JOIN tot
+      WHERE cum - cnt < ((nc - 1) * 9) // 10 + 1
+        AND ((nc - 1) * 9) // 10 + 1 <= cum
+    ),
+    users AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+      FROM per
+    )
+    SELECT n_users, n_converted,
+           round(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+             AS conversion_rate,
+           median_lag_s, p90_lag_s
+    FROM users CROSS JOIN med CROSS JOIN p90
+"""
+QUERIES["time_to_first_purchase"] = q_time_to_first_purchase
