@@ -204,6 +204,40 @@ HEADLINE = [
     "simsearch_pq_indexed",
     "knn_graph",
     "semdedup",
+    # ---- round-6 widening (waves 7-13; cheap analytic keys; the two
+    # pair-quadratic keys — neighbor_jaccard, near_dup_threshold_curve —
+    # go to the verification tier, and stream_quantile_rollup stays out
+    # with the other stream keys) ----
+    "source_divergence_tv",
+    "benford_digit_audit",
+    "value_skewness_by_type",
+    "zipf_slope",
+    "ols_multivariate",
+    "rater_agreement_kappa",
+    "winsorized_mean_by_nation",
+    "seasonality_dow",
+    "quality_calibration_bins",
+    "graph_kcore_portable",
+    "embedding_centroid_drift",
+    "prefix_cluster_histogram",
+    "revenue_pareto_share",
+    "stratified_kfold_assign",
+    "daily_count_anomalies",
+    "boxplot_by_segment",
+    "rolling_median_user",
+    "asof_join_tolerance",
+    "embedding_norm_audit",
+    "interevent_burstiness",
+    "segment_priority_association",
+    "priority_transition_matrix",
+    "monthly_revenue_mom",
+    "join_skew_diagnosis",
+    "langid_confusion_matrix",
+    "partition_balance_report",
+    "cohort_ltv",
+    "heaps_vocab_growth",
+    "class_balance_weights",
+    "time_to_first_purchase",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the
@@ -232,6 +266,12 @@ VERIFICATION_TIER = [
     "dedup_clusters",
     "dedup_survivors",
     "dedup_survivors_longest",
+    # round-6: exact adjacency-set Jaccard (wedge join, O(sum deg^2)) and
+    # the Jaccard-band calibration curve (raw inverted-index pair join at
+    # threshold 0.1) — both exact tiers whose scale path runs on LSH
+    # candidates
+    "neighbor_jaccard",
+    "near_dup_threshold_curve",
 ]
 
 
