@@ -13310,3 +13310,66 @@ ORACLE_SQL["time_to_first_purchase"] = """
     FROM users CROSS JOIN med CROSS JOIN p90
 """
 QUERIES["time_to_first_purchase"] = q_time_to_first_purchase
+
+
+def q_stream_benford_audit(spark, sf_dir):
+    """STREAMING Benford monitor driven end-to-end: orders replay in
+    three mtime-pinned micro-batches; the first-digit counter table is
+    a complete-mode streaming aggregation with state bounded at NINE
+    rows BY CONSTRUCTION; after the drain, the chi-square audit table
+    is derived from the STREAMED counts alone (total n = their sum) and
+    certified bit-for-bit by the batch twin's oracle
+    (``benford_digit_audit``) — counters add, so stream == batch.  The
+    100 TB shape: a fraud/synthetic-data alarm maintained continuously
+    in 9 rows of state, no rescan ever."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import digit_counts_stream
+
+    base = _scratch_dir(spark, "stream_benford_audit")
+    shutil.rmtree(base, ignore_errors=True)
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    slices = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    src = _write_replay_batches(base, slices)
+
+    name = f"sben_{uuid.uuid4().hex[:8]}"
+    q = digit_counts_stream(
+        spark, src, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_benford_audit")
+    obs = spark.table(name).localCheckpoint(eager=True)
+
+    ben = spark.createDataFrame(
+        [
+            (1, 0.301029995664),
+            (2, 0.176091259056),
+            (3, 0.124938736608),
+            (4, 0.096910013008),
+            (5, 0.079181246048),
+            (6, 0.066946789631),
+            (7, 0.057991946978),
+            (8, 0.051152522447),
+            (9, 0.045757490561),
+        ],
+        "digit int, expected_share double",
+    )
+    total = obs.agg(F.sum("n_obs").alias("n"))
+    j = (
+        ben.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .crossJoin(F.broadcast(total))
+    )
+    expected = F.col("n").cast("double") * F.col("expected_share")
+    diff = F.col("n_obs").cast("double") - expected
+    return j.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "expected_share",
+        F.round(diff * diff / expected, 6).alias("chi_term"),
+    ).orderBy("digit")
+
+
+ORACLE_SQL["stream_benford_audit"] = ORACLE_SQL["benford_digit_audit"]
+QUERIES["stream_benford_audit"] = q_stream_benford_audit

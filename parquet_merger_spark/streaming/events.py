@@ -1026,3 +1026,43 @@ def vq_sketch_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def digit_counts_stream(
+    spark: SparkSession,
+    rows_dir: str,
+    checkpoint_dir: str,
+    cents_source_col: str = "o_totalprice",
+    query_name: str = "digit_counts",
+) -> StreamingQuery:
+    """Streaming first-significant-digit counter — the Benford monitor as
+    a complete-mode aggregation whose state is bounded at NINE rows by
+    construction (digits 1-9; the sketch-bounds-the-state-store family:
+    count-min :func:`cms_freq_stream`, MinCount, quantile
+    :func:`vq_sketch_stream`).  The digit extraction is the same
+    string-exact integer-cents expression the batch key certifies;
+    counts add, so the streamed table equals the batch counts
+    bit-for-bit after any replay and the ``stream_benford_audit`` key
+    certifies the derived chi-square table with the batch twin's DuckDB
+    oracle."""
+    schema = spark.read.parquet(rows_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rows_dir)
+    )
+    cents = F.round(F.col(cents_source_col) * 100, 0).cast("long")
+    counts = (
+        stream.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
