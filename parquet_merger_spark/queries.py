@@ -13373,3 +13373,129 @@ def q_stream_benford_audit(spark, sf_dir):
 
 ORACLE_SQL["stream_benford_audit"] = ORACLE_SQL["benford_digit_audit"]
 QUERIES["stream_benford_audit"] = q_stream_benford_audit
+
+
+# --- round-6 widening wave 13b: safety filter + dedup savings audits ------
+
+
+def q_blocklist_filter_stats(spark, sf_dir):
+    """Safety/blocklist filtering audit — the policy-filter pass of a
+    pre-training pipeline: per crawl source, documents flagged by a
+    term blocklist (token-level exact match, case-sensitive by
+    contract), total hits, flag rate, and survivor count.  The
+    blocklist rides as a broadcast literal array (at production scale,
+    a broadcast dimension table); matching is row-local JVM array
+    intersection — no shuffle beyond the per-source aggregate, no
+    regex in the hot path.  Counts exact; the rate is ONE division."""
+    blocklist = ["slow", "skew", "spill"]
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(t) for t in blocklist])))
+    # hits counts DISTINCT blocked terms present; total occurrences need
+    # the filter-count form, which is what a hit-weighted policy wants
+    occ = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin(blocklist),
+        )
+    )
+    per = d.select("source", hits.alias("h"), occ.alias("occ")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).alias("n_flagged"),
+        F.sum("occ").alias("total_hits"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        F.col("total_hits").cast("long").alias("total_hits"),
+        (F.col("n_docs") - F.col("n_flagged")).cast("long").alias("n_survivors"),
+        F.round(
+            F.col("n_flagged").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("flag_rate"),
+    ).orderBy("source")
+
+
+ORACLE_SQL["blocklist_filter_stats"] = """
+    WITH scored AS (
+      SELECT source,
+             len(list_intersect(string_split(text, ' '),
+                                ['slow', 'skew', 'spill'])) AS h,
+             len(list_filter(string_split(text, ' '),
+                             t -> list_contains(['slow', 'skew', 'spill'], t)))
+               AS occ
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(occ) AS BIGINT) AS total_hits,
+           CAST(count(*) - sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           round(CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS flag_rate
+    FROM scored GROUP BY 1 ORDER BY 1
+"""
+QUERIES["blocklist_filter_stats"] = q_blocklist_filter_stats
+
+
+def q_dedup_savings_report(spark, sf_dir):
+    """Dedup SAVINGS accounting — the number a storage/training budget
+    actually asks for: under keep-first-per-template-family survivor
+    policy (the prefix_cluster_histogram families), per source: docs
+    dropped, characters dropped, and the char savings rate.  Survivor =
+    min doc_id per family (deterministic, the exact_dedup policy);
+    everything folds as exact int64; the rate is ONE division.  Scale:
+    one family-key shuffle, a survivor broadcast-join back, one
+    per-source aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    pfx = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ")
+    base = d.select("doc_id", "source", "n_chars", pfx.alias("pfx"))
+    surv = base.groupBy("pfx").agg(F.min("doc_id").alias("keep_id"))
+    j = base.join(surv, "pfx").select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") != F.col("keep_id")).cast("int").alias("dropped"),
+    )
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dropped").alias("n_dropped"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(F.col("n_chars") * F.col("dropped")).alias("chars_dropped"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.col("chars_total").cast("long").alias("chars_total"),
+        F.col("chars_dropped").cast("long").alias("chars_dropped"),
+        F.round(
+            F.col("chars_dropped").cast("double") / F.col("chars_total").cast("double"),
+            6,
+        ).alias("savings_rate"),
+    ).orderBy("source")
+
+
+ORACLE_SQL["dedup_savings_report"] = """
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             array_to_string(string_split(text, ' ')[1:2], ' ') AS pfx
+      FROM documents
+    ),
+    surv AS (SELECT pfx, min(doc_id) AS keep_id FROM base GROUP BY 1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN doc_id != keep_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_dropped,
+           round(CAST(sum(CASE WHEN doc_id != keep_id THEN n_chars ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(n_chars) AS DOUBLE), 6) AS savings_rate
+    FROM base JOIN surv USING (pfx)
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["dedup_savings_report"] = q_dedup_savings_report
