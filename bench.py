@@ -238,6 +238,8 @@ HEADLINE = [
     "heaps_vocab_growth",
     "class_balance_weights",
     "time_to_first_purchase",
+    "blocklist_filter_stats",
+    "dedup_savings_report",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the
