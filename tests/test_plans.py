@@ -328,6 +328,21 @@ _BNLJ_VOUCHED = {
     "token_coverage_curve",
     # 1-row corpus-total + 1-row dof broadcasts in the chi-square fold
     "chi_square_independence",
+    # round-6 waves: every nested loop below is a 1-row scalar broadcast
+    # (corpus/total/threshold/moment crossJoins) or a <= 10-row model
+    # spine (Benford digits, Heaps decile boundaries, k-core census
+    # rows) — each docstring owns the model-sized claim
+    "source_divergence_tv",
+    "benford_digit_audit",
+    "seasonality_dow",
+    "graph_kcore_portable",
+    "revenue_pareto_share",
+    "embedding_norm_audit",
+    "segment_priority_association",
+    "join_skew_diagnosis",
+    "heaps_vocab_growth",
+    "class_balance_weights",
+    "time_to_first_purchase",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -367,6 +382,25 @@ _SINGLE_VOUCHED = {
     # 1-row total + rank/cum-sum windows over the 1000-row TakeOrdered
     # survivor table
     "token_coverage_curve",
+    # round-6 waves: global scalar reductions (1-row folds) and
+    # model-sized tables — month table (monthly_revenue_mom), 32-bucket
+    # census (partition_balance_report), per-round k-core census rows,
+    # count-table rank selections reduced to 1-row aggregates
+    "source_divergence_tv",
+    "benford_digit_audit",
+    "ols_multivariate",
+    "rater_agreement_kappa",
+    "seasonality_dow",
+    "graph_kcore_portable",
+    "revenue_pareto_share",
+    "embedding_norm_audit",
+    "segment_priority_association",
+    "monthly_revenue_mom",
+    "join_skew_diagnosis",
+    "partition_balance_report",
+    "heaps_vocab_growth",
+    "class_balance_weights",
+    "time_to_first_purchase",
 }
 
 
