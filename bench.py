@@ -240,6 +240,10 @@ HEADLINE = [
     "time_to_first_purchase",
     "blocklist_filter_stats",
     "dedup_savings_report",
+    "open_order_backlog",
+    "supplier_lead_time",
+    "rfm_segments",
+    "label_cosine_contrast",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

@@ -13499,3 +13499,400 @@ ORACLE_SQL["dedup_savings_report"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["dedup_savings_report"] = q_dedup_savings_report
+
+
+# --- round-6 widening wave 14: backlog, lead time, RFM, label contrast ----
+
+
+def q_open_order_backlog(spark, sf_dir):
+    """Daily open-order backlog — the event-sourcing cumulative: orders
+    placed per day minus orders fully shipped per day (an order
+    completes when its LAST lineitem ships), cumulated over the unified
+    day axis.  All counts exact; the windows run over the model-sized
+    day table (O(days) at any corpus size).  Scale: one per-order max
+    aggregate (orderkey shuffle), two day-grain aggregates, one
+    full-outer day-axis merge."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("pday")
+    )
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("cday")
+    )
+    placed = o.groupBy(F.col("pday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_placed")
+    )
+    completed = li.groupBy(F.col("cday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_completed")
+    )
+    axis = placed.join(completed, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+        F.coalesce("n_completed", F.lit(0)).alias("n_completed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return axis.select(
+        "day",
+        F.col("n_placed").cast("long").alias("n_placed"),
+        F.col("n_completed").cast("long").alias("n_completed"),
+        (F.sum("n_placed").over(w) - F.sum("n_completed").over(w))
+        .cast("long")
+        .alias("backlog"),
+    ).orderBy("day")
+
+
+ORACLE_SQL["open_order_backlog"] = """
+    WITH placed AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_placed
+      FROM orders GROUP BY 1
+    ),
+    compl AS (
+      SELECT strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') AS day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    completed AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_completed FROM compl GROUP BY 1
+    ),
+    axis AS (
+      SELECT coalesce(placed.day, completed.day) AS day,
+             coalesce(n_placed, 0) AS n_placed,
+             coalesce(n_completed, 0) AS n_completed
+      FROM placed FULL OUTER JOIN completed ON placed.day = completed.day
+    )
+    SELECT day, n_placed, n_completed,
+           CAST(sum(n_placed) OVER (ORDER BY day)
+                - sum(n_completed) OVER (ORDER BY day) AS BIGINT) AS backlog
+    FROM axis ORDER BY day
+"""
+QUERIES["open_order_backlog"] = q_open_order_backlog
+
+
+def q_supplier_lead_time(spark, sf_dir):
+    """Per-supplier fulfilment lead time (order date -> line ship date,
+    integer days): count, mean (one division) and EXACT median via the
+    per-supplier count-table rank selection — the SLA scorecard.
+    Sampled to 1-in-5 suppliers for the contract row; the operator is
+    full-corpus.  Scale: one orderkey join, one (supplier, lag) count
+    shuffle, count-table windows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("timestamp").cast("long").alias("oe")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 5 == 0).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("timestamp").cast("long").alias("se"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        ((F.col("se") - F.col("oe")) / 86400).cast("long").alias("lag_days"),
+    )
+    counts = j.groupBy("l_suppkey", "lag_days").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_suppkey").orderBy("lag_days")
+    cum = counts.select(
+        "l_suppkey", "lag_days", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = counts.groupBy("l_suppkey").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("lag_days") * F.col("cnt")).alias("s"),
+    )
+    cj = cum.join(F.broadcast(tot), "l_suppkey")
+    med = cj.filter(
+        (F.col("cum") - F.col("cnt") < F.expr("(n - 1) div 2 + 1"))
+        & (F.expr("(n - 1) div 2 + 1") <= F.col("cum"))
+    ).groupBy("l_suppkey").agg(F.min("lag_days").alias("median_lag_days"))
+    return (
+        tot.join(F.broadcast(med), "l_suppkey")
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("n").cast("long").alias("n_lines"),
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_lag_days"
+            ),
+            F.col("median_lag_days").cast("long").alias("median_lag_days"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+ORACLE_SQL["supplier_lead_time"] = """
+    WITH j AS (
+      SELECT l_suppkey,
+             (CAST(FLOOR(epoch(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT)
+              - CAST(FLOOR(epoch(o_orderdate)) AS BIGINT)) // 86400 AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_suppkey % 5 = 0
+    ),
+    counts AS (
+      SELECT l_suppkey, lag_days, CAST(count(*) AS BIGINT) AS cnt
+      FROM j GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_suppkey, lag_days, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY l_suppkey ORDER BY lag_days)
+                  AS BIGINT) AS cum
+      FROM counts
+    ),
+    tot AS (
+      SELECT l_suppkey, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(lag_days * cnt) AS BIGINT) AS s
+      FROM counts GROUP BY 1
+    ),
+    med AS (
+      SELECT cum.l_suppkey, min(lag_days) AS median_lag_days
+      FROM cum JOIN tot ON cum.l_suppkey = tot.l_suppkey
+      WHERE cum - cnt < (n - 1) // 2 + 1 AND (n - 1) // 2 + 1 <= cum
+      GROUP BY 1
+    )
+    SELECT tot.l_suppkey AS suppkey, n AS n_lines,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_lag_days,
+           median_lag_days
+    FROM tot JOIN med ON tot.l_suppkey = med.l_suppkey
+    ORDER BY suppkey
+"""
+QUERIES["supplier_lead_time"] = q_supplier_lead_time
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation census: per customer, Recency (days from last
+    order to the corpus max date), Frequency (orders) and Monetary
+    (exact cents) each band into terciles by count-table rank
+    boundaries (band = 1 + (v > b1) + (v > b2), ties deterministic),
+    and the 27-cell segment census reports customers and revenue —
+    the classic growth segmentation, exact end to end.  Scale: one
+    custkey aggregate, three model-sized boundary selections (each a
+    count-table window), one census aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("oe"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("oe").alias("mxe"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            ((F.max("oe") - F.max("mxe")) / -86400).cast("long").alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum("cents").alias("m"),
+        )
+        # the RFM table feeds SEVEN subtrees (six boundary selections +
+        # the banding pass) — checkpoint once or the customer aggregate
+        # recomputes per consumer (plan-digested at 26 exchanges)
+        .localCheckpoint(eager=True)
+    )
+
+    def tercile_bounds(col):
+        counts = per.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col)
+        cum = counts.select(
+            F.col(col).alias("v"), "cnt", F.sum("cnt").over(w).alias("cum")
+        )
+        tot = counts.agg(F.sum("cnt").alias("n"))
+        cj = cum.crossJoin(F.broadcast(tot))
+        r1 = F.expr("(n - 1) div 3 + 1")
+        r2 = F.expr("((n - 1) * 2) div 3 + 1")
+        # both boundaries in ONE count-table pass
+        return cj.agg(
+            F.min(
+                F.when(
+                    (F.col("cum") - F.col("cnt") < r1) & (r1 <= F.col("cum")),
+                    F.col("v"),
+                )
+            ).alias(f"{col}_b1"),
+            F.min(
+                F.when(
+                    (F.col("cum") - F.col("cnt") < r2) & (r2 <= F.col("cum")),
+                    F.col("v"),
+                )
+            ).alias(f"{col}_b2"),
+        )
+
+    bounds = (
+        tercile_bounds("r").crossJoin(tercile_bounds("f")).crossJoin(tercile_bounds("m"))
+    )
+    banded = per.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + (F.col("r") > F.col("r_b1")).cast("int")
+            + (F.col("r") > F.col("r_b2")).cast("int")
+        ).alias("r_band"),
+        (
+            F.lit(1)
+            + (F.col("f") > F.col("f_b1")).cast("int")
+            + (F.col("f") > F.col("f_b2")).cast("int")
+        ).alias("f_band"),
+        (
+            F.lit(1)
+            + (F.col("m") > F.col("m_b1")).cast("int")
+            + (F.col("m") > F.col("m_b2")).cast("int")
+        ).alias("m_band"),
+        "m",
+    )
+    return (
+        banded.groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("m").alias("revenue_cents"),
+        )
+        .select(
+            F.col("r_band").cast("long").alias("r_band"),
+            F.col("f_band").cast("long").alias("f_band"),
+            F.col("m_band").cast("long").alias("m_band"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("r_band", "f_band", "m_band")
+    )
+
+
+ORACLE_SQL["rfm_segments"] = """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS oe,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mx AS (SELECT max(oe) AS mxe FROM o),
+    per AS (
+      SELECT o_custkey,
+             (mxe - max(oe)) // 86400 AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(cents) AS BIGINT) AS m
+      FROM o CROSS JOIN mx GROUP BY o_custkey, mxe
+    ),
+    bnd AS (
+      SELECT
+        (SELECT min(v) FROM (
+           SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT r AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+         WHERE cum - cnt < (n - 1) // 3 + 1 AND (n - 1) // 3 + 1 <= cum) AS r_b1,
+        (SELECT min(v) FROM (
+           SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT r AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+         WHERE cum - cnt < ((n - 1) * 2) // 3 + 1
+           AND ((n - 1) * 2) // 3 + 1 <= cum) AS r_b2,
+        (SELECT min(v) FROM (
+           SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT f AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+         WHERE cum - cnt < (n - 1) // 3 + 1 AND (n - 1) // 3 + 1 <= cum) AS f_b1,
+        (SELECT min(v) FROM (
+           SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT f AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+         WHERE cum - cnt < ((n - 1) * 2) // 3 + 1
+           AND ((n - 1) * 2) // 3 + 1 <= cum) AS f_b2,
+        (SELECT min(v) FROM (
+           SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT m AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+         WHERE cum - cnt < (n - 1) // 3 + 1 AND (n - 1) // 3 + 1 <= cum) AS m_b1,
+        (SELECT min(v) FROM (
+           SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM (SELECT m AS v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1))
+         WHERE cum - cnt < ((n - 1) * 2) // 3 + 1
+           AND ((n - 1) * 2) // 3 + 1 <= cum) AS m_b2
+    )
+    SELECT CAST(1 + (r > r_b1)::INT + (r > r_b2)::INT AS BIGINT) AS r_band,
+           CAST(1 + (f > f_b1)::INT + (f > f_b2)::INT AS BIGINT) AS f_band,
+           CAST(1 + (m > m_b1)::INT + (m > m_b2)::INT AS BIGINT) AS m_band,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS BIGINT) AS revenue_cents
+    FROM per CROSS JOIN bnd
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+QUERIES["rfm_segments"] = q_rfm_segments
+
+
+def q_label_cosine_contrast(spark, sf_dir):
+    """Within- vs across-label similarity contrast WITHOUT any pair
+    join — the centroid-algebra identity sum_{i in A, j in B} x_i.x_j
+    = S_A . S_B turns the O(n^2) pairwise mean dot into per-label
+    integer sum vectors: mean within-label dot = (S_A.S_A - Q_A) /
+    (n_A*(n_A-1)), mean across = S_A.S_other / (n_A*(n-n_A)), with
+    S the per-(label, dim) exact integer sums and Q the per-label
+    squared norms.  Every number is exact until ONE division (the
+    1e-8 grid descale rides in the divisor).  The contrastive-quality
+    gate for embedding pipelines at ANY corpus size: one (label, dim)
+    aggregate, zero pair joins, zero cartesians.  Products fold in
+    decimal(38,0)/HUGEINT (S_Ad * S_otherd passes int64 at scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("dim", "qv"),
+    )
+    per = vals.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("q"),
+        (F.count(F.lit(1))).alias("c"),
+    )
+    tot = per.groupBy("dim").agg(F.sum("s").alias("st"))
+    j = per.join(tot, "dim")
+    agg = j.groupBy("label").agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("saa"),
+        F.sum(
+            F.col("s").cast("decimal(38,0)") * (F.col("st") - F.col("s"))
+        ).alias("sab"),
+        F.sum("q").alias("qa"),
+        F.max("c").alias("na"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    out = agg.crossJoin(F.broadcast(n))
+    within = (F.col("saa") - F.col("qa")).cast("double") / (
+        (F.col("na") * (F.col("na") - 1)).cast("double") * F.lit(1e8)
+    )
+    across = F.col("sab").cast("double") / (
+        (F.col("na") * (F.col("n") - F.col("na"))).cast("double") * F.lit(1e8)
+    )
+    return out.select(
+        "label",
+        F.col("na").cast("long").alias("n_vectors"),
+        F.round(within, 6).alias("mean_dot_within"),
+        F.round(across, 6).alias("mean_dot_across"),
+    ).orderBy("label")
+
+
+ORACLE_SQL["label_cosine_contrast"] = """
+    WITH vals AS (
+      SELECT label, t.i - 1 AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000, 0) AS BIGINT)
+               AS qv
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    per AS (
+      SELECT label, dim,
+             CAST(sum(qv) AS BIGINT) AS s,
+             CAST(sum(qv * qv) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    tot AS (SELECT dim, CAST(sum(s) AS BIGINT) AS st FROM per GROUP BY 1),
+    agg AS (
+      SELECT label,
+             sum(CAST(s AS HUGEINT) * s) AS saa,
+             sum(CAST(s AS HUGEINT) * (st - s)) AS sab,
+             CAST(sum(q) AS BIGINT) AS qa,
+             max(c) AS na
+      FROM per JOIN tot USING (dim) GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT label, na AS n_vectors,
+           round(CAST(saa - qa AS DOUBLE)
+                 / (CAST(na * (na - 1) AS DOUBLE) * 1e8), 6)
+             AS mean_dot_within,
+           round(CAST(sab AS DOUBLE)
+                 / (CAST(na * (n - na) AS DOUBLE) * 1e8), 6)
+             AS mean_dot_across
+    FROM agg CROSS JOIN n
+    ORDER BY label
+"""
+QUERIES["label_cosine_contrast"] = q_label_cosine_contrast

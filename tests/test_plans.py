@@ -343,6 +343,10 @@ _BNLJ_VOUCHED = {
     "heaps_vocab_growth",
     "class_balance_weights",
     "time_to_first_purchase",
+    # wave 14: 1-row scalar broadcasts (corpus max date, tercile
+    # boundaries, vector count)
+    "rfm_segments",
+    "label_cosine_contrast",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -401,6 +405,11 @@ _SINGLE_VOUCHED = {
     "heaps_vocab_growth",
     "class_balance_weights",
     "time_to_first_purchase",
+    # wave 14: O(days) axis window; six 1-row boundary folds; 1-row
+    # scalar reductions
+    "open_order_backlog",
+    "rfm_segments",
+    "label_cosine_contrast",
 }
 
 
