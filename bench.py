@@ -244,6 +244,7 @@ HEADLINE = [
     "supplier_lead_time",
     "rfm_segments",
     "label_cosine_contrast",
+    "pca_energy_explained",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

@@ -1832,7 +1832,8 @@ def pca_power_projection_portable(
     vec_col: str = "embedding",
     iters: int = 2,
     scale: int = 1000,
-) -> DataFrame:
+    return_vector: bool = False,
+):
     """1-D PCA by POWER ITERATION on the quantized-integer grid — project
     every embedding onto the corpus's dominant principal direction (the
     whitening / coarse-ordering primitive for embedding pipelines:
@@ -1888,6 +1889,11 @@ def pca_power_projection_portable(
         v = _scale([by_pos[i] for i in range(dim)])
 
     vlit = F.array(*[F.lit(c).cast("long") for c in v])
-    return base.select(
+    proj = base.select(
         F.col(id_col), quantized_dot(F.col("qe"), vlit).alias("proj")
     )
+    if return_vector:
+        # the iterated direction as exact model-sized ints (for energy /
+        # variance-explained reports: |v|^2 folds driver-side, exactly)
+        return proj, list(v)
+    return proj

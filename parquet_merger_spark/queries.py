@@ -13896,3 +13896,100 @@ ORACLE_SQL["label_cosine_contrast"] = """
     ORDER BY label
 """
 QUERIES["label_cosine_contrast"] = q_label_cosine_contrast
+
+
+def q_pca_energy_explained(spark, sf_dir):
+    """Energy (uncentered variance) explained by the certified power-
+    iteration direction — the "is one component enough?" report that
+    completes the PCA family: fraction = sum proj^2 / (|v|^2 * sum |x|^2)
+    via the quadratic-form identity sum_i (x_i . v)^2 = v^T C v, so the
+    GRAM MATRIX IS NEVER MATERIALIZED here either.  proj^2 folds in
+    decimal(38,0) (projections pass int64 when squared); |v|^2 is an
+    exact driver-side fold of the 64 model ints; ONE division.  The
+    ratio-vs-uniform (x64) reads as "how many uniform directions' worth
+    of energy the top component carries".  Scale: the two corpus passes
+    of the PCA twin + one projection aggregate."""
+    from parquet_merger_spark.operators.simsearch import (
+        pca_power_projection_portable,
+        quantize,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    proj, v = pca_power_projection_portable(
+        e, "vec_id", "embedding", iters=2, return_vector=True
+    )
+    v_norm2 = sum(c * c for c in v)
+    trace = e.select(
+        F.aggregate(
+            quantize(F.col("embedding")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x * x,
+        ).alias("n2")
+    ).agg(F.sum("n2").alias("trace"), F.count(F.lit(1)).alias("n"))
+    num = proj.agg(
+        F.sum(F.col("proj").cast("decimal(38,0)") * F.col("proj")).alias("sp2")
+    )
+    out = num.crossJoin(F.broadcast(trace))
+    frac = F.col("sp2").cast("double") / (
+        F.lit(float(v_norm2)) * F.col("trace").cast("double")
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(frac, 6).alias("energy_fraction"),
+        F.round(frac * 64, 6).alias("ratio_vs_uniform"),
+    )
+
+
+def _pca_energy_sql() -> str:
+    quant = _QUANT
+    return f"""
+        WITH q AS (SELECT vec_id, {quant} AS qe FROM embeddings),
+        d1 AS (
+          SELECT vec_id, qe, CAST(list_sum(qe) AS BIGINT) AS p FROM q
+        ),
+        v1 AS (
+          SELECT t.i AS i, CAST(sum(d1.qe[t.i] * d1.p) AS BIGINT) AS v
+          FROM d1 CROSS JOIN range(1, 65) t(i) GROUP BY 1
+        ),
+        m1 AS (SELECT greatest(max(abs(v)), 1) AS m FROM v1),
+        v1s AS (
+          SELECT i, CAST(floor((v * 1000.0) / m) AS BIGINT) AS v FROM v1, m1
+        ),
+        d2 AS (
+          SELECT q.vec_id, CAST(sum(q.qe[s.i] * s.v) AS BIGINT) AS p
+          FROM q CROSS JOIN v1s s GROUP BY 1
+        ),
+        v2 AS (
+          SELECT t.i AS i, CAST(sum(q.qe[t.i] * d2.p) AS BIGINT) AS v
+          FROM q JOIN d2 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+          GROUP BY 1
+        ),
+        m2 AS (SELECT greatest(max(abs(v)), 1) AS m FROM v2),
+        v2s AS (
+          SELECT i, CAST(floor((v * 1000.0) / m) AS BIGINT) AS v FROM v2, m2
+        ),
+        proj AS (
+          SELECT q.vec_id, CAST(sum(q.qe[s.i] * s.v) AS BIGINT) AS proj
+          FROM q CROSS JOIN v2s s GROUP BY 1
+        ),
+        vn AS (SELECT CAST(sum(v * v) AS BIGINT) AS v2 FROM v2s),
+        tr AS (
+          SELECT CAST(sum(list_sum(list_transform(qe, x -> x * x))) AS BIGINT)
+                   AS trace,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q
+        ),
+        num AS (SELECT sum(CAST(proj AS HUGEINT) * proj) AS sp2 FROM proj)
+        SELECT n AS n_vectors,
+               round(CAST(sp2 AS DOUBLE)
+                     / (CAST(v2 AS DOUBLE) * CAST(trace AS DOUBLE)), 6)
+                 AS energy_fraction,
+               round(CAST(sp2 AS DOUBLE)
+                     / (CAST(v2 AS DOUBLE) * CAST(trace AS DOUBLE)) * 64, 6)
+                 AS ratio_vs_uniform
+        FROM num CROSS JOIN vn CROSS JOIN tr
+    """
+
+
+ORACLE_SQL["pca_energy_explained"] = _pca_energy_sql()
+QUERIES["pca_energy_explained"] = q_pca_energy_explained

@@ -347,6 +347,8 @@ _BNLJ_VOUCHED = {
     # boundaries, vector count)
     "rfm_segments",
     "label_cosine_contrast",
+    # 1-row trace/count broadcast in the energy fold
+    "pca_energy_explained",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -410,6 +412,7 @@ _SINGLE_VOUCHED = {
     "open_order_backlog",
     "rfm_segments",
     "label_cosine_contrast",
+    "pca_energy_explained",
 }
 
 
