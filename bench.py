@@ -245,6 +245,7 @@ HEADLINE = [
     "rfm_segments",
     "label_cosine_contrast",
     "pca_energy_explained",
+    "video_frame_sample",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

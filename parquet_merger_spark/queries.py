@@ -13993,3 +13993,50 @@ def _pca_energy_sql() -> str:
 
 ORACLE_SQL["pca_energy_explained"] = _pca_energy_sql()
 QUERIES["pca_energy_explained"] = q_pca_energy_explained
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan driven through the contract: every
+    24th frame index per clip (synthetic deterministic frame counts —
+    1 + doc_id mod 240 frames per clip, the metadata a video manifest
+    carries), via ``operators.multimodal.frame_sample_plan`` — pure JVM
+    sequence/explode, no decode, no Python.  The decode tier would join
+    these (id, frame_idx) rows against the payload column inside
+    mapInPandas (the plumbing the multimodal_decode key certifies).
+    Output: per-clip sampled-frame count + last sampled index, exact.
+    Scale: row-local explode, one id aggregate."""
+    from parquet_merger_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (1 + F.pmod(F.col("doc_id"), F.lit(240))).alias("n_frames")
+    )
+    frames = frame_sample_plan(d, every_n=24)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.max("frame_idx").alias("last_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.col("last_idx").cast("long").alias("last_idx"),
+        )
+    )
+
+
+ORACLE_SQL["video_frame_sample"] = """
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 240 AS n_frames FROM documents
+    ),
+    frames AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(n_frames - 1, 0) + 1, 24)) AS frame_idx
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(max(frame_idx) AS BIGINT) AS last_idx
+    FROM frames GROUP BY 1
+"""
+QUERIES["video_frame_sample"] = q_video_frame_sample
