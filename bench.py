@@ -246,6 +246,10 @@ HEADLINE = [
     "label_cosine_contrast",
     "pca_energy_explained",
     "video_frame_sample",
+    "constraint_violations_audit",
+    "nation_rank_delta",
+    "top_event_paths",
+    "weighted_median_price",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

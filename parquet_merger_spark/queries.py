@@ -14040,3 +14040,290 @@ ORACLE_SQL["video_frame_sample"] = """
     FROM frames GROUP BY 1
 """
 QUERIES["video_frame_sample"] = q_video_frame_sample
+
+
+# --- round-6 widening wave 17: constraints, rank delta, paths, w-median ---
+
+
+def q_constraint_violations_audit(spark, sf_dir):
+    """Row-level CHECK-constraint audit — the data-contract sibling of
+    fk_orphan_audit: for each declared rule (discount in [0,1],
+    quantity > 0, extendedprice > 0, shipdate >= orderdate, tax >= 0),
+    the scanned-row count and violation count.  One pass over lineitem
+    (the date rule joins orders on the key), every rule a row-local
+    predicate folded map-side; a clean fixture certifies the zero path
+    end-to-end and the audit's value is the loud nonzero row.  Exact
+    counts only."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+
+    rules = {
+        "discount_in_0_1": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        "quantity_positive": F.col("l_quantity") <= 0,
+        "extendedprice_positive": F.col("l_extendedprice") <= 0,
+        "ship_after_order": F.col("l_shipdate") < F.col("o_orderdate"),
+        "tax_nonnegative": F.col("l_tax") < 0,
+    }
+    # ONE pass: every rule a conditional sum in the same aggregate, then
+    # the 1-row result unpivots to the per-rule table (model-sized)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(v, 1).otherwise(0)).cast("long").alias(f"v_{i}")
+            for i, v in enumerate(rules.values())
+        ],
+    )
+    stacked = agg.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"), F.col(f"v_{i}").alias("n_violations")
+                    )
+                    for i, name in enumerate(rules)
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select("r.rule", "n_rows", "r.n_violations").orderBy("rule")
+
+
+ORACLE_SQL["constraint_violations_audit"] = """
+    WITH j AS (
+      SELECT l_discount, l_quantity, l_extendedprice, l_tax,
+             l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT 'discount_in_0_1' AS rule,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM j
+    UNION ALL
+    SELECT 'quantity_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    UNION ALL
+    SELECT 'extendedprice_positive', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    UNION ALL
+    SELECT 'ship_after_order', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM j
+    UNION ALL
+    SELECT 'tax_nonnegative', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    ORDER BY rule
+"""
+QUERIES["constraint_violations_audit"] = q_constraint_violations_audit
+
+
+def q_nation_rank_delta(spark, sf_dir):
+    """Top-movers table: each nation's revenue rank in the corpus's last
+    full year vs the year before, with the rank delta — the
+    period-over-period league table.  Ranks are dense_rank over exact
+    cents (ties share a rank deterministically, tie-break inside the
+    window by nation name); the two model-sized year slices join on
+    nation.  Scale: one orders->customer join (nation broadcast), two
+    25-row rank windows."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    years = j.agg(F.max("yr").alias("y2"))
+    per = (
+        j.crossJoin(F.broadcast(years))
+        .filter((F.col("yr") == F.col("y2")) | (F.col("yr") == F.col("y2") - 1))
+        .groupBy("n_name", (F.col("yr") == F.col("y2")).alias("is_last"))
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w = Window.partitionBy("is_last").orderBy(F.desc("rev"), "n_name")
+    ranked = per.select(
+        "n_name", "is_last", "rev", F.row_number().over(w).alias("rk")
+    )
+    last = ranked.filter(F.col("is_last")).select(
+        F.col("n_name").alias("nation"),
+        F.col("rev").alias("rev_last"),
+        F.col("rk").alias("rank_last"),
+    )
+    prev = ranked.filter(~F.col("is_last")).select(
+        F.col("n_name").alias("nation"),
+        F.col("rev").alias("rev_prev"),
+        F.col("rk").alias("rank_prev"),
+    )
+    return (
+        last.join(prev, "nation")
+        .select(
+            "nation",
+            F.col("rev_prev").cast("long").alias("rev_prev_cents"),
+            F.col("rev_last").cast("long").alias("rev_last_cents"),
+            F.col("rank_prev").cast("long").alias("rank_prev"),
+            F.col("rank_last").cast("long").alias("rank_last"),
+            (F.col("rank_prev") - F.col("rank_last")).cast("long").alias("rank_delta"),
+        )
+        .orderBy("rank_last", "nation")
+    )
+
+
+ORACLE_SQL["nation_rank_delta"] = """
+    WITH j AS (
+      SELECT n.n_name,
+             year(o_orderdate) AS yr,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer c ON o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    y AS (SELECT max(yr) AS y2 FROM j),
+    per AS (
+      SELECT n_name, (yr = y2) AS is_last, CAST(sum(cents) AS BIGINT) AS rev
+      FROM j CROSS JOIN y
+      WHERE yr = y2 OR yr = y2 - 1
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n_name, is_last, rev,
+             row_number() OVER (PARTITION BY is_last
+                                ORDER BY rev DESC, n_name) AS rk
+      FROM per
+    )
+    SELECT l.n_name AS nation,
+           p.rev AS rev_prev_cents,
+           l.rev AS rev_last_cents,
+           CAST(p.rk AS BIGINT) AS rank_prev,
+           CAST(l.rk AS BIGINT) AS rank_last,
+           CAST(p.rk - l.rk AS BIGINT) AS rank_delta
+    FROM (SELECT * FROM ranked WHERE is_last) l
+    JOIN (SELECT * FROM ranked WHERE NOT is_last) p ON l.n_name = p.n_name
+    ORDER BY rank_last, nation
+"""
+QUERIES["nation_rank_delta"] = q_nation_rank_delta
+
+
+def q_top_event_paths(spark, sf_dir):
+    """Top behavioral 3-step paths: consecutive event-type trigrams per
+    user (ordered by ts with event_id tie-break), counted and ranked —
+    the Sankey/path-analysis table.  Window lead() is O(1) per row;
+    the trigram census shuffles on the path string; top-20 with full
+    tie-break (n DESC, path ASC) is a TakeOrdered.  Exact counts and
+    one share division."""
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("third"),
+    ).filter(F.col("third").isNotNull())
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+ORACLE_SQL["top_event_paths"] = """
+    WITH tri AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path,
+             lead(event_type, 2) OVER w AS third
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counts AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n
+      FROM tri WHERE third IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT path, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, path LIMIT 20
+"""
+QUERIES["top_event_paths"] = q_top_event_paths
+
+
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median of lineitem price per return flag — the
+    order statistic where each row counts its weight (the
+    volume-weighted sibling of the plain median): EXACT rank selection
+    over the (flag, price) count table with counts replaced by exact
+    integer weights; target rank (W-1) div 2 + 1 on the cumulative
+    weight.  Scale: one count-table shuffle, no row sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
+    )
+    counts = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("cw"))
+    win = Window.partitionBy("l_returnflag").orderBy("cents")
+    cum = counts.select(
+        "l_returnflag", "cents", "cw", F.sum("cw").over(win).alias("cum")
+    )
+    tot = counts.groupBy("l_returnflag").agg(F.sum("cw").alias("tw"))
+    cj = cum.join(F.broadcast(tot), "l_returnflag")
+    rank = F.expr("(tw - 1) div 2 + 1")
+    return (
+        cj.filter((F.col("cum") - F.col("cw") < rank) & (rank <= F.col("cum")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_SQL["weighted_median_price"] = """
+    WITH li AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(round(l_quantity, 0) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    counts AS (
+      SELECT l_returnflag, cents, CAST(sum(w) AS BIGINT) AS cw
+      FROM li GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, cents, cw,
+             CAST(sum(cw) OVER (PARTITION BY l_returnflag ORDER BY cents)
+                  AS BIGINT) AS cum
+      FROM counts
+    ),
+    tot AS (
+      SELECT l_returnflag, CAST(sum(cw) AS BIGINT) AS tw
+      FROM counts GROUP BY 1
+    )
+    SELECT cum.l_returnflag,
+           max(tw) AS total_weight,
+           min(cents) AS weighted_median_cents
+    FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+    WHERE cum - cw < (tw - 1) // 2 + 1 AND (tw - 1) // 2 + 1 <= cum
+    GROUP BY 1 ORDER BY 1
+"""
+QUERIES["weighted_median_price"] = q_weighted_median_price

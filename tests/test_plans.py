@@ -349,6 +349,9 @@ _BNLJ_VOUCHED = {
     "label_cosine_contrast",
     # 1-row trace/count broadcast in the energy fold
     "pca_energy_explained",
+    # wave 17: 1-row scalar broadcasts (max year, path total)
+    "nation_rank_delta",
+    "top_event_paths",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -413,6 +416,10 @@ _SINGLE_VOUCHED = {
     "rfm_segments",
     "label_cosine_contrast",
     "pca_energy_explained",
+    # wave 17: one-pass rule fold (1-row), max-year scalar, TakeOrdered
+    "constraint_violations_audit",
+    "nation_rank_delta",
+    "top_event_paths",
 }
 
 
