@@ -250,6 +250,8 @@ HEADLINE = [
     "nation_rank_delta",
     "top_event_paths",
     "weighted_median_price",
+    "filter_funnel_census",
+    "dedup_survivors_best_quality",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

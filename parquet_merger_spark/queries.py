@@ -14327,3 +14327,112 @@ ORACLE_SQL["weighted_median_price"] = """
     GROUP BY 1 ORDER BY 1
 """
 QUERIES["weighted_median_price"] = q_weighted_median_price
+
+
+# --- round-6 widening wave 18: filter funnel + quality survivor policy ----
+
+
+def q_filter_funnel_census(spark, sf_dir):
+    """Curation survivorship funnel — the "why did we lose those docs"
+    audit: three row-local gates (english, >= 200 chars, >= 50 tokens)
+    evaluated ONCE per document, then (a) the 8-combination census and
+    (b) the staged funnel (pass-1, pass-1-and-2, pass-all) read from
+    the same pass.  All counts exact; shares one division each.
+    Scale: one narrow scan, one 8-group aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    g1 = (F.col("lang") == "en").cast("int")
+    g2 = (F.col("n_chars") >= 200).cast("int")
+    g3 = (F.size(F.split(F.col("text"), " ")) >= 50).cast("int")
+    cells = d.select(g1.alias("g_lang"), g2.alias("g_len"), g3.alias("g_tok"))
+    census = cells.groupBy("g_lang", "g_len", "g_tok").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = census.agg(F.sum("n_docs").alias("n"))
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g_lang").cast("long").alias("pass_lang"),
+            F.col("g_len").cast("long").alias("pass_length"),
+            F.col("g_tok").cast("long").alias("pass_tokens"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("pass_lang", "pass_length", "pass_tokens")
+    )
+
+
+ORACLE_SQL["filter_funnel_census"] = """
+    WITH cells AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g_lang,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS g_len,
+             CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END
+               AS g_tok
+      FROM documents
+    ),
+    census AS (
+      SELECT g_lang, g_len, g_tok, CAST(count(*) AS BIGINT) AS n_docs
+      FROM cells GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM census)
+    SELECT CAST(g_lang AS BIGINT) AS pass_lang,
+           CAST(g_len AS BIGINT) AS pass_length,
+           CAST(g_tok AS BIGINT) AS pass_tokens,
+           n_docs,
+           round(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+    FROM census CROSS JOIN tot
+    ORDER BY pass_lang, pass_length, pass_tokens
+"""
+QUERIES["filter_funnel_census"] = q_filter_funnel_census
+
+
+def q_dedup_survivors_best_quality(spark, sf_dir):
+    """QUALITY-AWARE survivor policy — the third member of the survivor
+    family (first-id, longest): within each template-prefix family the
+    survivor is the document with the FEWEST short tokens per mille
+    (the certified quality score; lower = higher quality here), doc_id
+    as the deterministic tie-break.  Exact arg-min via a (score, id)
+    struct min — one family-key shuffle, no window sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.floor(
+        (F.lit(1000.0) * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
+        / F.size(toks)
+    ).cast("long")
+    pfx = F.array_join(F.slice(toks, 1, 2), " ")
+    base = d.select("doc_id", "source", pfx.alias("pfx"), score.alias("score"))
+    best = base.groupBy("pfx").agg(
+        F.min(F.struct(F.col("score"), F.col("doc_id"))).alias("b")
+    )
+    return (
+        base.join(best, "pfx")
+        .filter(
+            (F.col("score") == F.col("b.score"))
+            & (F.col("doc_id") == F.col("b.doc_id"))
+        )
+        .select("doc_id", "source", "score")
+    )
+
+
+ORACLE_SQL["dedup_survivors_best_quality"] = """
+    WITH base AS (
+      SELECT doc_id, source,
+             array_to_string(string_split(text, ' ')[1:2], ' ') AS pfx,
+             CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
+                                                  t -> len(t) <= 3)))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score
+      FROM documents
+    ),
+    best AS (
+      SELECT pfx, min(score) AS s FROM base GROUP BY 1
+    ),
+    tie AS (
+      SELECT base.pfx, min(doc_id) AS keep_id
+      FROM base JOIN best ON base.pfx = best.pfx AND base.score = best.s
+      GROUP BY 1
+    )
+    SELECT doc_id, source, score
+    FROM base JOIN tie ON base.pfx = tie.pfx AND base.doc_id = tie.keep_id
+"""
+QUERIES["dedup_survivors_best_quality"] = q_dedup_survivors_best_quality

@@ -352,6 +352,8 @@ _BNLJ_VOUCHED = {
     # wave 17: 1-row scalar broadcasts (max year, path total)
     "nation_rank_delta",
     "top_event_paths",
+    # wave 18: 1-row census total broadcast
+    "filter_funnel_census",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -420,6 +422,7 @@ _SINGLE_VOUCHED = {
     "constraint_violations_audit",
     "nation_rank_delta",
     "top_event_paths",
+    "filter_funnel_census",
 }
 
 
