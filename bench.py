@@ -252,6 +252,9 @@ HEADLINE = [
     "weighted_median_price",
     "filter_funnel_census",
     "dedup_survivors_best_quality",
+    "nucleus_curation_threshold",
+    "int8_quantization_error",
+    "variance_decomposition_by_type",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

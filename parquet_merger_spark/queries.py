@@ -14436,3 +14436,234 @@ ORACLE_SQL["dedup_survivors_best_quality"] = """
     FROM base JOIN tie ON base.pfx = tie.pfx AND base.doc_id = tie.keep_id
 """
 QUERIES["dedup_survivors_best_quality"] = q_dedup_survivors_best_quality
+
+
+# --- round-6 widening wave 19: nucleus curation, int8 error, ANOVA --------
+
+
+def q_nucleus_curation_threshold(spark, sf_dir):
+    """Nucleus (top-p) curation threshold per source: keep the
+    best-quality documents until their cumulative characters reach half
+    the source's character mass — the data-mixing policy that spends a
+    char budget on quality.  The cut is an exact rank selection over
+    the per-source (score -> chars) COUNT TABLE (score ascending =
+    better first; the crossing score is included whole, so the kept set
+    is deterministic — no per-document sort anywhere).  Output per
+    source: the score cut, docs and chars kept, and the kept-char
+    share (one division).  Scale: one (source, score) aggregate +
+    model-sized cumulative windows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.floor(
+        (F.lit(1000.0) * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
+        / F.size(toks)
+    ).cast("long")
+    base = d.select("source", score.alias("score"), "n_chars")
+    counts = base.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    w = Window.partitionBy("source").orderBy("score")
+    cum = counts.select(
+        "source", "score", "n_docs", "chars",
+        F.sum("chars").over(w).alias("cum_chars"),
+        F.sum("n_docs").over(w).alias("cum_docs"),
+    )
+    tot = counts.groupBy("source").agg(F.sum("chars").alias("total_chars"))
+    cj = cum.join(F.broadcast(tot), "source")
+    # first score whose cumulative chars reach half the mass (2*cum >= total)
+    cut = cj.filter(F.col("cum_chars") * 2 >= F.col("total_chars")).groupBy(
+        "source"
+    ).agg(F.min("score").alias("score_cut"))
+    kept = (
+        cj.join(F.broadcast(cut), "source")
+        .filter(F.col("score") == F.col("score_cut"))
+        .select(
+            "source",
+            "score_cut",
+            F.col("cum_docs").cast("long").alias("n_docs_kept"),
+            F.col("cum_chars").cast("long").alias("chars_kept"),
+            F.round(
+                F.col("cum_chars").cast("double") / F.col("total_chars").cast("double"),
+                6,
+            ).alias("kept_share"),
+        )
+    )
+    return kept.orderBy("source")
+
+
+ORACLE_SQL["nucleus_curation_threshold"] = """
+    WITH base AS (
+      SELECT source,
+             CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
+                                                  t -> len(t) <= 3)))
+                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+             n_chars
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, score, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, score, n_docs, chars,
+             CAST(sum(chars) OVER (PARTITION BY source ORDER BY score)
+                  AS BIGINT) AS cum_chars,
+             CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY score)
+                  AS BIGINT) AS cum_docs
+      FROM counts
+    ),
+    tot AS (
+      SELECT source, CAST(sum(chars) AS BIGINT) AS total_chars
+      FROM counts GROUP BY 1
+    ),
+    cut AS (
+      SELECT cum.source, min(score) AS score_cut
+      FROM cum JOIN tot ON cum.source = tot.source
+      WHERE cum_chars * 2 >= total_chars
+      GROUP BY 1
+    )
+    SELECT cum.source, score_cut,
+           cum_docs AS n_docs_kept,
+           cum_chars AS chars_kept,
+           round(CAST(cum_chars AS DOUBLE) / CAST(total_chars AS DOUBLE), 6)
+             AS kept_share
+    FROM cum
+    JOIN cut ON cum.source = cut.source AND cum.score = cut.score_cut
+    JOIN tot ON cum.source = tot.source
+    ORDER BY cum.source
+"""
+QUERIES["nucleus_curation_threshold"] = q_nucleus_curation_threshold
+
+
+def q_int8_quantization_error(spark, sf_dir):
+    """Scalar int8 quantization error report — the third member of the
+    compression family (PQ codebooks, RHP bits): each dimension maps to
+    int8 via the per-dim symmetric scale ceil(max|v|/127) on the 1e-4
+    integer grid (scale exact by construction), and the report is the
+    per-label reconstruction MSE — exact integer error sums, ONE
+    division, on the 1e-8 descale.  The size/recall tradeoff number a
+    vector store quotes.  Scale: two (dim/label) aggregates, a 64-cell
+    scale broadcast, zero Python."""
+    e = _t(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("dim", "qv"),
+    )
+    scales = vals.groupBy("dim").agg(
+        # symmetric scale: ceil(max|qv| / 127), >= 1
+        F.greatest(
+            F.lit(1).cast("long"),
+            ((F.max(F.abs(F.col("qv"))) + 126) - (F.max(F.abs(F.col("qv"))) + 126) % 127) / 127,
+        ).cast("long").alias("s")
+    )
+    j = vals.join(F.broadcast(scales), "dim")
+    # round-half-away reconstruction: q8 = round(qv/s) clamped to [-127,127]
+    q8 = F.greatest(
+        F.lit(-127).cast("long"),
+        F.least(
+            F.lit(127).cast("long"),
+            F.round(F.col("qv").cast("double") / F.col("s").cast("double"), 0).cast("long"),
+        ),
+    )
+    err = (F.col("qv") - q8 * F.col("s"))
+    agg = j.select("label", err.alias("e")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("e") * F.col("e")).alias("se"),
+    )
+    return agg.select(
+        "label",
+        (F.col("n_cells") / 64).cast("long").alias("n_vectors"),
+        F.round(
+            F.col("se").cast("double")
+            / (F.col("n_cells").cast("double") * F.lit(1e8)),
+            6,
+        ).alias("mse"),
+    ).orderBy("label")
+
+
+ORACLE_SQL["int8_quantization_error"] = """
+    WITH vals AS (
+      SELECT label, t.i - 1 AS dim,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 10000, 0) AS BIGINT)
+               AS qv
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ),
+    scales AS (
+      SELECT dim,
+             greatest(1, (max(abs(qv)) + 126) // 127) AS s
+      FROM vals GROUP BY 1
+    ),
+    j AS (
+      SELECT label,
+             qv,
+             qv - greatest(-127, least(127,
+                 CAST(round(CAST(qv AS DOUBLE) / CAST(s AS DOUBLE), 0)
+                      AS BIGINT))) * s AS e
+      FROM vals JOIN scales USING (dim)
+    ),
+    agg AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(e * e) AS BIGINT) AS se
+      FROM j GROUP BY 1
+    )
+    SELECT label, n_cells // 64 AS n_vectors,
+           round(CAST(se AS DOUBLE) / (CAST(n_cells AS DOUBLE) * 1e8), 6)
+             AS mse
+    FROM agg ORDER BY label
+"""
+QUERIES["int8_quantization_error"] = q_int8_quantization_error
+
+
+def q_variance_decomposition_by_type(spark, sf_dir):
+    """One-way variance decomposition of event value by type (the ANOVA
+    ingredients as a TABLE): per type, n, mean, and the within-group
+    sum of squares — ss_within = (n_g*S2_g - S1_g^2)/n_g with the
+    numerator exact integer cents^2 and ONE division per row; the
+    between/within F statistic is a trivial fold away for the reader.
+    Emitting per-group rows keeps every value a fixed IEEE tree (no
+    cross-engine summation of doubles).  Scale: one per-type
+    aggregate."""
+    e = _events(spark, sf_dir)
+    c = F.round(F.col("value") * 100, 0).cast("long")
+    agg = e.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("s1").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6
+        ).alias("mean_value"),
+        F.round(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n").cast("double") * F.lit(1e4)),
+            6,
+        ).alias("ss_within"),
+    ).orderBy("event_type")
+
+
+ORACLE_SQL["variance_decomposition_by_type"] = """
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                      * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(CAST(s1 AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
+             AS mean_value,
+           round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 1e4), 6) AS ss_within
+    FROM agg ORDER BY event_type
+"""
+QUERIES["variance_decomposition_by_type"] = q_variance_decomposition_by_type
