@@ -255,6 +255,9 @@ HEADLINE = [
     "nucleus_curation_threshold",
     "int8_quantization_error",
     "variance_decomposition_by_type",
+    "duplicate_payment_candidates",
+    "revenue_share_hierarchy",
+    "bot_user_detector",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

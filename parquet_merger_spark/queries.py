@@ -14667,3 +14667,198 @@ ORACLE_SQL["variance_decomposition_by_type"] = """
     FROM agg ORDER BY event_type
 """
 QUERIES["variance_decomposition_by_type"] = q_variance_decomposition_by_type
+
+
+# --- round-6 widening wave 20: payment dups, hierarchy shares, bot radar --
+
+
+def q_duplicate_payment_candidates(spark, sf_dir):
+    """Duplicate-payment candidate pairs — the transaction-dedup twin of
+    the text near-dup family: same customer, order dates within seven
+    days (equi-join on custkey so the fan-out is bounded by per-key
+    multiplicity — never a cartesian; the day window is row-local on
+    the joined pair), with the exact-amount flag and the integer cents
+    delta as the scoring features (a clean fixture has zero exact
+    matches; the audit's value is the loud one).  Deterministic pair
+    order (orderkey_a < orderkey_b); all arithmetic integer cents /
+    epoch days.  Scale: one key shuffle; at 100 TB the window narrows
+    or the key extends (custkey, amount band), same plan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        (F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).filter(F.abs(F.col("a.day") - F.col("b.day")) <= 7)
+    return pairs.select(
+        F.col("a.o_orderkey").alias("orderkey_a"),
+        F.col("b.o_orderkey").alias("orderkey_b"),
+        F.col("a.o_custkey").alias("custkey"),
+        F.abs(F.col("a.day") - F.col("b.day")).cast("long").alias("day_gap"),
+        F.abs(F.col("a.cents") - F.col("b.cents")).cast("long").alias("cents_delta"),
+        (F.col("a.cents") == F.col("b.cents")).cast("long").alias("amount_match"),
+    )
+
+
+ORACLE_SQL["duplicate_payment_candidates"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders
+    )
+    SELECT a.o_orderkey AS orderkey_a,
+           b.o_orderkey AS orderkey_b,
+           a.o_custkey AS custkey,
+           abs(a.day - b.day) AS day_gap,
+           abs(a.cents - b.cents) AS cents_delta,
+           CAST(a.cents = b.cents AS BIGINT) AS amount_match
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(a.day - b.day) <= 7
+"""
+QUERIES["duplicate_payment_candidates"] = q_duplicate_payment_candidates
+
+
+def q_revenue_share_hierarchy(spark, sf_dir):
+    """Percent-of-total through the region > nation hierarchy: each
+    nation's share within its region AND its region's share of the
+    corpus — the drill-down dashboard table, exact cents with one
+    division per share.  Scale: broadcast-dim joins, model-sized
+    region/total broadcasts."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    nat = j.groupBy("r_name", "n_name").agg(F.sum("cents").alias("nat_rev"))
+    reg = nat.groupBy("r_name").agg(F.sum("nat_rev").alias("reg_rev"))
+    tot = reg.agg(F.sum("reg_rev").alias("total"))
+    return (
+        nat.join(F.broadcast(reg), "r_name")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("nat_rev").cast("long").alias("revenue_cents"),
+            F.round(
+                F.col("nat_rev").cast("double") / F.col("reg_rev").cast("double"), 6
+            ).alias("share_in_region"),
+            F.round(
+                F.col("reg_rev").cast("double") / F.col("total").cast("double"), 6
+            ).alias("region_share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ORACLE_SQL["revenue_share_hierarchy"] = """
+    WITH j AS (
+      SELECT r.r_name, n.n_name,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer c ON o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    nat AS (
+      SELECT r_name, n_name, CAST(sum(cents) AS BIGINT) AS nat_rev
+      FROM j GROUP BY 1, 2
+    ),
+    reg AS (
+      SELECT r_name, CAST(sum(nat_rev) AS BIGINT) AS reg_rev
+      FROM nat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(reg_rev) AS BIGINT) AS total FROM reg)
+    SELECT nat.r_name AS region, n_name AS nation,
+           nat_rev AS revenue_cents,
+           round(CAST(nat_rev AS DOUBLE) / CAST(reg_rev AS DOUBLE), 6)
+             AS share_in_region,
+           round(CAST(reg_rev AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM nat JOIN reg ON nat.r_name = reg.r_name CROSS JOIN tot
+    ORDER BY region, nation
+"""
+QUERIES["revenue_share_hierarchy"] = q_revenue_share_hierarchy
+
+
+def q_bot_user_detector(spark, sf_dir):
+    """Bot/automation radar: the ten most metronomic users — lowest
+    inter-event dispersion index among users with >= 10 gaps (a human's
+    gaps are over-dispersed; a cron job's collapse toward zero).
+    Dispersion is the exact-integer rational from interevent_burstiness
+    rounded BEFORE the ordering, so the top-k total order
+    (dispersion, user_id) is cross-engine identical.  Scale: one
+    user-keyed window + aggregate, TakeOrdered top-k."""
+    e = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("epoch"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("epoch") - F.lag("epoch").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    )
+    return (
+        agg.filter((F.col("n") >= 10) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+                "mean_gap_s"
+            ),
+            F.round(
+                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                / (F.col("s") * F.col("s")).cast("double"),
+                6,
+            ).alias("dispersion"),
+        )
+        .orderBy("dispersion", "user_id")
+        .limit(10)
+    )
+
+
+ORACLE_SQL["bot_user_detector"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             epoch - lag(epoch) OVER (PARTITION BY user_id
+                                      ORDER BY epoch, event_id) AS g
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(g * g) AS BIGINT) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n AS n_gaps,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+           round(CAST(n * s2 - s * s AS DOUBLE) / CAST(s * s AS DOUBLE), 6)
+             AS dispersion
+    FROM agg WHERE n >= 10 AND s > 0
+    ORDER BY dispersion, user_id LIMIT 10
+"""
+QUERIES["bot_user_detector"] = q_bot_user_detector
