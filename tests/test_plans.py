@@ -354,6 +354,8 @@ _BNLJ_VOUCHED = {
     "top_event_paths",
     # wave 18: 1-row census total broadcast
     "filter_funnel_census",
+    # wave 20: 1-row corpus-total broadcast
+    "revenue_share_hierarchy",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -423,6 +425,7 @@ _SINGLE_VOUCHED = {
     "nation_rank_delta",
     "top_event_paths",
     "filter_funnel_census",
+    "revenue_share_hierarchy",
 }
 
 
