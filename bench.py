@@ -258,6 +258,8 @@ HEADLINE = [
     "duplicate_payment_candidates",
     "revenue_share_hierarchy",
     "bot_user_detector",
+    "asof_join_nearest",
+    "monthly_revenue_yoy",
 ]
 
 # Persisted-index keys: their first call in a fresh application pays the

@@ -14862,3 +14862,186 @@ ORACLE_SQL["bot_user_detector"] = """
     ORDER BY dispersion, user_id LIMIT 10
 """
 QUERIES["bot_user_detector"] = q_bot_user_detector
+
+
+# --- round-6 widening wave 21: nearest as-of + YoY -------------------------
+
+
+def q_asof_join_nearest(spark, sf_dir):
+    """NEAREST point-in-time join (pandas merge_asof direction='nearest'):
+    each order gains the customer event with the smallest absolute time
+    gap — backward on ties — composed from the two certified one-sided
+    as-of plans (backward carries the latest <=, forward the earliest
+    >=; a row-local CASE picks the closer).  Completes the as-of family
+    (backward / forward / tolerance / nearest).  Two key shuffles, no
+    range-join blowup, gap arithmetic exact epoch seconds."""
+    from parquet_merger_spark.operators.asof import asof_join, asof_join_forward
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("order_epoch"),
+    )
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").cast("long").alias("event_epoch"),
+        "event_id",
+        "value",
+    )
+    wb = Window.partitionBy("o_custkey", "event_epoch").orderBy(F.desc("event_id"))
+    eb = (
+        e.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wf = Window.partitionBy("o_custkey", "event_epoch").orderBy("event_id")
+    ef = (
+        e.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    back = asof_join(
+        o, eb, on="o_custkey", left_ts="order_epoch", right_ts="event_epoch",
+        right_cols=["event_id", "event_epoch", "value"],
+    ).select(
+        "o_orderkey", "o_custkey", "order_epoch",
+        F.col("event_id").alias("b_id"),
+        F.col("event_epoch").alias("b_epoch"),
+        F.col("value").alias("b_value"),
+    )
+    fwd = asof_join_forward(
+        o, ef, on="o_custkey", left_ts="order_epoch", right_ts="event_epoch",
+        right_cols=["event_id", "event_epoch", "value"],
+    ).select(
+        "o_orderkey",
+        F.col("event_id").alias("f_id"),
+        F.col("event_epoch").alias("f_epoch"),
+        F.col("value").alias("f_value"),
+    )
+    j = back.join(fwd, "o_orderkey")
+    b_gap = F.col("order_epoch") - F.col("b_epoch")
+    f_gap = F.col("f_epoch") - F.col("order_epoch")
+    take_back = F.col("f_epoch").isNull() | (
+        F.col("b_epoch").isNotNull() & (b_gap <= f_gap)
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_epoch",
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "nearest_event_id"
+        ),
+        F.when(take_back, F.col("b_epoch")).otherwise(F.col("f_epoch")).alias(
+            "nearest_event_epoch"
+        ),
+        F.round(
+            F.when(take_back, F.col("b_value")).otherwise(F.col("f_value")), 2
+        ).alias("nearest_event_value"),
+        F.when(
+            F.col("b_epoch").isNull() & F.col("f_epoch").isNull(), F.lit(None)
+        )
+        .when(take_back, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
+ORACLE_SQL["asof_join_nearest"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch
+      FROM orders
+    ), e0 AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS event_epoch,
+             event_id, value
+      FROM events
+    ), eb AS (
+      SELECT user_id, event_epoch, event_id, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_epoch ORDER BY event_id DESC) AS rn
+        FROM e0) WHERE rn = 1
+    ), ef AS (
+      SELECT user_id, event_epoch, event_id, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_epoch ORDER BY event_id) AS rn
+        FROM e0) WHERE rn = 1
+    ), back AS (
+      SELECT o.o_orderkey, o.o_custkey, o.order_epoch,
+             e.event_id AS b_id, e.event_epoch AS b_epoch, e.value AS b_value
+      FROM o ASOF LEFT JOIN eb e
+        ON o.o_custkey = e.user_id AND e.event_epoch <= o.order_epoch
+    ), fwd AS (
+      SELECT o.o_orderkey,
+             e.event_id AS f_id, e.event_epoch AS f_epoch, e.value AS f_value
+      FROM o ASOF LEFT JOIN ef e
+        ON o.o_custkey = e.user_id AND e.event_epoch >= o.order_epoch
+    )
+    SELECT back.o_orderkey, o_custkey, order_epoch,
+           CASE WHEN f_epoch IS NULL
+                  OR (b_epoch IS NOT NULL
+                      AND order_epoch - b_epoch <= f_epoch - order_epoch)
+                THEN b_id ELSE f_id END AS nearest_event_id,
+           CASE WHEN f_epoch IS NULL
+                  OR (b_epoch IS NOT NULL
+                      AND order_epoch - b_epoch <= f_epoch - order_epoch)
+                THEN b_epoch ELSE f_epoch END AS nearest_event_epoch,
+           round(CASE WHEN f_epoch IS NULL
+                        OR (b_epoch IS NOT NULL
+                            AND order_epoch - b_epoch <= f_epoch - order_epoch)
+                      THEN b_value ELSE f_value END, 2) AS nearest_event_value,
+           CASE WHEN b_epoch IS NULL AND f_epoch IS NULL THEN NULL
+                WHEN f_epoch IS NULL
+                  OR (b_epoch IS NOT NULL
+                      AND order_epoch - b_epoch <= f_epoch - order_epoch)
+                THEN 'backward' ELSE 'forward' END AS direction
+    FROM back JOIN fwd ON back.o_orderkey = fwd.o_orderkey
+"""
+QUERIES["asof_join_nearest"] = q_asof_join_nearest
+
+
+def q_monthly_revenue_yoy(spark, sf_dir):
+    """Year-over-year revenue growth per month — the seasonal-adjusted
+    KPI delta (MoM's 12-lag sibling): exact cents per month joined to
+    the month twelve indices earlier (index join, robust to gaps),
+    growth = ONE division, null for the first year.  Scale: month-grain
+    aggregate; the self-join runs on the model-sized month table."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    per = o.groupBy("midx", "month").agg(F.sum("cents").alias("rev"))
+    prev = per.select(
+        (F.col("midx") + 12).alias("midx"), F.col("rev").alias("rev_prev")
+    )
+    return (
+        per.join(prev, "midx", "left")
+        .select(
+            "month",
+            F.col("rev").cast("long").alias("revenue_cents"),
+            F.round(
+                (F.col("rev") - F.col("rev_prev")).cast("double")
+                / F.col("rev_prev").cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_SQL["monthly_revenue_yoy"] = """
+    WITH per AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.month, cur.rev AS revenue_cents,
+           round(CAST(cur.rev - prev.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE), 6)
+             AS yoy_growth
+    FROM per cur LEFT JOIN per prev ON prev.midx + 12 = cur.midx
+    ORDER BY cur.month
+"""
+QUERIES["monthly_revenue_yoy"] = q_monthly_revenue_yoy
