@@ -15045,3 +15045,55 @@ ORACLE_SQL["monthly_revenue_yoy"] = """
     ORDER BY cur.month
 """
 QUERIES["monthly_revenue_yoy"] = q_monthly_revenue_yoy
+
+
+def q_stream_value_skewness(spark, sf_dir):
+    """STREAMING sufficient-statistics maintenance driven end-to-end:
+    events replay in three mtime-pinned micro-batches; the per-type
+    moment vector (n, S1, S2, S3) is a complete-mode aggregation with
+    ONE ROW of state per group BY CONSTRUCTION (sums add — stream ==
+    batch bit-for-bit); after the drain, mean and skewness derive from
+    the STREAMED state alone via the exact g1 = A/B^(3/2) reduction and
+    hash-match the batch twin's oracle (``value_skewness_by_type``).
+    The fourth bounded-state streaming family member: counters (CMS,
+    Benford), registers (MinCount), value-count tables (quantile), and
+    now moment vectors."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import moment_sums_stream
+
+    base = _scratch_dir(spark, "stream_value_skewness")
+    shutil.rmtree(base, ignore_errors=True)
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    slices = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    src = _write_replay_batches(base, slices)
+
+    name = f"smom_{uuid.uuid4().hex[:8]}"
+    q = moment_sums_stream(
+        spark, src, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_value_skewness")
+    agg = spark.table(name).localCheckpoint(eager=True)
+
+    a = (
+        F.col("s3") * F.col("n") * F.col("n")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s2") * F.col("n") * 3
+        + F.col("s1").cast("decimal(38,0)") * F.col("s1") * F.col("s1") * 2
+    )
+    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("s1").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6
+        ).alias("mean_value"),
+        F.round(
+            a.cast("double") / (F.sqrt(b.cast("double")) * b.cast("double")), 6
+        ).alias("skewness"),
+    )
+
+
+ORACLE_SQL["stream_value_skewness"] = ORACLE_SQL["value_skewness_by_type"]
+QUERIES["stream_value_skewness"] = q_stream_value_skewness

@@ -1066,3 +1066,49 @@ def digit_counts_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def moment_sums_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    query_name: str = "moment_sums",
+) -> StreamingQuery:
+    """Streaming SUFFICIENT-STATISTICS maintenance: per-group exact moment
+    sums (n, S1, S2 as int64 cents, S3 as decimal(38,0)) kept by a plain
+    complete-mode aggregation — state bounded at one row per group BY
+    CONSTRUCTION.  Sums add, so the streamed moment vector equals the
+    batch aggregate bit-for-bit after any replay, and every derived
+    statistic (mean, variance, skewness g1 = A/B^(3/2)) can be computed
+    from the state alone at any moment — the ``stream_value_skewness``
+    key certifies that with the batch twin's oracle.  The fourth member
+    of the bounded-state streaming family (counters, registers,
+    value-count tables, and now moment vectors)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    c = F.round(F.col(value_col) * 100, 0).cast("long")
+    sums = (
+        stream.select(F.col(group_col), c.alias("c"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            ).alias("s3"),
+        )
+    )
+    return (
+        sums.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
