@@ -15097,3 +15097,64 @@ def q_stream_value_skewness(spark, sf_dir):
 
 ORACLE_SQL["stream_value_skewness"] = ORACLE_SQL["value_skewness_by_type"]
 QUERIES["stream_value_skewness"] = q_stream_value_skewness
+
+
+def q_stream_constraint_audit(spark, sf_dir):
+    """STREAMING data-contract gate driven end-to-end: lineitem replays
+    in three mtime-pinned micro-batches, stream-static joins the orders
+    dimension (the enrich shape), and all five CHECK rules fold as
+    conditional counters in ONE complete-mode aggregation — a single
+    state row BY CONSTRUCTION.  Counters add, so the streamed counts
+    equal the batch audit bit-for-bit; the derived per-rule table
+    hash-matches the batch twin's oracle
+    (``constraint_violations_audit``).  The 100 TB shape: constraint
+    compliance monitored continuously in O(rules) state, no rescan."""
+    import shutil
+    import uuid
+
+    from parquet_merger_spark.streaming.events import constraint_counts_stream
+
+    base = _scratch_dir(spark, "stream_constraint_audit")
+    shutil.rmtree(base, ignore_errors=True)
+
+    li = _t(spark, sf_dir, "lineitem")
+    slices = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    src = _write_replay_batches(base, slices)
+
+    o = _t(spark, sf_dir, "orders")
+    name = f"scon_{uuid.uuid4().hex[:8]}"
+    q = constraint_counts_stream(
+        spark, src, o, os.path.join(base, "ckpt"), query_name=name
+    )
+    _drain_stream(q, "stream_constraint_audit")
+    agg = spark.table(name).localCheckpoint(eager=True)
+
+    rule_names = [
+        "discount_in_0_1",
+        "quantity_positive",
+        "extendedprice_positive",
+        "ship_after_order",
+        "tax_nonnegative",
+    ]
+    stacked = agg.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm).alias("rule"), F.col(f"v_{i}").alias("n_violations")
+                    )
+                    for i, nm in enumerate(rule_names)
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        "r.rule",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("r.n_violations").cast("long").alias("n_violations"),
+    ).orderBy("rule")
+
+
+ORACLE_SQL["stream_constraint_audit"] = ORACLE_SQL["constraint_violations_audit"]
+QUERIES["stream_constraint_audit"] = q_stream_constraint_audit

@@ -1112,3 +1112,52 @@ def moment_sums_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def constraint_counts_stream(
+    spark: SparkSession,
+    lineitem_dir: str,
+    orders_static: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "constraint_counts",
+) -> StreamingQuery:
+    """Streaming CHECK-constraint maintenance: lineitem micro-batches
+    stream-static join the orders dimension (the enrich_stream shape)
+    and every rule folds as a conditional counter in ONE complete-mode
+    aggregation — a single row of state BY CONSTRUCTION.  Counters add,
+    so the streamed rule counts equal the batch audit bit-for-bit after
+    any replay; ``stream_constraint_audit`` certifies the derived
+    per-rule table with the batch twin's oracle
+    (``constraint_violations_audit``).  The data-contract gate run
+    continuously on the ingest stream."""
+    schema = spark.read.parquet(lineitem_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lineitem_dir)
+    )
+    j = stream.join(
+        orders_static.select("o_orderkey", "o_orderdate"),
+        stream.l_orderkey == F.col("o_orderkey"),
+    )
+    rules = {
+        "discount_in_0_1": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        "quantity_positive": F.col("l_quantity") <= 0,
+        "extendedprice_positive": F.col("l_extendedprice") <= 0,
+        "ship_after_order": F.col("l_shipdate") < F.col("o_orderdate"),
+        "tax_nonnegative": F.col("l_tax") < 0,
+    }
+    counts = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(v, 1).otherwise(0)).alias(f"v_{i}")
+            for i, v in enumerate(rules.values())
+        ],
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
