@@ -116,14 +116,35 @@ def test_rolling_median_crafted(spark):
     assert out == [500, 100, 500, 300, 500, 300]
 
 
-def test_winsorized_mean_clamps(spark):
-    """Per-group winsorized mean must clamp below-p05 and above-p95 mass
-    to the exact rank-selected boundaries (tiny crafted group)."""
+def test_winsorized_mean_clamps(spark, tmp_path):
+    """The real query, driven over a crafted one-nation fixture where the
+    p95 clamp provably changes the mean: 20 orders priced 1..19 and 1000.
+    rank rule: p05 = min cents with cum*100 >= 5*20 -> 1; p95 = min cents
+    with cum*100 >= 95*20 -> 19.  The 1000 outlier clamps to 19, so the
+    winsorized mean is (1+..+19 + 19)/20 = 10.45 (raw mean would be 59.5)."""
+    d = str(tmp_path)
+    prices = [float(i) for i in range(1, 20)] + [1000.0]
+    spark.createDataFrame(
+        [(i, prices[i - 1]) for i in range(1, 21)],
+        "o_custkey long, o_totalprice double",
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(i, 0) for i in range(1, 21)], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "CRAFTLAND")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(f"{d}/nation.parquet")
+    rows = QUERIES["winsorized_mean_by_nation"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["nation"] == "CRAFTLAND"
+    assert rows[0]["n_orders"] == 20
+    assert rows[0]["winsorized_mean"] == 10.45
+
     out = {
         r["nation"]: r["winsorized_mean"]
         for r in QUERIES["winsorized_mean_by_nation"](spark, SF_DIR).collect()
     }
-    # sanity: every winsorized mean is finite and positive, 25 nations
+    # fixture sanity: every winsorized mean is finite and positive, 25 nations
     assert len(out) == 25
     assert all(v > 0 for v in out.values())
 
@@ -223,19 +244,46 @@ def test_rfm_tercile_bands_cover(spark):
         assert 1 <= r["f_band"] <= 3
         assert 1 <= r["m_band"] <= 3
     n_customers = sum(r["n_customers"] for r in rows)
-    o = QUERIES["group_count_having"]  # any key would do; use a direct count
     from parquet_merger_spark.queries import _t
     assert n_customers == _t(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
 
 
 def test_asof_nearest_prefers_smaller_gap(spark):
-    """nearest = min(|gap|), backward on ties — checked on the contract
-    output: each chosen gap must not exceed the other direction's gap."""
+    """nearest = min(|gap|), backward on ties — recomputed from the raw
+    events for every sampled custkey: the chosen gap must not exceed the
+    best gap in the other direction, and backward must win exact ties."""
+    from parquet_merger_spark.queries import _events
+
     df = QUERIES["asof_join_nearest"](spark, SF_DIR)
     rows = df.filter(F.col("nearest_event_epoch").isNotNull()).limit(200).collect()
     assert rows
+    custkeys = {r["o_custkey"] for r in rows}
+    ev = (
+        _events(spark, SF_DIR)
+        .filter(F.col("user_id").isin(list(custkeys)))
+        .select("user_id", F.col("ts").cast("long").alias("epoch"))
+        .collect()
+    )
+    epochs_by_user = {}
+    for e in ev:
+        epochs_by_user.setdefault(e["user_id"], []).append(e["epoch"])
     for r in rows:
         assert r["direction"] in ("backward", "forward")
+        t = r["order_epoch"]
+        ep = epochs_by_user[r["o_custkey"]]
+        back = [x for x in ep if x <= t]
+        fwd = [x for x in ep if x >= t]
+        b_gap = t - max(back) if back else None
+        f_gap = min(fwd) - t if fwd else None
+        chosen_gap = abs(t - r["nearest_event_epoch"])
+        best = min(g for g in (b_gap, f_gap) if g is not None)
+        assert chosen_gap == best
+        if b_gap is not None and b_gap == f_gap:
+            assert r["direction"] == "backward"
+        if r["direction"] == "backward":
+            assert chosen_gap == b_gap
+        else:
+            assert chosen_gap == f_gap
 
 
 def test_stream_moment_state_one_row_per_group(spark):
