@@ -356,6 +356,41 @@ _BNLJ_VOUCHED = {
     "filter_funnel_census",
     # wave 20: 1-row corpus-total broadcast
     "revenue_share_hierarchy",
+    # ---- r07: non-headline keys (the r06 verdict's 19 unvouched BNLJ
+    # escapes — the audit now iterates ALL contract keys) ----
+    # portable ANN twins: every nested loop is crossJoin(broadcast(model))
+    # where model = 8-row coarse centroids, 32-row (m_subs*k_codes) PQ
+    # codebooks, or the <=5-row query set — one BNLJ per Lloyd/encode step
+    "ivf_topk_portable",
+    "pq_topk_portable",
+    "ivfpq_topk_portable",
+    "kmeans_portable_assign",
+    # recall/separation reports: k-row centroid + <=5-row query broadcasts
+    "ann_recall_report",
+    "cluster_separation_report",
+    # 1-row query-vector broadcast feeding the greedy MMR loop
+    "mmr_diverse_topk",
+    # portable dedup twins: 1-row permutation/hyperplane parameter rows
+    # and 1-row corpus scalars broadcast into the signature fold
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "minhash_jaccard_estimate",
+    # winnowing: 1-row window/gram parameter scalars into the dictionary
+    "winnowing_fingerprints",
+    "dedup_winnowing_pairs",
+    # in-plan Bloom prefilters: the 8 KB bit-array aggregate is a 1-row
+    # broadcast crossJoined to the probe side
+    "bloom_prefilter_join",
+    "decontaminate_bloom_probe",
+    "upsert_orders_bloom",
+    # KMV sketches: the k-minimum-value register set (<=256 rows) is the
+    # whole broadcast side
+    "kmv_distinct_rollup",
+    "kmv_set_ops",
+    # four 1-row scalar-subquery counts (the audit summary row)
+    "fk_orphan_audit",
+    # 1-row total broadcast over the 9-row digit table
+    "stream_benford_audit",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -426,20 +461,50 @@ _SINGLE_VOUCHED = {
     "top_event_paths",
     "filter_funnel_census",
     "revenue_share_hierarchy",
+    # ---- r07: non-headline keys (all-contract audit) ----
+    # global scalar reductions -> one 1-row task: corpus count, AUC
+    # sufficient statistics, assortativity moment fold
+    "row_count",
+    "quality_score_auc",
+    "graph_assortativity",
+    # model-sized final frames: 8 KB Bloom bit-array aggregate (1 row),
+    # KMV register sets (<=256 rows), per-source count table (O(sources)),
+    # 9-row digit table, 4-count audit row, z-order boundary scalar
+    "bloom_prefilter_join",
+    "decontaminate_bloom_probe",
+    "upsert_orders_bloom",
+    "kmv_distinct_rollup",
+    "kmv_set_ops",
+    "curriculum_interleave",
+    "stream_benford_audit",
+    "fk_orphan_audit",
+    "zorder_pruned_scan",
+    # portable twins: model-sized training folds (centroid/codebook/
+    # parameter tables reduce to <=32-row frames between Lloyd steps)
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
+    "dedup_winnowing_pairs",
+    "minhash_jaccard_estimate",
+    "winnowing_fingerprints",
 }
 
 
 def test_headline_plans_pass_scale_review(spark):
-    """SURVEY §10 pinned: every headline plan is free of cartesian
-    products, and nested-loop joins / single-partition exchanges appear
-    only where a tiny model side or a global-scalar reduction vouches
-    for them.  A new query that regresses plan shape fails here with
-    its digest."""
-    import bench
+    """SURVEY §10 pinned, widened r07 to the WHOLE contract (the r06
+    verdict found 19 non-headline keys carrying unvouched
+    BroadcastNestedLoopJoins — an audit escape hatch): every contract
+    plan is free of cartesian products, and nested-loop joins /
+    single-partition exchanges appear only where a tiny model side or a
+    global-scalar reduction vouches for them, with a one-line rationale
+    per key above.  A new query that regresses plan shape fails here
+    with its digest.  Stream keys are audited on their post-drain batch
+    frame (the streaming plan itself is pinned in test_streaming.py);
+    to keep the battery affordable they drain once here, same as the
+    oracle differential."""
     from parquet_merger_spark.plans.audit import assert_scalable
     from parquet_merger_spark.queries import QUERIES
 
-    for name in bench.HEADLINE:
+    for name in sorted(QUERIES):
         df = QUERIES[name](spark, SF_DIR)
         assert_scalable(
             df,
