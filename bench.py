@@ -185,6 +185,9 @@ HEADLINE = [
     # dedup_ngram_jaccard is deliberately NOT a headline: exact pairwise
     # Jaccard is the verification/audit tier (it stays oracle-checked in
     # CORRECTNESS); the headline near-dup path at scale is MinHash-LSH.
+    # r07: its candidates-BOUNDED form (exact Jaccard over LSH candidate
+    # pairs only — the 100 TB verification arm) IS headline-grade.
+    "dedup_ngram_jaccard_bounded",
     "dedup_minhash_lsh",
     # the composed headline pipeline: LSH pairs -> connected components
     # -> survivors, in one key

@@ -2103,11 +2103,15 @@ def q_knn_graph(spark, sf_dir):
 
 
 def q_semdedup(spark, sf_dir):
-    """SemDeDup semantic dedup (exact tier): kNN graph (k=5) ->
-    cosine >= 0.4 edges -> connected components -> smallest-id survivor
-    per semantic cluster; one row per input vector with (cluster_id,
-    is_survivor).  The ANN tier (block_col-restricted kNN) is
-    recall-bounded in tests/test_recall.py instead of oracle-checked."""
+    """SemDeDup semantic dedup: kNN graph (k=5) -> cosine >= 0.4 edges
+    -> connected components -> smallest-id survivor per semantic
+    cluster; one row per input vector with (cluster_id, is_survivor).
+    AUTO-TIERED (r07): at or under the documented 100k-row cutoff —
+    every oracle fixture — this is the exact blocked-GEMM tier the
+    DuckDB oracle certifies; above it (sf >= ~2 for this table) the SAME
+    key runs the IVF-semantic-block ANN arm, the 100 TB default, whose
+    recall is pinned in tests/test_round7_fixes.py and whose wall is
+    the SCALING artifact's ann row."""
     from parquet_merger_spark.operators.dedup import semdedup
 
     e = _t(spark, sf_dir, "embeddings")
@@ -10352,6 +10356,98 @@ def _minhash_est_sql() -> str:
 
 ORACLE_SQL["minhash_jaccard_estimate"] = _minhash_est_sql()
 QUERIES["minhash_jaccard_estimate"] = q_minhash_jaccard_estimate
+
+
+def q_dedup_ngram_jaccard_bounded(spark, sf_dir):
+    """Exact word-2-gram Jaccard near-dup pairs (t=0.8) computed ONLY
+    over MinHash-LSH candidate pairs — the candidates-bounded form of
+    ``dedup_ngram_jaccard`` that IS the 100 TB arm (r06 SCALING measured
+    the full-corpus prefix join at a 1.49 second-decade exponent; this
+    form replaces the O(pairs-sharing-a-prefix-gram) self-join with two
+    equi-joins on O(docs x bands) LSH candidates).  Candidates come from
+    the PORTABLE LSH (cross-engine reproducible banding, recall > 0.99
+    at J >= 0.8 for b=6, r=2 — pinned against the full key in
+    tests/test_round7_fixes.py); verification is the production
+    xxhash64 shingle-set intersect/union, which the oracle checks
+    independently over STRING 2-gram sets — so a green hash-match also
+    certifies the xxhash collision-free assumption on this fixture."""
+    from parquet_merger_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs_portable(d, "doc_id", "text", num_hashes=12, bands=6)
+    pairs = ngram_jaccard_pairs(
+        d, shingle_words=2, threshold=0.8, candidate_pairs=cands
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _ngram_jaccard_bounded_sql() -> str:
+    AC, P, vocab = _portable_sql_parts()
+    nh, bands = 12, 6
+    mins = ",\n                 ".join(
+        f"min(({a} * xm + {c}) % {P}) AS m{i}"
+        for i, (a, c) in enumerate(AC[:nh])
+    )
+    band_rows = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2 * b} AS h1, m{2 * b + 1} AS h2 FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {vocab},
+        vsz AS (SELECT max(term_id) AS v FROM vocab),
+        ids AS (
+          SELECT t.doc_id, t.pos, v.term_id
+          FROM tok t JOIN vocab v USING (term)
+        ),
+        grams AS (
+          SELECT DISTINCT a.doc_id,
+                 ((a.term_id * (vsz.v + 1) + b.term_id) % {P}) AS xm
+          FROM ids a
+          JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          CROSS JOIN vsz
+        ),
+        sig AS (
+          SELECT doc_id, {mins}
+          FROM grams GROUP BY doc_id
+        ),
+        bb AS (
+          {band_rows}
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bb a
+          JOIN bb b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+                 AND a.doc_id < b.doc_id
+        ),
+        -- exact verification over STRING 2-gram sets (independent of both
+        -- the portable mod-p gram space and Spark's xxhash64 space)
+        sgrams AS (
+          SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS g
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sgrams GROUP BY 1),
+        inter AS (
+          SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+          FROM pairs p
+          JOIN sgrams ga ON ga.doc_id = p.id_a
+          JOIN sgrams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+          GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+        FROM pairs p
+        JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+        WHERE i.i / (sa.n + sb.n - i.i) >= 0.8
+    """
+
+
+ORACLE_SQL["dedup_ngram_jaccard_bounded"] = _ngram_jaccard_bounded_sql()
+QUERIES["dedup_ngram_jaccard_bounded"] = q_dedup_ngram_jaccard_bounded
 
 
 def q_two_hop_neighbors(spark, sf_dir):

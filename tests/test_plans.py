@@ -391,6 +391,10 @@ _BNLJ_VOUCHED = {
     "fk_orphan_audit",
     # 1-row total broadcast over the 9-row digit table
     "stream_benford_audit",
+    # r07: portable-LSH candidate generation (1-row vsz scalars + 64-row
+    # vocab bucket tables, lineage-replicated by the band self-join) —
+    # same shapes as minhash_jaccard_estimate
+    "dedup_ngram_jaccard_bounded",
 }
 # Single-partition exchanges that are the FINAL step of a global scalar
 # aggregate (a handful of partial rows, not data): corpus-wide counts
@@ -486,6 +490,8 @@ _SINGLE_VOUCHED = {
     "dedup_winnowing_pairs",
     "minhash_jaccard_estimate",
     "winnowing_fingerprints",
+    # r07: same portable-vocab bucket-table shapes as the line above
+    "dedup_ngram_jaccard_bounded",
 }
 
 

@@ -89,6 +89,63 @@ def test_skewness_decimal38_ceiling_documented(spark):
     assert 6 * (25_000_000**3) * (100_000**3) < 10**38
 
 
+def test_bounded_jaccard_subset_and_recall(spark):
+    """The candidates-bounded exact-Jaccard key (the 100 TB arm) against
+    the full-corpus tier: every bounded pair must appear in the full
+    output WITH THE SAME jaccard value (the bounding can only ever drop
+    pairs, never alter a value), and LSH recall on this fixture must
+    meet the b=6/r=2 design bound (>0.99 expected; assert >=0.95 to
+    absorb fixture drift)."""
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    bounded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard_bounded"](spark, SF_DIR).collect()
+    }
+    assert bounded, "bounded tier found no pairs at all"
+    for pair, j in bounded.items():
+        assert pair in full and full[pair] == j, pair
+    assert len(bounded) / len(full) >= 0.95
+
+
+def test_semdedup_tier_cutoff():
+    """The documented size cutoff is a pure function: exact at or under
+    exact_max_rows, ann above, None disables switching."""
+    from parquet_merger_spark.operators.dedup import semdedup_tier
+
+    assert semdedup_tier(100_000) == "exact"
+    assert semdedup_tier(100_001) == "ann"
+    assert semdedup_tier(10**12, None) == "exact"
+    assert semdedup_tier(500, 100) == "ann"
+
+
+def test_semdedup_auto_ann_arm_contract_and_recall(spark):
+    """Force the auto cutoff below the fixture size so the ANN arm
+    (IVF semantic blocks) runs: the per-row contract must hold (one row
+    per vector, survivor iff cluster_id == own id) and duplicate recall
+    vs the exact tier must beat the random-block floor by a wide margin
+    (semantic blocks put near-dups in the same bucket by construction —
+    the test_recall.py vec_id%2 baseline only manages ~0.3)."""
+    from parquet_merger_spark.operators.dedup import semdedup
+    from parquet_merger_spark.queries import _t
+
+    e = _t(spark, SF_DIR, "embeddings")
+    n = e.count()
+    exact = semdedup(e, threshold=0.4, k=5, exact_max_rows=None).collect()
+    ann = semdedup(e, threshold=0.4, k=5, exact_max_rows=n - 1).collect()
+    assert len(ann) == n == len(exact)
+    assert all((r.cluster_id == r.vec_id) == r.is_survivor for r in ann)
+    exact_dups = {r.vec_id for r in exact if not r.is_survivor}
+    ann_dups = {r.vec_id for r in ann if not r.is_survivor}
+    assert exact_dups, "fixture must contain semantic duplicates"
+    recall = len(ann_dups & exact_dups) / len(exact_dups)
+    assert recall >= 0.60, f"semantic-block duplicate recall {recall:.3f}"
+    # over-merge side: flagged-but-not-exact-dup rows stay a minority
+    assert len(ann_dups - exact_dups) <= max(3, len(exact_dups))
+
+
 def test_embedding_centroid_drift_magnitude_sane(spark):
     """Unit-ish embeddings drawn from the same distribution: half-centroid
     drift must be well under 1 (the pre-fix bug reported ~1159)."""
