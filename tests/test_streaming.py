@@ -787,6 +787,47 @@ def test_micro_batch_latency_budget(spark):
         )
 
 
+def test_stream_latency_artifact_drift():
+    """Round-over-round latency pin (r06 verdict ask #8): the committed
+    STREAM_LATENCY artifacts are the diffable record of per-key
+    micro-batch cost; any key whose steady-state addBatch_ms drifts
+    >3x between the two latest artifacts fails here, so a state blowup
+    or lost watermark can never ride in under the generous live budget
+    above.  Steady state = max over batches[1:] (batch 0 pays plan
+    compile + state-store open).  A +750ms absolute floor keeps
+    sub-300ms keys from flaking on scheduler noise; r05->r06 worst
+    observed ratio was 1.21 (stream_interval_join)."""
+    import json
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        (
+            int(m.group(1)), os.path.join(here, f)
+        )
+        for f in os.listdir(here)
+        if (m := re.match(r"STREAM_LATENCY_r(\d+)\.json$", f))
+    )
+    if len(arts) < 2:
+        pytest.skip("needs two committed STREAM_LATENCY artifacts")
+    (_, prev_f), (_, cur_f) = arts[-2], arts[-1]
+    prev, cur = json.load(open(prev_f)), json.load(open(cur_f))
+
+    def steady(d, k):
+        b = d[k]["batches"]
+        vals = [x["addBatch_ms"] for x in b[1:]] or [
+            x["addBatch_ms"] for x in b
+        ]
+        return max(vals)
+
+    drifted = {}
+    for k in sorted(set(prev) & set(cur)):
+        old, new = steady(prev, k), steady(cur, k)
+        if new > max(3 * old, old + 750):
+            drifted[k] = (old, new)
+    assert not drifted, f"steady-state addBatch drift >3x: {drifted}"
+
+
 def test_mincount_stream_equals_batch_sketch(spark, event_files, tmp_path):
     """The streamed register matrix equals the batch MinCount sketch
     bit-for-bit after a real multi-batch replay (min is associative and

@@ -29,24 +29,39 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 KEYS = [
-    "graph_triangles",
-    "pagerank",
+    # r07 panel (r06 verdict asks #1/#5/#7).  The graph/dedup/stats
+    # elephants keep their r06 two-decade rows (SCALING_r06 — code
+    # untouched this round); r07 measures what was missing:
+    # the LLM-pipeline headliners — the operators a 100 TB
+    # training-data run actually spends its time in (ask #5)
+    "curate_corpus",
+    "corpus_pipeline",
+    "chunk_documents",
+    "pack_sequences",
+    "mixture_sample",
+    # ask #1: the candidates-bounded exact-Jaccard arm (full-corpus tier
+    # measured 1.49 second-decade exponent in r06; bound: <= ~1.1)
+    "dedup_ngram_jaccard_bounded",
+    # ask #7 continuity: semdedup under its new auto cutoff — exact arm
+    # at sf0.1/sf1 (5k/50k vectors <= 100k), ANN arm at sf10 (500k); the
+    # clean per-arm exponent comes from the SPECIAL row below
     "semdedup",
-    "dedup_pipeline_lsh",
-    # verification-tier elephant (largest committed wall number, 12.7s
-    # at sf0.1): bounds the PPJoin prefix/positional/length-filtered
-    # pair growth of the EXACT n-gram Jaccard tier the same way the
-    # four headline elephants were bounded in r04
-    "dedup_ngram_jaccard",
-    # r06 widening-wave elephants: the winnowing fingerprint pipeline
-    # (row-local selection + inverted-index pair join) and the bigram
-    # LM-familiarity pass (inherently linear in the token stream; its
-    # r06 measurement also pinned the 13x gram-builder fix — zip_with
-    # over sliced arrays, never transform(sequence)+element_at)
-    "winnowing_fingerprints",
-    "dedup_winnowing_pairs",
-    "bigram_familiarity",
 ]
+
+# Pseudo-keys outside the QUERIES contract: (label, table, builder).
+# semdedup_ann_arm forces the IVF-semantic-block tier at every sf
+# (exact_max_rows=1) so the second-decade exponent measures the ANN arm
+# alone, never a tier crossing.
+def _semdedup_ann_arm(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from parquet_merger_spark.operators.dedup import semdedup
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semdedup(e, threshold=0.4, k=5, exact_max_rows=1)
+
+
+SPECIAL = {"semdedup_ann_arm": _semdedup_ann_arm}
 SF_SMALL = "/root/testdata/sf0.1"
 SF_BIG = os.path.join(ROOT, ".localdata", "sf1")
 FACTOR = 10.0  # data ratio between the two dirs
@@ -57,16 +72,16 @@ FACTOR = 10.0  # data ratio between the two dirs
 # (.localdata/sf10, from gen_scale_data.py chained off sf1) separates
 # the two.  Only the tables these keys read exist at sf10.
 SF_100X = os.path.join(ROOT, ".localdata", "sf10")
-# r06 second wave: the HEADLINE dedup path (LSH pipeline — the operator
-# the 100 TB sub-linearity claim actually rides on; jaccard is only its
-# verification tier) and the triangle census (the O(E^1.5) bound at 60M
-# edges) join the second-decade panel.
+# r07: the whole panel gets the second decade — all keys read only the
+# documents/embeddings replicas that exist at sf10.
 KEYS_100X = [
-    "pagerank",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_lsh",
-    "graph_triangles",
-    "semdedup",  # needs the sf10 embeddings replica (gen_scale_data)
+    "curate_corpus",
+    "corpus_pipeline",
+    "chunk_documents",
+    "pack_sequences",
+    "mixture_sample",
+    "dedup_ngram_jaccard_bounded",
+    "semdedup",  # auto tier: ANN arm at 500k vectors
 ]
 
 
@@ -82,11 +97,12 @@ def main() -> None:
     spark.range(0, 32, 1, 32).mapInPandas(lambda it: it, "id long").count()
 
     def best(name: str, sf_dir: str) -> float:
+        fn = SPECIAL.get(name) or QUERIES[name]
         t_best = math.inf
         for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             t_best = min(t_best, time.perf_counter() - t0)
@@ -95,7 +111,7 @@ def main() -> None:
     from parquet_merger_spark.session import first_touch_canary_s
 
     out: dict[str, dict] = {"_host_canary_s": {"before": first_touch_canary_s()}}
-    for name in KEYS:
+    for name in KEYS + sorted(SPECIAL):
         t_small = best(name, SF_SMALL)
         t_big = best(name, SF_BIG)
         ratio = round(t_big / t_small, 2)
@@ -110,7 +126,7 @@ def main() -> None:
         print(f"{name}: {t_small}s -> {t_big}s  ratio {ratio} exp {exponent}", flush=True)
 
     if os.path.isdir(SF_100X):
-        for name in KEYS_100X:
+        for name in KEYS_100X + sorted(SPECIAL):
             t100 = best(name, SF_100X)
             t_small = out[name]["sf0.1_s"]
             ratio = round(t100 / t_small, 2)
