@@ -912,8 +912,13 @@ def semdedup(
         n = df.count()  # one narrow scan; at cluster scale, table stats
         if semdedup_tier(n, exact_max_rows) == "ann":
             nlist = max(16, -(-n // rows_per_block))  # ceil div
+            # 25k training rows bound the sample COLLECT (the default
+            # 100k ships ~50M floats through py4j — measured ~18s of the
+            # sf10 wall); Lloyd quality for <=100s-of-centroids models
+            # saturates far below that
             cen = build_ivf_centroids(
-                df, nlist=nlist, id_col=id_col, vec_col=vec_col
+                df, nlist=nlist, id_col=id_col, vec_col=vec_col,
+                max_train_rows=25_000,
             )
             # n_assign=2 multi-probe: a near-dup pair straddling a bucket
             # boundary still meets in the second-nearest bucket (measured

@@ -325,6 +325,11 @@ def build_ivf_centroids(
 # Above this many literal longs (nlist * dim) the codegen'd centroid
 # array gets unwieldy; fall back to the broadcast-join assignment.
 _LITERAL_CENTROID_BUDGET = 65_536
+#: below this many literal elements (nlist x dim) the nearest-centroid
+#: argmax stays a codegen'd literal expression; above it, the interpreted
+#: per-element cost dominates and assignment runs as an Arrow GEMM batch
+#: (see assign_buckets — measured 78s -> ~2s at nlist=49, dim=64, 200k rows)
+_VECTORIZED_ASSIGN_MIN_ELEMS = 2_048
 
 
 def _collect_quantized_centroids(centroids: DataFrame) -> list:
@@ -396,18 +401,29 @@ def assign_buckets(
     quantized cosine; deterministic centroid-id tie-break).
 
     Scale design: the centroid table is nlist rows — a MODEL, not data —
-    so it collapses into a literal array and assignment becomes a pure
-    row-local expression: no shuffle, no window, no join, embarrassingly
-    parallel at any corpus size.  (A 100 TB corpus assignment is then one
-    narrow map stage.)  Only above ``_LITERAL_CENTROID_BUDGET`` literal
-    elements does it fall back to a broadcast join + per-id window.
+    so assignment is always one narrow map stage: no shuffle, no window,
+    no join, embarrassingly parallel at any corpus size.  Three physical
+    strategies by model size (results identical — same quantized-grid
+    cosine, same (sim desc, cid asc) tie-break, nulls below any real
+    score):
+
+    - tiny models (<= ``_VECTORIZED_ASSIGN_MIN_ELEMS`` literal elements,
+      e.g. nlist 16 x dim 64): a literal-array expression inside
+      whole-stage codegen — zero Python, the cheapest plan;
+    - bigger-but-model-sized: an Arrow-batched numpy GEMM
+      (batch x nlist scores in one matmul) — the r07 fix: at nlist=49,
+      dim=64 the interpreted per-element expression cost 78s for 200k
+      rows at sf10 where the GEMM costs ~2s;
+    - above ``_LITERAL_CENTROID_BUDGET``: broadcast join + per-id window
+      (the centroid table no longer belongs in a task closure).
 
     ``n_assign > 1`` is the multi-assignment trick for within-bucket pair
     joins: a near-dup pair straddling a bucket boundary still meets in the
     second-nearest bucket (recall up, cost x ~n_assign)."""
     cen_rows = _collect_quantized_centroids(centroids)
     dim = len(cen_rows[0]["__q"]) if cen_rows else 0
-    if cen_rows and len(cen_rows) * dim <= _LITERAL_CENTROID_BUDGET:
+    n_elems = len(cen_rows) * dim
+    if cen_rows and n_elems <= _VECTORIZED_ASSIGN_MIN_ELEMS:
         v = _with_quantized(corpus, vec_col)
         best = _nearest_centroids_expr(
             cen_rows, F.col("__q"), F.col("__q2"), n_assign
@@ -419,6 +435,49 @@ def assign_buckets(
                 F.col(vec_col),
                 (-F.col("__b.negcid")).cast("int").alias("bucket"),
             )
+        )
+    if cen_rows and n_elems <= _LITERAL_CENTROID_BUDGET:
+        import numpy as np
+
+        cids = np.array(
+            [int(r["centroid_id"]) for r in cen_rows], dtype=np.int64
+        )
+        cmat = np.array(
+            [[int(x) for x in r["__q"]] for r in cen_rows], dtype=np.float64
+        ).T  # (dim, nlist)
+        denom_c = np.sqrt(
+            np.array([int(r["__q2"]) for r in cen_rows], dtype=np.float64)
+        )[None, :]
+        take_n = n_assign
+
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                qm = np.stack(pdf["__q"].to_numpy()).astype(np.float64)
+                q2 = pdf["__q2"].to_numpy(dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (qm @ cmat) / (np.sqrt(q2)[:, None] * denom_c)
+                # zero-norm vectors: NULL sim coalesces to -2.0 in the
+                # expression path — mirror it exactly
+                sims = np.where(np.isfinite(sims), sims, -2.0)
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sims.shape), -sims), axis=1
+                )
+                take = order[:, :take_n]
+                out = pdf.loc[
+                    pdf.index.repeat(take.shape[1]), [id_col, vec_col]
+                ].copy()
+                out["bucket"] = cids[take].reshape(-1).astype(np.int32)
+                yield out
+
+        id_type = corpus.schema[id_col].dataType.simpleString()
+        vec_type = corpus.schema[vec_col].dataType.simpleString()
+        v = _with_quantized(corpus, vec_col).select(
+            id_col, vec_col, "__q", "__q2"
+        )
+        return v.mapInPandas(
+            score, f"{id_col} {id_type}, {vec_col} {vec_type}, bucket int"
         )
     c = _with_quantized(centroids, "centroid").select(
         "centroid_id", F.col("__q").alias("cenq"), F.col("__q2").alias("cenq2")

@@ -146,6 +146,30 @@ def test_semdedup_auto_ann_arm_contract_and_recall(spark):
     assert len(ann_dups - exact_dups) <= max(3, len(exact_dups))
 
 
+def test_assign_buckets_gemm_path_matches_expression_path(spark, monkeypatch):
+    """The Arrow-GEMM nearest-centroid path (chosen for bigger models)
+    must produce EXACTLY the literal-expression path's assignments —
+    same quantized-grid cosine, same (sim desc, cid asc) tie-break —
+    checked for n_assign 1 and 2 on the fixture."""
+    from parquet_merger_spark.operators import simsearch as ss
+    from parquet_merger_spark.queries import _t
+
+    e = _t(spark, SF_DIR, "embeddings")
+    cen = ss.build_ivf_centroids(e, nlist=16)
+    for n_assign in (1, 2):
+        expr = {
+            (r["vec_id"], r["bucket"])
+            for r in ss.assign_buckets(e, cen, n_assign=n_assign).collect()
+        }
+        monkeypatch.setattr(ss, "_VECTORIZED_ASSIGN_MIN_ELEMS", 0)
+        gemm = {
+            (r["vec_id"], r["bucket"])
+            for r in ss.assign_buckets(e, cen, n_assign=n_assign).collect()
+        }
+        monkeypatch.undo()
+        assert gemm == expr and len(expr) == e.count() * n_assign
+
+
 def test_embedding_centroid_drift_magnitude_sane(spark):
     """Unit-ish embeddings drawn from the same distribution: half-centroid
     drift must be well under 1 (the pre-fix bug reported ~1159)."""
