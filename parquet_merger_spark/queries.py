@@ -11349,7 +11349,14 @@ def q_neighbor_jaccard(spark, sf_dir):
         .distinct()
         # one barrier: the edge list feeds four subtrees (degree pass and
         # both wedge sides); without it each reference recomputes the
-        # lineitem self-join
+        # lineitem self-join.  Re-partition BEFORE the eager checkpoint:
+        # at 32 shuffle partitions the sf10 edge list (30M rows) stored
+        # ~128 MB checkpoint blocks and the 900M-row wedge shuffle ran 32
+        # reduce tasks — the single-allocation GC death the r07 sweep
+        # hit; 8x parallelism bounds block size and wedge task input
+        # (measured: sf10 went from GC-crash to completing, wedge count
+        # 128s; +1 exchange, within the pinned lineage budget)
+        .repartition(spark.sparkContext.defaultParallelism * 8, "pa", "pb")
         .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(

@@ -84,12 +84,25 @@ KEYS_100X = [
     "semdedup",  # auto tier: ANN arm at 500k vectors
 ]
 
+# Verification-tier elephants: measured for SCALING_r07 in a dedicated
+# warmed session (near_dup_threshold_curve 652.9s at sf10 exp 1.01;
+# neighbor_jaccard 252.5s exp 1.05 after the wedge-shuffle re-partition
+# fix — pre-fix the sf10 run died on GCLocker allocation failures).
+# ~15 min/run at sf10, so they are opt-in:
+#   python tools/scale_bench.py 1 --verification
+# appends them to the panel instead of re-paying the cost every round.
+VERIFICATION_KEYS = ["near_dup_threshold_curve", "neighbor_jaccard"]
+
 
 def main() -> None:
     from parquet_merger_spark.queries import QUERIES
     from parquet_merger_spark.session import get_spark
 
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if a != "--verification"]
+    if "--verification" in sys.argv[1:]:
+        KEYS.extend(VERIFICATION_KEYS)
+        KEYS_100X.extend(VERIFICATION_KEYS)
+    reps = int(args[0]) if args else 2
     spark = get_spark("pm-scale-bench", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
     # warm JVM + python workers (same rationale as bench.py)
