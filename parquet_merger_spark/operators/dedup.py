@@ -411,77 +411,71 @@ def ngram_jaccard_pairs(
     )
 
     if candidate_pairs is not None:
-        # candidates-bounded mode: the exact intersect/union verification
-        # over caller-supplied pairs only — no inverted index, no prefix
-        # window, no pair self-join
-        sets = sh.select(F.col(id_col), "sh_hashes")
-        return (
-            candidate_pairs.select("id_a", "id_b")
+        # candidates-bounded mode: no inverted index, no prefix window,
+        # no pair self-join — the caller-supplied pairs go straight to
+        # the SAME exact intersect/union verification tail below (one
+        # spelling of the jaccard expression, so the bounded and full
+        # tiers can never disagree on a pair they both emit)
+        cands = candidate_pairs.select("id_a", "id_b")
+    else:
+        inv = sh.select(F.col(id_col), "n", F.explode("sh_hashes").alias("gram"))
+
+        # Global document frequency per shingle-hash -> rarity order
+        # (df, gram).
+        gram_df = inv.groupBy("gram").agg(F.count("*").alias("df"))
+        ranked = inv.join(gram_df, "gram").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "gram")
+            ),
+        )
+        # +1e-9: (1-t)*n can land infinitesimally BELOW an exact integer
+        # in FP (e.g. 0.19999...96*10), which would shorten the prefix and
+        # lose true pairs.  The epsilon only ever lengthens the prefix
+        # (conservative).
+        prefix_len = (
+            F.floor((1.0 - threshold) * F.col("n") + F.lit(1e-9)).cast("int") + 1
+        )
+        prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+            id_col, "n", "gram", "rn"
+        )
+
+        # Minimum overlap required for jaccard >= t (epsilon guards FP
+        # landing infinitesimally ABOVE the exact rational, which would
+        # raise the ceil).
+        min_overlap = F.ceil(
+            F.lit(threshold) / (1.0 + threshold) * (F.col("a.n") + F.col("b.n"))
+            - F.lit(1e-9)
+        )
+        # Overlap upper bound from one matched prefix gram at positions
+        # (pa, pb) in the shared rarity order: elements before the match
+        # overlap at most min(pa,pb)-1, the match itself is 1, the
+        # suffixes at most min(n_a-pa, n_b-pb).
+        overlap_ub = F.least("a.rn", "b.rn") + F.least(
+            F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+        )
+        cands = (
+            prefix.alias("a")
             .join(
-                sets.withColumnsRenamed({id_col: "id_a", "sh_hashes": "sh_a"}),
-                "id_a",
+                prefix.alias("b"),
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                # length filter: jaccard >= t requires t*|larger| <= |smaller|
+                # (epsilon: 0.8*5 > 4 in FP would wrongly prune an exact-0.8
+                # pair)
+                & (
+                    F.greatest("a.n", "b.n") * threshold
+                    <= F.least("a.n", "b.n") + F.lit(1e-9)
+                )
+                # positional filter (PPJoin)
+                & (overlap_ub >= min_overlap),
             )
-            .join(
-                sets.withColumnsRenamed({id_col: "id_b", "sh_hashes": "sh_b"}),
-                "id_b",
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
             )
-            .withColumn(
-                "jaccard",
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
+            .distinct()
         )
-
-    inv = sh.select(F.col(id_col), "n", F.explode("sh_hashes").alias("gram"))
-
-    # Global document frequency per shingle-hash -> rarity order (df, gram).
-    gram_df = inv.groupBy("gram").agg(F.count("*").alias("df"))
-    ranked = inv.join(gram_df, "gram").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy("df", "gram")
-        ),
-    )
-    # +1e-9: (1-t)*n can land infinitesimally BELOW an exact integer in FP
-    # (e.g. 0.19999...96*10), which would shorten the prefix and lose true
-    # pairs.  The epsilon only ever lengthens the prefix (conservative).
-    prefix_len = (
-        F.floor((1.0 - threshold) * F.col("n") + F.lit(1e-9)).cast("int") + 1
-    )
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select(id_col, "n", "gram", "rn")
-
-    # Minimum overlap required for jaccard >= t (epsilon guards FP landing
-    # infinitesimally ABOVE the exact rational, which would raise the ceil).
-    min_overlap = F.ceil(
-        F.lit(threshold) / (1.0 + threshold) * (F.col("a.n") + F.col("b.n"))
-        - F.lit(1e-9)
-    )
-    # Overlap upper bound from one matched prefix gram at positions (pa, pb)
-    # in the shared rarity order: elements before the match overlap at most
-    # min(pa,pb)-1, the match itself is 1, the suffixes at most
-    # min(n_a-pa, n_b-pb).
-    overlap_ub = F.least("a.rn", "b.rn") + F.least(
-        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
-    )
-    cands = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            # length filter: jaccard >= t requires t*|larger| <= |smaller|
-            # (epsilon: 0.8*5 > 4 in FP would wrongly prune an exact-0.8 pair)
-            & (F.greatest("a.n", "b.n") * threshold <= F.least("a.n", "b.n") + F.lit(1e-9))
-            # positional filter (PPJoin)
-            & (overlap_ub >= min_overlap),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
 
     sets = sh.select(F.col(id_col), "sh_hashes")
     return (
@@ -908,8 +902,10 @@ def semdedup(
     )
 
     kdf = df
+    known_n = None
     if block_col is None and exact_max_rows is not None:
         n = df.count()  # one narrow scan; at cluster scale, table stats
+        known_n = n  # threaded into knn_graph so the exact arm never recounts
         if semdedup_tier(n, exact_max_rows) == "ann":
             nlist = max(16, -(-n // rows_per_block))  # ceil div
             # 25k training rows bound the sample COLLECT (the default
@@ -939,6 +935,7 @@ def semdedup(
         vec_col=vec_col,
         block_col=block_col,
         rows_per_block=rows_per_block,
+        n=known_n if block_col is None else None,
     )
     pairs = g.filter(F.col("cosine") >= threshold).select(
         F.col("id").alias("id_a"), F.col("neighbor_id").alias("id_b")

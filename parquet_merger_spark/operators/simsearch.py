@@ -124,6 +124,64 @@ def _with_quantized(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _stack_quantized(vecs, q2, dim: int | None = None):
+    """Dense ``(n, dim)`` float64 matrix + self-dot vector from Arrow
+    quantized columns that may hold NULL or mis-sized vectors.
+
+    The expression paths tolerate such rows (``quantized_cosine`` is NULL
+    for them; consumers coalesce below any real score or filter), so the
+    numpy GEMM paths must too: a bare ``np.stack`` raises on a None
+    element and a ragged row, killing the whole task.  Invalid rows
+    become zero rows with q2 forced to NaN, so every cosine involving
+    them is NaN — the GEMM-side spelling of the expression path's NULL.
+
+    ``dim`` defaults to the first valid row's length (kernels that know
+    the model dimension pass it explicitly)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = vecs.to_numpy()
+    q2a = pd.to_numeric(q2, errors="coerce").to_numpy(dtype=np.float64)
+    if dim is None:
+        dim = next((len(v) for v in vals if v is not None), 0)
+    try:
+        qm = np.stack(vals).astype(np.float64)
+        if qm.ndim == 2 and qm.shape[1] == dim:
+            return qm, q2a
+    except (ValueError, TypeError):
+        pass
+    qm = np.zeros((len(vals), dim), dtype=np.float64)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            qm[i] = v
+        else:
+            q2a[i] = np.nan
+    return qm, q2a
+
+
+def _tile_topk(ids_out, ids_in, cos, k: int):
+    """Per-row top-k of a tile's score matrix under (cos desc, id asc) —
+    the SAME total order as the global ranking window, so per-tile
+    selection is monotone and the union of tile top-ks provably contains
+    the global top-k.  Non-finite scores are never emitted: -inf marks
+    masked self-pairs, NaN marks zero-norm/NULL vectors (both would
+    otherwise leak when a tile holds fewer than k+1 rows)."""
+    import numpy as np
+
+    rows = []
+    kk = min(k, cos.shape[1])
+    if kk == 0:
+        return rows
+    # lexsort: last key is primary -> sort by (-cos, id) per row
+    order = np.lexsort((np.broadcast_to(ids_in, cos.shape), -cos), axis=1)
+    take = order[:, :kk]
+    for r in range(cos.shape[0]):
+        for c in take[r]:
+            if np.isfinite(cos[r, c]):
+                rows.append((ids_out[r], ids_in[c], cos[r, c]))
+    return rows
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -454,12 +512,13 @@ def assign_buckets(
             for pdf in batches:
                 if pdf.empty:
                     continue
-                qm = np.stack(pdf["__q"].to_numpy()).astype(np.float64)
-                q2 = pdf["__q2"].to_numpy(dtype=np.float64)
+                qm, q2 = _stack_quantized(
+                    pdf["__q"], pdf["__q2"], dim=cmat.shape[0]
+                )
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = (qm @ cmat) / (np.sqrt(q2)[:, None] * denom_c)
-                # zero-norm vectors: NULL sim coalesces to -2.0 in the
-                # expression path — mirror it exactly
+                # zero-norm/NULL/mis-sized vectors: NULL sim coalesces to
+                # -2.0 in the expression path — mirror it exactly
                 sims = np.where(np.isfinite(sims), sims, -2.0)
                 order = np.lexsort(
                     (np.broadcast_to(cids, sims.shape), -sims), axis=1
@@ -737,13 +796,14 @@ def cosine_near_dup_pairs(
         b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows
         if a_rows.empty or b_rows.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        qa = np.stack(a_rows["q"].to_numpy()).astype(np.float64)
-        qb = np.stack(b_rows["q"].to_numpy()).astype(np.float64)
+        # one dim for both sides: a side whose rows are ALL degenerate
+        # must still stack to the other side's width
+        dim = next((len(v) for v in pdf["q"].to_numpy() if v is not None), 0)
+        qa, qa2 = _stack_quantized(a_rows["q"], a_rows["q2"], dim=dim)
+        qb, qb2 = _stack_quantized(b_rows["q"], b_rows["q2"], dim=dim)
         dots = qa @ qb.T  # exact: |entries| < 2^53
-        denom = np.sqrt(a_rows["q2"].to_numpy(dtype=np.float64))[:, None] * np.sqrt(
-            b_rows["q2"].to_numpy(dtype=np.float64)
-        )[None, :]
-        cos = dots / denom
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (np.sqrt(qa2)[:, None] * np.sqrt(qb2)[None, :])
         ia = a_rows[id_col].to_numpy()
         ib = b_rows[id_col].to_numpy()
         ii, jj = np.nonzero(cos >= threshold)
@@ -778,6 +838,7 @@ def knn_graph(
     block_col: str | None = None,
     rows_per_block: int = 4096,
     n_blocks: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor GRAPH: for every vector, its top-k most similar
     other vectors by cosine — the primitive behind SemDeDup-style semantic
@@ -832,8 +893,7 @@ def knn_graph(
             if m < 2:
                 return pd.DataFrame({"id": [], "neighbor_id": [], "cosine": []})
             ids = pdf[id_col].to_numpy()
-            qm = np.stack(pdf["q"].to_numpy()).astype(np.float64)
-            q2 = pdf["q2"].to_numpy(dtype=np.float64)
+            qm, q2 = _stack_quantized(pdf["q"], pdf["q2"])
             denom_b = np.sqrt(q2)[None, :]
             rows = []
             chunk = 1024
@@ -847,23 +907,10 @@ def knn_graph(
                     # buckets are distinct), so self = matching id
                     self_mask = ids[r0:r1][:, None] == ids[None, :]
                     cos[self_mask] = -np.inf
-                    # zero-norm rows/cols are NaN: lexsort places them
-                    # after finite scores and _tile_topk skips non-finite
-                    rows += _tile_topk(ids[r0:r1], ids, cos)
+                    # zero-norm/NULL rows/cols are NaN: lexsort places
+                    # them after finite scores, _tile_topk skips them
+                    rows += _tile_topk(ids[r0:r1], ids, cos, k)
             return pd.DataFrame(rows, columns=["id", "neighbor_id", "cosine"])
-
-        def _tile_topk(ids_out, ids_in, cos):
-            out = []
-            kk = min(k, cos.shape[1])
-            if kk == 0:
-                return out
-            order = np.lexsort((np.broadcast_to(ids_in, cos.shape), -cos), axis=1)
-            take = order[:, :kk]
-            for r in range(cos.shape[0]):
-                for c in take[r]:
-                    if np.isfinite(cos[r, c]):
-                        out.append((ids_out[r], ids_in[c], cos[r, c]))
-            return out
 
         id_type = df.schema[id_col].dataType.simpleString()
         scored = (
@@ -884,7 +931,10 @@ def knn_graph(
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()  # planning-time count; at cluster scale from table stats
+    if n is None:
+        # planning-time count; at cluster scale from table stats (callers
+        # that already counted — semdedup's tier decision — pass n in)
+        n = df.count()
     if n_blocks is None:
         par = spark.sparkContext.defaultParallelism
         nb_mem = math.ceil(n / rows_per_block) if n else 1
@@ -899,43 +949,26 @@ def knn_graph(
         block_pairs, (F.col("bid") == F.col("ba")) | (F.col("bid") == F.col("bb"))
     )
 
-    def _tile_topk(ids_out, ids_in, cos):
-        """Per-row top-k of a tile's score matrix under (cos desc, id asc)."""
-        rows = []
-        kk = min(k, cos.shape[1])
-        if kk == 0:
-            return rows
-        # lexsort: last key is primary -> sort by (-cos, id) per row
-        order = np.lexsort((np.broadcast_to(ids_in, cos.shape), -cos), axis=1)
-        take = order[:, :kk]
-        for r in range(cos.shape[0]):
-            for c in take[r]:
-                # -inf marks the masked self-pair; never emit it (it would
-                # otherwise leak when a block holds fewer than k+1 rows)
-                if np.isfinite(cos[r, c]):
-                    rows.append((ids_out[r], ids_in[c], cos[r, c]))
-        return rows
-
     def tile(key, pdf):  # unannotated: Spark infers the variant by arity
         ba, bb = int(key[0]), int(key[1])
         a_rows = pdf[pdf["bid"] == ba]
         b_rows = pdf[pdf["bid"] == bb] if ba != bb else a_rows
         if a_rows.empty or b_rows.empty:
             return pd.DataFrame({"id": [], "neighbor_id": [], "cosine": []})
-        qa = np.stack(a_rows["q"].to_numpy()).astype(np.float64)
-        qb = np.stack(b_rows["q"].to_numpy()).astype(np.float64)
+        # one dim for both sides (see the near-dup tile note)
+        dim = next((len(v) for v in pdf["q"].to_numpy() if v is not None), 0)
+        qa, qa2 = _stack_quantized(a_rows["q"], a_rows["q2"], dim=dim)
+        qb, qb2 = _stack_quantized(b_rows["q"], b_rows["q2"], dim=dim)
         dots = qa @ qb.T  # exact: |entries| < 2^53
-        denom = np.sqrt(a_rows["q2"].to_numpy(dtype=np.float64))[:, None] * np.sqrt(
-            b_rows["q2"].to_numpy(dtype=np.float64)
-        )[None, :]
-        cos = dots / denom
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (np.sqrt(qa2)[:, None] * np.sqrt(qb2)[None, :])
         ia = a_rows[id_col].to_numpy()
         ib = b_rows[id_col].to_numpy()
         if ba == bb:
             np.fill_diagonal(cos, -np.inf)  # no self-neighbors
-        out = _tile_topk(ia, ib, cos)
+        out = _tile_topk(ia, ib, cos, k)
         if ba != bb:
-            out += _tile_topk(ib, ia, cos.T)
+            out += _tile_topk(ib, ia, cos.T, k)
         return pd.DataFrame(out, columns=["id", "neighbor_id", "cosine"])
 
     # id dtype preserved for parity with the block_col tier (see the

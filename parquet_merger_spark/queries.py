@@ -8108,7 +8108,14 @@ def _portable_sql_parts():
     return PORTABLE_HASH_AC, PORTABLE_MOD, vocab
 
 
-def _minhash_portable_sql() -> str:
+def _portable_lsh_sql_parts() -> tuple[str, str]:
+    """Shared candidate chain for the portable MinHash-LSH oracles: the
+    (vocab, vsz, ids, grams, sig, bb) CTE block and the banded pair-join
+    SELECT.  ``dedup_minhash_lsh_portable`` returns the pairs directly;
+    ``_ngram_jaccard_bounded_sql`` wraps them as its candidate CTE — ONE
+    spelling of the hash constants / gram identity / band layout, so the
+    bounded key's oracle can never silently drift from the LSH oracle it
+    takes its candidates from."""
     AC, P, vocab = _portable_sql_parts()
     mins = ",\n                 ".join(
         f"min(({a} * xm + {c}) % {P}) AS m{i}"
@@ -8118,8 +8125,7 @@ def _minhash_portable_sql() -> str:
         f"SELECT doc_id, {b} AS band, m{2 * b} AS h1, m{2 * b + 1} AS h2 FROM sig"
         for b in range(6)
     )
-    return f"""
-        WITH {vocab},
+    ctes = f"""{vocab},
         vsz AS (SELECT max(term_id) AS v FROM vocab),
         ids AS (
           SELECT t.doc_id, t.pos, v.term_id
@@ -8139,11 +8145,19 @@ def _minhash_portable_sql() -> str:
         ),
         bb AS (
           {bands}
-        )
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        )"""
+    pair_select = """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bb a
         JOIN bb b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-               AND a.doc_id < b.doc_id
+               AND a.doc_id < b.doc_id"""
+    return ctes, pair_select
+
+
+def _minhash_portable_sql() -> str:
+    ctes, pair_select = _portable_lsh_sql_parts()
+    return f"""
+        WITH {ctes}
+        {pair_select}
     """
 
 
@@ -10385,42 +10399,11 @@ def q_dedup_ngram_jaccard_bounded(spark, sf_dir):
 
 
 def _ngram_jaccard_bounded_sql() -> str:
-    AC, P, vocab = _portable_sql_parts()
-    nh, bands = 12, 6
-    mins = ",\n                 ".join(
-        f"min(({a} * xm + {c}) % {P}) AS m{i}"
-        for i, (a, c) in enumerate(AC[:nh])
-    )
-    band_rows = "\n          UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, m{2 * b} AS h1, m{2 * b + 1} AS h2 FROM sig"
-        for b in range(bands)
-    )
+    ctes, pair_select = _portable_lsh_sql_parts()
     return f"""
-        WITH {vocab},
-        vsz AS (SELECT max(term_id) AS v FROM vocab),
-        ids AS (
-          SELECT t.doc_id, t.pos, v.term_id
-          FROM tok t JOIN vocab v USING (term)
-        ),
-        grams AS (
-          SELECT DISTINCT a.doc_id,
-                 ((a.term_id * (vsz.v + 1) + b.term_id) % {P}) AS xm
-          FROM ids a
-          JOIN ids b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-          CROSS JOIN vsz
-        ),
-        sig AS (
-          SELECT doc_id, {mins}
-          FROM grams GROUP BY doc_id
-        ),
-        bb AS (
-          {band_rows}
-        ),
+        WITH {ctes},
         pairs AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bb a
-          JOIN bb b ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-                 AND a.doc_id < b.doc_id
+          {pair_select}
         ),
         -- exact verification over STRING 2-gram sets (independent of both
         -- the portable mod-p gram space and Spark's xxhash64 space)

@@ -175,3 +175,74 @@ def test_embedding_centroid_drift_magnitude_sane(spark):
     drift must be well under 1 (the pre-fix bug reported ~1159)."""
     for r in QUERIES["embedding_centroid_drift"](spark, SF_DIR).collect():
         assert 0.0 < r["centroid_l2_drift"] < 1.0
+
+
+def _degenerate_embeddings(spark):
+    """4 valid rows + a NULL vector, a zero vector, and a mis-sized
+    vector — the rows the EXPRESSION paths tolerate (NULL cosine ->
+    coalesced below any real score / filtered) and the r07 numpy GEMM
+    rewrites initially crashed on (bare np.stack raises on None and
+    ragged input)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),
+        (4, None),
+        (5, [0.0, 0.0, 0.0, 0.0]),
+        (6, [1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_assign_buckets_gemm_tolerates_degenerate_vectors(spark, monkeypatch):
+    """The mid-size Arrow-GEMM assignment must not crash on NULL / zero /
+    mis-sized vectors AND must assign them the exact buckets the literal
+    expression path does (all sims -2.0 -> smallest centroid ids)."""
+    from parquet_merger_spark.operators import simsearch as ss
+
+    df = _degenerate_embeddings(spark)
+    cen = ss.build_ivf_centroids(df.filter("vec_id < 4"), nlist=2)
+    for n_assign in (1, 2):
+        expr = {
+            (r["vec_id"], r["bucket"])
+            for r in ss.assign_buckets(df, cen, n_assign=n_assign).collect()
+        }
+        monkeypatch.setattr(ss, "_VECTORIZED_ASSIGN_MIN_ELEMS", 0)
+        gemm = {
+            (r["vec_id"], r["bucket"])
+            for r in ss.assign_buckets(df, cen, n_assign=n_assign).collect()
+        }
+        monkeypatch.undo()
+        assert gemm == expr and len(gemm) == 7 * n_assign
+
+
+def test_knn_graph_tolerates_degenerate_vectors(spark):
+    """Both knn_graph GEMM tiers (exact tiled, within-block) must not
+    crash on degenerate vectors; degenerate rows emit no pairs and never
+    appear as neighbors (NaN cosine = the expression path's NULL), and
+    the valid rows' neighbor sets are unaffected."""
+    from parquet_merger_spark.operators.simsearch import knn_graph
+
+    df = _degenerate_embeddings(spark)
+    for kwargs in ({"n_blocks": 2}, {"block_col": "blk"}):
+        d = df.withColumn("blk", F.lit(0)) if "block_col" in kwargs else df
+        got = knn_graph(d, k=2, **kwargs).collect()
+        ids_out = {r["id"] for r in got}
+        neighbors = {r["neighbor_id"] for r in got}
+        assert ids_out == {0, 1, 2, 3}, got
+        assert neighbors <= {0, 1, 2, 3}, got
+        # nearest neighbor of 0 is 1 (cos ~0.994) in both tiers
+        top = {r["id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+        assert top[0] == 1 and top[1] == 0 and top[2] == 3 and top[3] == 2
+
+
+def test_cosine_near_dup_tolerates_degenerate_vectors(spark):
+    """cosine_near_dup_pairs' tiled GEMM: degenerate rows produce no
+    candidate pairs instead of killing the task."""
+    from parquet_merger_spark.operators.simsearch import cosine_near_dup_pairs
+
+    df = _degenerate_embeddings(spark)
+    got = cosine_near_dup_pairs(df, threshold=0.9, n_blocks=2).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(0, 1), (2, 3)}, got

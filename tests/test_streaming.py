@@ -818,11 +818,16 @@ def test_stream_latency_artifact_drift():
         vals = [x["addBatch_ms"] for x in b[1:]] or [
             x["addBatch_ms"] for x in b
         ]
-        return max(vals)
+        # a key with zero recorded batches (aborted drain) is malformed,
+        # not drifted — report it as such instead of max([]) blowing up
+        return max(vals) if vals else None
 
     drifted = {}
     for k in sorted(set(prev) & set(cur)):
         old, new = steady(prev, k), steady(cur, k)
+        if old is None or new is None:
+            drifted[k] = (old, new, "empty batches in artifact")
+            continue
         if new > max(3 * old, old + 750):
             drifted[k] = (old, new)
     assert not drifted, f"steady-state addBatch drift >3x: {drifted}"
