@@ -124,6 +124,19 @@ def _with_quantized(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _infer_dim(vecs) -> int:
+    """Model dimension of a quantized vector column: the MODAL length of
+    the non-NULL rows (ties broken toward the larger).  Never the first
+    row's length — applyInPandas group row order is shuffle-arrival
+    order, so first-row inference would let one corrupt mis-sized row
+    poison every valid row of its tile, nondeterministically."""
+    from collections import Counter
+
+    vals = vecs.to_numpy() if hasattr(vecs, "to_numpy") else vecs
+    counts = Counter(len(v) for v in vals if v is not None)
+    return max(counts, key=lambda d: (counts[d], d)) if counts else 0
+
+
 def _stack_quantized(vecs, q2, dim: int | None = None):
     """Dense ``(n, dim)`` float64 matrix + self-dot vector from Arrow
     quantized columns that may hold NULL or mis-sized vectors.
@@ -135,15 +148,16 @@ def _stack_quantized(vecs, q2, dim: int | None = None):
     become zero rows with q2 forced to NaN, so every cosine involving
     them is NaN — the GEMM-side spelling of the expression path's NULL.
 
-    ``dim`` defaults to the first valid row's length (kernels that know
-    the model dimension pass it explicitly)."""
+    ``dim`` defaults to :func:`_infer_dim` over the column (kernels that
+    know the model dimension, or that must share one dim across two
+    sides of a tile, pass it explicitly)."""
     import numpy as np
     import pandas as pd
 
     vals = vecs.to_numpy()
     q2a = pd.to_numeric(q2, errors="coerce").to_numpy(dtype=np.float64)
     if dim is None:
-        dim = next((len(v) for v in vals if v is not None), 0)
+        dim = _infer_dim(vals)
     try:
         qm = np.stack(vals).astype(np.float64)
         if qm.ndim == 2 and qm.shape[1] == dim:
@@ -797,8 +811,9 @@ def cosine_near_dup_pairs(
         if a_rows.empty or b_rows.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         # one dim for both sides: a side whose rows are ALL degenerate
-        # must still stack to the other side's width
-        dim = next((len(v) for v in pdf["q"].to_numpy() if v is not None), 0)
+        # must still stack to the other side's width (modal length — see
+        # _infer_dim on why never the first row's)
+        dim = _infer_dim(pdf["q"])
         qa, qa2 = _stack_quantized(a_rows["q"], a_rows["q2"], dim=dim)
         qb, qb2 = _stack_quantized(b_rows["q"], b_rows["q2"], dim=dim)
         dots = qa @ qb.T  # exact: |entries| < 2^53
@@ -956,7 +971,7 @@ def knn_graph(
         if a_rows.empty or b_rows.empty:
             return pd.DataFrame({"id": [], "neighbor_id": [], "cosine": []})
         # one dim for both sides (see the near-dup tile note)
-        dim = next((len(v) for v in pdf["q"].to_numpy() if v is not None), 0)
+        dim = _infer_dim(pdf["q"])
         qa, qa2 = _stack_quantized(a_rows["q"], a_rows["q2"], dim=dim)
         qb, qb2 = _stack_quantized(b_rows["q"], b_rows["q2"], dim=dim)
         dots = qa @ qb.T  # exact: |entries| < 2^53

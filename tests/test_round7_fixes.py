@@ -246,3 +246,29 @@ def test_cosine_near_dup_tolerates_degenerate_vectors(spark):
     got = cosine_near_dup_pairs(df, threshold=0.9, n_blocks=2).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert pairs == {(0, 1), (2, 3)}, got
+
+
+def test_stack_quantized_dim_inference_is_order_independent():
+    """A corrupt mis-sized row arriving FIRST in an applyInPandas group
+    (row order is shuffle-arrival order) must not poison the tile: dim
+    is the modal valid length, so the valid rows stack intact and only
+    the corrupt row gets q2=NaN."""
+    import math
+
+    import pandas as pd
+
+    from parquet_merger_spark.operators.simsearch import (
+        _infer_dim,
+        _stack_quantized,
+    )
+
+    short_first = pd.Series([[1, 2], [1, 2, 3, 4], [5, 6, 7, 8], None])
+    assert _infer_dim(short_first) == 4
+    qm, q2 = _stack_quantized(short_first, pd.Series([5.0, 30.0, 174.0, None]))
+    assert qm.shape == (4, 4)
+    assert list(qm[1]) == [1, 2, 3, 4] and list(qm[2]) == [5, 6, 7, 8]
+    assert list(qm[0]) == [0, 0, 0, 0] and math.isnan(q2[0])
+    assert q2[1] == 30.0 and math.isnan(q2[3])
+    # all-invalid and empty columns degrade to dim 0, never a crash
+    assert _infer_dim(pd.Series([None, None])) == 0
+    assert _infer_dim(pd.Series([], dtype=object)) == 0
