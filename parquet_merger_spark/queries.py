@@ -11153,11 +11153,14 @@ QUERIES["benford_digit_audit"] = q_benford_digit_audit
 def q_value_skewness_by_type(spark, sf_dir):
     """Per-event-type skewness (population g1) of the value column via
     EXACT integer moment sums: values are fixed to integer cents at the
-    row level, then S1/S2 fold as int64 and the cube sum S3 as
-    decimal(38,0) (int64 would overflow past ~2e5 events at this value
-    range; decimal is exact to 1e38).  The closed form reduces to
+    row level, then S1 folds as int64 and the square/cube sums S2/S3 as
+    decimal(38,0) (int64 S2 wraps for high-magnitude values before the
+    decimal bounds bind — pinned in tests/test_round7_review.py;
+    decimal is exact to 1e38).  The closed form reduces to
     g1 = A / B^{3/2} with A = n^2*S3 - 3n*S1*S2 + 2*S1^3 and
-    B = n*S2 - S1^2 both exact, so the doubles are one cast, one sqrt,
+    B = n*S2 - S1^2 both exact (A and B fold in decimal(38,0) /
+    HUGEINT — B in int64 would wrap at ~6e24 well inside the supported
+    range), so the doubles are one cast, one sqrt,
     one multiply, one division — a fixed IEEE tree, bit-identical
     cross-engine.  decimal(38,0) CEILING (DuckDB HUGEINT is 2^127 —
     wider — so past the ceiling Spark nulls/errors first): |A| <=
@@ -11173,7 +11176,10 @@ def q_value_skewness_by_type(spark, sf_dir):
     agg = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        # decimal(38,0): sum(c^2) in int64 wraps before A/B's decimal
+        # bounds bind for high-magnitude values (pinned in
+        # tests/test_round7_review.py); DuckDB mirrors with HUGEINT
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")).alias("s3"),
     )
     a = (
@@ -11181,7 +11187,13 @@ def q_value_skewness_by_type(spark, sf_dir):
         - F.col("s1").cast("decimal(38,0)") * F.col("s2") * F.col("n") * 3
         + F.col("s1").cast("decimal(38,0)") * F.col("s1") * F.col("s1") * 2
     )
-    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    # decimal(38,0), NOT int64: at the documented sf125 ceiling
+    # n*s2 ~ 2.5e7 * 2.5e17 = 6e24 >> 2^63 — B would wrap long before
+    # A's decimal bound binds (DuckDB mirrors with HUGEINT)
+    b = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
     return agg.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
@@ -11202,7 +11214,7 @@ ORACLE_SQL["value_skewness_by_type"] = """
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(c) AS BIGINT) AS s1,
-             CAST(sum(c * c) AS BIGINT) AS s2,
+             sum(CAST(c AS HUGEINT) * c) AS s2,
              sum(CAST(c AS HUGEINT) * c * c) AS s3
       FROM base GROUP BY 1
     )
@@ -11212,8 +11224,8 @@ ORACLE_SQL["value_skewness_by_type"] = """
            round(CAST(s3 * n * n
                       - 3 * CAST(s1 AS HUGEINT) * s2 * n
                       + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS DOUBLE)
-                 / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
-                    * CAST(n * s2 - s1 * s1 AS DOUBLE)),
+                 / (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                    * CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)),
                  6) AS skewness
     FROM agg
 """
@@ -12239,11 +12251,16 @@ def q_daily_count_anomalies(spark, sf_dir):
     mom = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     j = daily.join(F.broadcast(mom), "event_type")
-    num = F.col("c") * F.col("n") - F.col("s")
-    var = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    # decimal(38,0): at 1e12-event scale num^2 ~ (c*n)^2 can pass 2^63
+    # (int64 would wrap inside the filter below); DuckDB mirrors HUGEINT
+    num = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("s")
+    var = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     return (
         j.filter(num * num >= 4 * var)
         .select(
@@ -12266,14 +12283,15 @@ ORACLE_SQL["daily_count_anomalies"] = """
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(c) AS BIGINT) AS s,
-             CAST(sum(c * c) AS BIGINT) AS s2
+             sum(CAST(c AS HUGEINT) * c) AS s2
       FROM daily GROUP BY 1
     )
     SELECT daily.event_type, day, c AS n_events,
-           round(CAST(c * n - s AS DOUBLE)
-                 / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6) AS z
+           round(CAST(CAST(c AS HUGEINT) * n - s AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)), 6) AS z
     FROM daily JOIN mom ON daily.event_type = mom.event_type
-    WHERE (c * n - s) * (c * n - s) >= 4 * (n * s2 - s * s)
+    WHERE (CAST(c AS HUGEINT) * n - s) * (CAST(c AS HUGEINT) * n - s)
+          >= 4 * (CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
     ORDER BY daily.event_type, day
 """
 QUERIES["daily_count_anomalies"] = q_daily_count_anomalies
@@ -12628,7 +12646,7 @@ def q_interevent_burstiness(spark, sf_dir):
     agg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("g").alias("s"),
-        F.sum(F.col("g") * F.col("g")).alias("s2"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
     )
     return (
         agg.filter(F.col("s") > 0)
@@ -12639,7 +12657,10 @@ def q_interevent_burstiness(spark, sf_dir):
                 "mean_gap_s"
             ),
             F.round(
-                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s").cast("decimal(38,0)") * F.col("s")
+                ).cast("double")
                 / (F.col("s") * F.col("s")).cast("double"),
                 6,
             ).alias("dispersion"),
@@ -12664,12 +12685,13 @@ ORACLE_SQL["interevent_burstiness"] = """
     agg AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(g) AS BIGINT) AS s,
-             CAST(sum(g * g) AS BIGINT) AS s2
+             sum(CAST(g AS HUGEINT) * g) AS s2
       FROM gaps WHERE g IS NOT NULL GROUP BY 1
     )
     SELECT user_id, n AS n_gaps,
            round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
-           round(CAST(n * s2 - s * s AS DOUBLE) / CAST(s * s AS DOUBLE), 6)
+           round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(s AS HUGEINT) * s AS DOUBLE), 6)
              AS dispersion
     FROM agg WHERE s > 0
     ORDER BY user_id
@@ -14726,7 +14748,10 @@ def q_variance_decomposition_by_type(spark, sf_dir):
     agg = e.select("event_type", c.alias("c")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        # decimal(38,0): sum(c^2) in int64 wraps before A/B's decimal
+        # bounds bind for high-magnitude values (pinned in
+        # tests/test_round7_review.py); DuckDB mirrors with HUGEINT
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
     )
     return agg.select(
         "event_type",
@@ -14735,7 +14760,10 @@ def q_variance_decomposition_by_type(spark, sf_dir):
             F.col("s1").cast("double") / (F.lit(100.0) * F.col("n").cast("double")), 6
         ).alias("mean_value"),
         F.round(
-            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("s2")
+                - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+            ).cast("double")
             / (F.col("n").cast("double") * F.lit(1e4)),
             6,
         ).alias("ss_within"),
@@ -14747,14 +14775,14 @@ ORACLE_SQL["variance_decomposition_by_type"] = """
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
-             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
-                      * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+             sum(CAST(CAST(round(value * 100, 0) AS BIGINT) AS HUGEINT)
+                      * CAST(round(value * 100, 0) AS BIGINT)) AS s2
       FROM events GROUP BY 1
     )
     SELECT event_type, n,
            round(CAST(s1 AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)), 6)
              AS mean_value,
-           round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+           round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                  / (CAST(n AS DOUBLE) * 1e4), 6) AS ss_within
     FROM agg ORDER BY event_type
 """
@@ -14906,7 +14934,7 @@ def q_bot_user_detector(spark, sf_dir):
     agg = gaps.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("g").alias("s"),
-        F.sum(F.col("g") * F.col("g")).alias("s2"),
+        F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
     )
     return (
         agg.filter((F.col("n") >= 10) & (F.col("s") > 0))
@@ -14917,7 +14945,10 @@ def q_bot_user_detector(spark, sf_dir):
                 "mean_gap_s"
             ),
             F.round(
-                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s").cast("decimal(38,0)") * F.col("s")
+                ).cast("double")
                 / (F.col("s") * F.col("s")).cast("double"),
                 6,
             ).alias("dispersion"),
@@ -14943,12 +14974,13 @@ ORACLE_SQL["bot_user_detector"] = """
     agg AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(g) AS BIGINT) AS s,
-             CAST(sum(g * g) AS BIGINT) AS s2
+             sum(CAST(g AS HUGEINT) * g) AS s2
       FROM gaps WHERE g IS NOT NULL GROUP BY 1
     )
     SELECT user_id, n AS n_gaps,
            round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
-           round(CAST(n * s2 - s * s AS DOUBLE) / CAST(s * s AS DOUBLE), 6)
+           round(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(CAST(s AS HUGEINT) * s AS DOUBLE), 6)
              AS dispersion
     FROM agg WHERE n >= 10 AND s > 0
     ORDER BY dispersion, user_id LIMIT 10
@@ -15176,7 +15208,13 @@ def q_stream_value_skewness(spark, sf_dir):
         - F.col("s1").cast("decimal(38,0)") * F.col("s2") * F.col("n") * 3
         + F.col("s1").cast("decimal(38,0)") * F.col("s1") * F.col("s1") * 2
     )
-    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    # decimal(38,0), NOT int64: at the documented sf125 ceiling
+    # n*s2 ~ 2.5e7 * 2.5e17 = 6e24 >> 2^63 — B would wrap long before
+    # A's decimal bound binds (DuckDB mirrors with HUGEINT)
+    b = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
     return agg.select(
         "event_type",
         F.col("n").cast("long").alias("n"),

@@ -42,7 +42,10 @@ def read_binary_files(
         F.col("content").alias("payload"),
     )
     if id_from_stem:
-        stem = F.regexp_extract(F.col("path"), r"([0-9]+)\.[^./]+$", 1)
+        # anchored to the stem START (after the last '/'): 'img42.png'
+        # must yield null per the contract above, not a spurious 42
+        # that would join the payload to the wrong metadata row
+        stem = F.regexp_extract(F.col("path"), r"(?:^|/)([0-9]+)\.[^./]+$", 1)
         out = out.withColumn(
             "doc_id",
             F.when(stem != "", stem.cast("long")).otherwise(F.lit(None)),

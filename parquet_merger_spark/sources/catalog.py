@@ -40,6 +40,12 @@ def scan_folders(folders: list[str]) -> list[ParquetFileEntry]:
     Driver-side metadata walk; does not read any file contents.
     """
     entries: list[ParquetFileEntry] = []
+    # dedup PHYSICAL files across registrations, not just folder strings:
+    # registering a folder and its subfolder (or a symlinked alias) must
+    # not catalog the same file twice — smart_batch groups by basename,
+    # so a double-cataloged file would merge with itself and duplicate
+    # every row in the output
+    seen_files: set[str] = set()
     for folder in dict.fromkeys(folders):  # registration dedups folders (O2)
         # followlinks=True matches the reference's WalkDir(follow_links);
         # WalkDir detects symlink cycles, os.walk does not — track visited
@@ -61,6 +67,10 @@ def scan_folders(folders: list[str]) -> list[ParquetFileEntry]:
                 if not _is_parquet(name):
                     continue
                 full = os.path.join(dirpath, name)
+                real = os.path.realpath(full)
+                if real in seen_files:
+                    continue
+                seen_files.add(real)
                 display = os.path.relpath(full, folder)
                 entries.append(ParquetFileEntry(full_path=full, display_path=display))
     entries.sort(key=lambda e: e.display_path)
@@ -88,7 +98,7 @@ def file_catalog_df(spark: SparkSession, folders: list[str]) -> DataFrame:
     operate on; keeping it a DataFrame lets those become ordinary Spark ops
     (filter/groupBy) and scale to millions of files.
     """
-    from pyspark.sql import functions as F
+    from parquet_merger_spark.functions.strings import basename_col, stem_col
 
     entries = scan_folders(folders)
     schema = "full_path string, display_path string"
@@ -97,10 +107,8 @@ def file_catalog_df(spark: SparkSession, folders: list[str]) -> DataFrame:
     )
     return df.withColumns(
         {
-            "file_name": F.regexp_extract("full_path", r"([^/]+)$", 1),
-            "file_stem": F.regexp_replace(
-                F.regexp_extract("full_path", r"([^/]+)$", 1), r"\.[^.]*$", ""
-            ),
+            "file_name": basename_col("full_path"),
+            "file_stem": stem_col("full_path"),
         }
     )
 

@@ -21,9 +21,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CORRUPT = "_corrupt_record"
 
+# every robust read caches one parsed parent (both outputs derive from
+# it); the readers return only the children, so the parents are tracked
+# here and released by release_ingest_caches() — otherwise a pipeline
+# quarantining many shards pins one stale InMemoryRelation per call for
+# the session lifetime, evicting useful blocks
+_CACHED_PARENTS: list[DataFrame] = []
+
+
+def release_ingest_caches() -> int:
+    """Unpersist every parsed frame cached by the robust readers; returns
+    how many were released.  Call after materializing both outputs of a
+    read (the split is correct either way — this only frees storage)."""
+    n = len(_CACHED_PARENTS)
+    while _CACHED_PARENTS:
+        try:
+            _CACHED_PARENTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped: nothing to free
+    return n
+
 
 def _split_corrupt(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     parsed = parsed.cache()
+    _CACHED_PARENTS.append(parsed)
     valid = parsed.filter(parsed[_CORRUPT].isNull()).drop(_CORRUPT)
     bad = parsed.filter(parsed[_CORRUPT].isNotNull()).select(
         parsed[_CORRUPT].alias("raw_record")

@@ -77,11 +77,25 @@ def parquet_footer_stats(
             out = {"file": [], "n_rows": [], "n_nulls": [], "vmin": [], "vmax": []}
             for path in pdf["file"]:
                 md = pq.ParquetFile(path).metadata
-                idx = md.schema.to_arrow_schema().get_field_index(column)
+                # resolve the column to its parquet LEAF index by
+                # path_in_schema: the Arrow TOP-LEVEL field index is not
+                # a leaf index once any nested column precedes the
+                # target (a struct flattens to one leaf per member, so
+                # the offsets diverge and the wrong column's statistics
+                # would be read); a file missing the column entirely
+                # (schema evolution) gets a null envelope — conservative
+                # "may contain anything", never an IndexError
+                idx = None
+                if md.num_row_groups > 0:
+                    rg0 = md.row_group(0)
+                    for i in range(rg0.num_columns):
+                        if rg0.column(i).path_in_schema == column:
+                            idx = i
+                            break
                 n_rows, n_nulls = md.num_rows, 0
                 vmin = vmax = None
-                have_all_stats = md.num_row_groups > 0
-                for rg in range(md.num_row_groups):
+                have_all_stats = idx is not None
+                for rg in range(md.num_row_groups if idx is not None else 0):
                     st = md.row_group(rg).column(idx).statistics
                     if st is None or not st.has_min_max:
                         have_all_stats = False

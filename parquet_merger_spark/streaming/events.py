@@ -603,7 +603,30 @@ def upsert_batch_apply(table_dir: str, key_cols: list[str]):
     from parquet_merger_spark.operators.incremental import upsert_by_key
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         sess = batch_df.sparkSession
+        # collapse intra-batch duplicate keys BEFORE the merge: one
+        # micro-batch can carry insert+correction for the same key
+        # (upsert_by_key keeps "every row of updates", so without this
+        # the versioned table holds two rows for that key — a keyed
+        # MERGE table with non-unique keys).  Winner = max over the
+        # struct of non-key columns: arbitrary but DETERMINISTIC under
+        # replay and partitioning; a real CDC feed with a sequence
+        # column should order it first in the schema so it dominates
+        # the struct comparison.
+        cols = batch_df.columns
+        non_keys = [c for c in cols if c not in key_cols]
+        if non_keys:
+            batch_df = (
+                batch_df.groupBy(*key_cols)
+                .agg(F.max(F.struct(*non_keys)).alias("__row"))
+                .select(
+                    *key_cols,
+                    *[F.col("__row").getField(c).alias(c) for c in non_keys],
+                )
+                .select(*cols)
+            )
         prior = _latest_version_before(table_dir, batch_id)
         if prior is not None:
             base = sess.read.parquet(os.path.join(table_dir, prior))
@@ -783,11 +806,24 @@ def near_dedup_batch_apply(
         # Documents too short to shingle still get a novelty key — the
         # EXACT-text hash on a reserved band — so re-deliveries of the
         # same short document are rejected instead of silently bypassing
-        # dedup (they can't near-dup, but they can exact-dup).
-        short_buckets = batch_df.filter(n_tokens < shingle_words).select(
+        # dedup (they can't near-dup, but they can exact-dup).  NULL text
+        # keys on the DOC ID instead: xxhash64(NULL) is the constant
+        # seed, which would funnel every distinct null-text doc into one
+        # bucket and permanently reject all but the first; with no
+        # content to compare, only a re-delivery (same id) is a dup.
+        short_text_key = F.when(
+            F.col(text_col).isNull(),
+            F.concat(F.lit("__null_text__:"), F.col(id_col).cast("string")),
+        ).otherwise(F.col(text_col))
+        # size(split(NULL)) is NULL, failing BOTH range filters — without
+        # the isNull arm null-text docs would receive no bucket at all
+        # and every re-delivery would silently survive
+        short_buckets = batch_df.filter(
+            (n_tokens < shingle_words) | F.col(text_col).isNull()
+        ).select(
             F.col(id_col),
             F.lit(-1).cast("int").alias("band"),
-            F.xxhash64(F.col(text_col)).alias("bucket"),
+            F.xxhash64(short_text_key).alias("bucket"),
         )
         buckets = (
             lsh_band_buckets(sigs, id_col, num_hashes, bands)
@@ -1077,7 +1113,7 @@ def moment_sums_stream(
     query_name: str = "moment_sums",
 ) -> StreamingQuery:
     """Streaming SUFFICIENT-STATISTICS maintenance: per-group exact moment
-    sums (n, S1, S2 as int64 cents, S3 as decimal(38,0)) kept by a plain
+    sums (n int64, S1 int64 cents, S2/S3 decimal(38,0)) kept by a plain
     complete-mode aggregation — state bounded at one row per group BY
     CONSTRUCTION.  Sums add, so the streamed moment vector equals the
     batch aggregate bit-for-bit after any replay, and every derived
@@ -1099,7 +1135,9 @@ def moment_sums_stream(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").alias("s1"),
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            # decimal(38,0) like the batch twin: int64 sum(c^2) wraps
+            # for high-magnitude values (see q_value_skewness_by_type)
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
             F.sum(
                 F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
             ).alias("s3"),
