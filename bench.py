@@ -83,6 +83,7 @@ HEADLINE = [
     "cube_revenue",
     "corr_matrix",
     "scd2_customers",
+    "scd2_asof_lookup",
     "bigram_counts",
     "event_transitions",
     "value_band_stats",

@@ -492,14 +492,13 @@ def q_corr_matrix(spark, sf_dir):
     return corr_matrix_exact(li, ["qty", "disc", "tax"])
 
 
-def q_scd2_customers(spark, sf_dir):
-    """SCD type-2 dimension build from three full snapshots of customer
-    (snap 2 re-prices every 7th account, snap 3 additionally moves every
-    13th to a new segment): versioned rows with [valid_from, valid_to)
-    intervals, open versions null-terminated.  See
-    :func:`operators.incremental.scd2_from_snapshots`."""
-    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
-
+def _scd2_snapshot_frames(spark, sf_dir):
+    """The three customer snapshots (snap 2 re-prices every 7th account
+    +10.0, snap 3 additionally moves every 13th to segment 'MOVED') —
+    ONE definition shared by q_scd2_customers and q_scd2_asof_lookup
+    (the scd2_customers oracle mirrors the same literals in SQL, so a
+    drifted copy would desynchronize the lookup key's dimension from
+    the oracle-certified build)."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
@@ -516,9 +515,21 @@ def q_scd2_customers(spark, sf_dir):
         .withColumn("c_mktsegment", moved)
         .withColumn("snap_id", F.lit(3))
     )
-    snaps = s1.unionByName(s2).unionByName(s3)
+    return s1.unionByName(s2).unionByName(s3)
+
+
+def q_scd2_customers(spark, sf_dir):
+    """SCD type-2 dimension build from three full snapshots of customer
+    (snap 2 re-prices every 7th account, snap 3 additionally moves every
+    13th to a new segment): versioned rows with [valid_from, valid_to)
+    intervals, open versions null-terminated.  See
+    :func:`operators.incremental.scd2_from_snapshots`."""
+    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
+
     return scd2_from_snapshots(
-        snaps, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+        _scd2_snapshot_frames(spark, sf_dir),
+        ["c_custkey"],
+        ["c_mktsegment", "c_acctbal"],
     )
 
 
@@ -599,11 +610,14 @@ def q_decile_binning(spark, sf_dir):
     from parquet_merger_spark.operators.ranking import assign_row_ids
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    n = o.count()
+    # total as a LAZY broadcast 1-row frame (the basket_lift pattern) —
+    # an eager .count() here ran a driver-blocking full scan at
+    # query-BUILD time, then the execution scanned orders again
+    nf = o.agg(F.count(F.lit(1)).alias("__n"))
     r = assign_row_ids(o, "o_totalprice", ["o_orderkey"], n_buckets=32)
-    d = r.withColumn(
+    d = r.crossJoin(F.broadcast(nf)).withColumn(
         "decile",
-        (F.floor((F.col("row_id") - 1) * 10 / F.lit(n)) + 1).cast("long"),
+        (F.floor((F.col("row_id") - 1) * 10 / F.col("__n")) + 1).cast("long"),
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -1529,24 +1543,8 @@ def q_scd2_asof_lookup(spark, sf_dir):
     post-join filter (no all-pairs)."""
     from parquet_merger_spark.operators.incremental import scd2_from_snapshots
 
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    repriced = F.when(
-        F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0
-    ).otherwise(F.col("c_acctbal"))
-    moved = F.when(
-        F.col("c_custkey") % 13 == 0, F.lit("MOVED")
-    ).otherwise(F.col("c_mktsegment"))
-    s1 = c.withColumn("snap_id", F.lit(1))
-    s2 = c.withColumn("c_acctbal", repriced).withColumn("snap_id", F.lit(2))
-    s3 = (
-        c.withColumn("c_acctbal", repriced)
-        .withColumn("c_mktsegment", moved)
-        .withColumn("snap_id", F.lit(3))
-    )
     dim = scd2_from_snapshots(
-        s1.unionByName(s2).unionByName(s3),
+        _scd2_snapshot_frames(spark, sf_dir),
         ["c_custkey"],
         ["c_mktsegment", "c_acctbal"],
     )
@@ -2330,14 +2328,7 @@ def q_stream_dedup(spark, sf_dir):
     e = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) / 3
-    bounds = [lo + span, lo + span + span]
-    slices = [
-        e.filter(F.col("ts") < bounds[0]),
-        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        e.filter(F.col("ts") >= bounds[1]),
-    ]
+    slices, lo, hi = _event_time_slices(e)
     replay = []
     for s in slices:
         replay.append(s)
@@ -2855,6 +2846,25 @@ def q_stream_near_dedup(spark, sf_dir):
     )
 
 
+def _event_time_slices(e):
+    """Three contiguous event-time slices of ``e`` (time-ordered arrival:
+    every event of slice k precedes slice k+1) — the replay contract the
+    four event-time stream harnesses (window_agg, dedup, session_window,
+    drift_cusum) share, and the property their watermark correctness
+    rides on.  ONE definition of the boundary conditions (< / >=), so a
+    boundary tweak cannot silently drop or duplicate edge events in just
+    one key.  Returns (slices, lo, hi); the driver-side min/max action
+    is harness file-staging, not query-build cost."""
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    bounds = [lo + span, lo + span + span]
+    return [
+        e.filter(F.col("ts") < bounds[0]),
+        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.filter(F.col("ts") >= bounds[1]),
+    ], lo, hi
+
+
 def q_stream_window_agg(spark, sf_dir):
     """STREAMING tumbling-window aggregation driven end-to-end: events
     replay in three mtime-pinned micro-batches split by EVENT TIME (time-
@@ -2882,13 +2892,8 @@ def q_stream_window_agg(spark, sf_dir):
     e = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) / 3
-    bounds = [lo + span, lo + span + span]
-    slices = [
-        e.filter(F.col("ts") < bounds[0]),
-        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        e.filter(F.col("ts") >= bounds[1]),
+    slices, lo, hi = _event_time_slices(e)
+    slices = slices + [
         spark.createDataFrame(
             [(int(-1), hi + __import__("datetime").timedelta(days=30), int(-1),
               "__sentinel__", 0.0)],
@@ -2940,13 +2945,8 @@ def q_stream_session_window(spark, sf_dir):
         .withColumn("ts", F.col("ts").cast("long").cast("timestamp"))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
-    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) / 3
-    bounds = [lo + span, lo + span + span]
-    slices = [
-        e.filter(F.col("ts") < bounds[0]),
-        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        e.filter(F.col("ts") >= bounds[1]),
+    slices, lo, hi = _event_time_slices(e)
+    slices = slices + [
         spark.createDataFrame(
             [(int(-1), hi + __import__("datetime").timedelta(days=30), int(-1),
               "__sentinel__", 0.0)],
@@ -3128,43 +3128,12 @@ def q_price_histogram(spark, sf_dir):
     return numeric_histogram(o, "o_totalprice", n_bins=12, lo=0.0, hi=600_000.0)
 
 
-def q_snapshot_diff(spark, sf_dir):
-    """CDC between snapshots (`operators.incremental.snapshot_diff`):
-    synthesize a new snapshot (deletes %17, reprices %10, inserts %97
-    with shifted keys) and emit one labeled row per changed key.  One
-    full outer join on the key; null-safe value comparison so
-    NULL transitions count.  Unchanged keys emit nothing."""
-    from parquet_merger_spark.operators.incremental import snapshot_diff
-
-    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    new = (
-        old.filter(F.col("o_orderkey") % 17 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.when(
-                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + F.lit(1.5)
-            ).otherwise(F.col("o_totalprice")),
-        )
-        .unionByName(
-            old.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 10_000_000
-            )
-        )
-    )
-    return snapshot_diff(old, new, ["o_orderkey"])
-
-
-def q_cdc_apply(spark, sf_dir):
-    """CDC CONSUMER round trip: synthesize the same old/new snapshots as
-    `snapshot_diff`, diff them, then APPLY the changelog back onto the
-    old snapshot — the oracle recomputes the new snapshot directly, so
-    hash equality certifies the round-trip law
-    apply(old, diff(old, new)) == new end-to-end."""
-    from parquet_merger_spark.operators.incremental import (
-        apply_changes,
-        snapshot_diff,
-    )
-
+def _snapshot_pair(spark, sf_dir):
+    """The (old, new) orders snapshot pair (deletes %17, reprices %10
+    +1.5, inserts %97 with keys shifted +10M) — ONE definition shared
+    by q_snapshot_diff and q_cdc_apply: the round-trip law
+    apply(old, diff(old, new)) == new only certifies anything if both
+    keys operate on byte-identical snapshots."""
     old = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -3182,6 +3151,33 @@ def q_cdc_apply(spark, sf_dir):
             )
         )
     )
+    return old, new
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between snapshots (`operators.incremental.snapshot_diff`):
+    synthesize a new snapshot (deletes %17, reprices %10, inserts %97
+    with shifted keys) and emit one labeled row per changed key.  One
+    full outer join on the key; null-safe value comparison so
+    NULL transitions count.  Unchanged keys emit nothing."""
+    from parquet_merger_spark.operators.incremental import snapshot_diff
+
+    old, new = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC CONSUMER round trip: synthesize the same old/new snapshots as
+    `snapshot_diff`, diff them, then APPLY the changelog back onto the
+    old snapshot — the oracle recomputes the new snapshot directly, so
+    hash equality certifies the round-trip law
+    apply(old, diff(old, new)) == new end-to-end."""
+    from parquet_merger_spark.operators.incremental import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old, new = _snapshot_pair(spark, sf_dir)
     diff = snapshot_diff(old, new, ["o_orderkey"])
     return apply_changes(old, diff, ["o_orderkey"])
 
@@ -3431,6 +3427,66 @@ _QVIEW = f"""
 """
 
 _TOKS = "string_split(text, ' ')"
+
+def _short_token_score(toks):
+    """The short-token quality score floor(1000 * |tokens with len<=3| /
+    |tokens|) — ONE definition for the four keys that stake a cross-key
+    claim on scoring the same number (quality_score_auc,
+    quality_calibration_bins, dedup_survivors_best_quality,
+    nucleus_curation_threshold); the SQL twin is _SHORT_SCORE_SQL."""
+    return F.floor(
+        (F.lit(1000.0) * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
+        / F.size(toks)
+    ).cast("long")
+
+
+# SQL twin of _short_token_score (DuckDB spelling), interpolated into
+# the same four oracles.
+_SHORT_SCORE_SQL = (
+    "CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),\n"
+    "                                      t -> len(t) <= 3)))\n"
+    "            / len(string_split(text, ' '))) AS BIGINT)"
+)
+
+
+# SCD2 customer dimension (the _scd2_snapshot_frames fixture in SQL) —
+# ONE spelling shared by the scd2_customers oracle and the
+# scd2_asof_lookup oracle so the build and the lookup certify the same
+# dimension.
+_SCD2_DIM_SQL = """
+        base AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        ), s AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, 1 AS snap_id FROM base
+          UNION ALL
+          SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END, 2
+          FROM base
+          UNION ALL
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END,
+                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END, 3
+          FROM base
+        ), l AS (
+          SELECT *, lag(c_mktsegment) OVER w AS pm, lag(c_acctbal) OVER w AS pa,
+                 lag(snap_id) OVER w AS ps
+          FROM s WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_id)
+        ), chg AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, snap_id AS valid_from
+          FROM l
+          WHERE ps IS NULL
+             OR c_mktsegment IS DISTINCT FROM pm
+             OR c_acctbal IS DISTINCT FROM pa
+        ), dim AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+                 lead(valid_from) OVER (
+                   PARTITION BY c_custkey ORDER BY valid_from
+                 ) AS valid_to
+          FROM chg
+        )"""
 
 _GRAMS = f"""
     SELECT DISTINCT doc_id,
@@ -3689,39 +3745,20 @@ ORACLE_SQL: dict[str, str] = {
                round((n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st)), 6)
         FROM s
     """,
-    "scd2_customers": """
-        WITH base AS (
-          SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-        ), s AS (
-          SELECT c_custkey, c_mktsegment, c_acctbal, 1 AS snap_id FROM base
-          UNION ALL
-          SELECT c_custkey, c_mktsegment,
-                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
-                      ELSE c_acctbal END, 2
-          FROM base
-          UNION ALL
-          SELECT c_custkey,
-                 CASE WHEN c_custkey % 13 = 0 THEN 'MOVED'
-                      ELSE c_mktsegment END,
-                 CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
-                      ELSE c_acctbal END, 3
-          FROM base
-        ), l AS (
-          SELECT *, lag(c_mktsegment) OVER w AS pm, lag(c_acctbal) OVER w AS pa,
-                 lag(snap_id) OVER w AS ps
-          FROM s WINDOW w AS (PARTITION BY c_custkey ORDER BY snap_id)
-        ), chg AS (
-          SELECT c_custkey, c_mktsegment, c_acctbal, snap_id AS valid_from
-          FROM l
-          WHERE ps IS NULL
-             OR c_mktsegment IS DISTINCT FROM pm
-             OR c_acctbal IS DISTINCT FROM pa
-        )
-        SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
-               lead(valid_from) OVER (
-                 PARTITION BY c_custkey ORDER BY valid_from
-               ) AS valid_to
-        FROM chg
+    "scd2_customers": f"""
+        WITH {_SCD2_DIM_SQL}
+        SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to
+        FROM dim
+    """,
+    "scd2_asof_lookup": f"""
+        WITH {_SCD2_DIM_SQL}
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_orderkey % 3 + 1 AS INTEGER) AS as_of_snap,
+               dim.c_mktsegment, dim.c_acctbal
+        FROM orders o
+        JOIN dim ON o.o_custkey = dim.c_custkey
+               AND dim.valid_from <= o.o_orderkey % 3 + 1
+               AND o.o_orderkey % 3 + 1 < coalesce(dim.valid_to, 2147483647)
     """,
     # 3 unrolled power iterations of the integer-exact PageRank update
     # r' = 150000 + (85 * sum(r div outdeg)) div 100 — pure integer ops,
@@ -4056,7 +4093,12 @@ ORACLE_SQL: dict[str, str] = {
         WITH t AS (
           SELECT doc_id, text,
                  unnest(range(1, len({_TOKS}) + 1)) AS i
-          FROM documents WHERE doc_id < 100
+          FROM documents
+          -- length(text) > 0 mirrors the UDTF's `if text:` guard: the
+          -- Python side yields NO rows for '' while string_split('', ' ')
+          -- is [''] (one empty token) — without this clause an
+          -- empty-text fixture row would hash-mismatch the engines
+          WHERE doc_id < 100 AND length(text) > 0
         )
         SELECT doc_id, CAST(i AS INTEGER) AS pos,
                string_split(text, ' ')[i] AS tok
@@ -5416,6 +5458,7 @@ QUERIES: dict[str, QueryFn] = {
     "cube_revenue": q_cube_revenue,
     "corr_matrix": q_corr_matrix,
     "scd2_customers": q_scd2_customers,
+    "scd2_asof_lookup": q_scd2_asof_lookup,
     "bigram_counts": q_bigram_counts,
     "event_transitions": q_event_transitions,
     "value_band_stats": q_value_band_stats,
@@ -7024,14 +7067,7 @@ def q_stream_drift_cusum(spark, sf_dir):
         )
         .collect()
     }
-    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) / 3
-    bounds = [lo + span, lo + span + span]
-    slices = [
-        e.filter(F.col("ts") < bounds[0]),
-        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
-        e.filter(F.col("ts") >= bounds[1]),
-    ]
+    slices, lo, hi = _event_time_slices(e)
     src = _write_replay_batches(base, slices)
 
     name = "stream_drift_cusum_sink"
@@ -9732,14 +9768,17 @@ def q_curriculum_interleave(spark, sf_dir):
             .cast("long") - 1,
         )
     )
-    n_sources = F.lit(src.count())  # 1-row model-sized count
+    # |sources| as a LAZY broadcast 1-row frame: src.count() at build
+    # time scanned documents before the query even ran
+    nsf = src.agg(F.count(F.lit(1)).alias("__ns"))
     return (
         seq.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(nsf))
         .select(
             "doc_id",
             "source",
             "seq",
-            (F.col("seq") * n_sources + F.col("source_idx")).alias(
+            (F.col("seq") * F.col("__ns") + F.col("source_idx")).alias(
                 "interleave_pos"
             ),
         )
@@ -9908,21 +9947,15 @@ def q_quality_score_auc(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     scored = d.select(
-        F.floor(
-            (F.lit(1000.0)
-             * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
-            / F.size(toks)
-        ).cast("long").alias("score"),
+        _short_token_score(toks).alias("score"),
         (F.col("lang") == "en").cast("int").alias("label"),
     )
     return binary_auc(scored, "score", "label")
 
 
-ORACLE_SQL["quality_score_auc"] = """
+ORACLE_SQL["quality_score_auc"] = f"""
     WITH scored AS (
-      SELECT CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
-                                                  t -> len(t) <= 3)))
-                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+      SELECT {_SHORT_SCORE_SQL} AS score,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
       FROM documents
     ),
@@ -10433,6 +10466,28 @@ ORACLE_SQL["dedup_ngram_jaccard_bounded"] = _ngram_jaccard_bounded_sql()
 QUERIES["dedup_ngram_jaccard_bounded"] = q_dedup_ngram_jaccard_bounded
 
 
+def _copurchase_edges(spark, sf_dir):
+    """Quarter-order part co-purchase edge list (pa < pb, distinct) —
+    ONE definition of the graph that two_hop_neighbors,
+    graph_assortativity, neighbor_jaccard and graph_kcore_portable all
+    analyze (previously four in-sync copies: a mod-filter or direction
+    tweak in one copy would have silently changed just that key's
+    graph).  Callers apply their own materialization strategy (bare
+    plan, eager checkpoint, repartition barrier) on top."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+
+
 def q_two_hop_neighbors(spark, sf_dir):
     """2-hop reach census over the part co-purchase graph (quarter-order
     subgraph): per part, how many DISTINCT parts are reachable in <= 2
@@ -10443,20 +10498,7 @@ def q_two_hop_neighbors(spark, sf_dir):
     degree cap, exactly like the decontamination index's df cap; uncapped
     here so the oracle is parameter-free), then one distinct + count per
     source.  All-integer output, hash-exact across engines."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    e = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
@@ -10822,20 +10864,7 @@ def q_graph_assortativity(spark, sf_dir):
     symmetrization).  All moments are exact integer sums — one groupBy
     for degrees, one broadcast-joined edge pass — and the single
     division happens at the end, so the scalar hash-matches DuckDB."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    e = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
@@ -11066,6 +11095,27 @@ ORACLE_SQL["source_divergence_tv"] = """
 QUERIES["source_divergence_tv"] = q_source_divergence_tv
 
 
+def _benford_expected(spark):
+    """The 9-row Benford expected-share table, ONE definition for the
+    batch key and its stream twin (they share one oracle, so the two
+    sides must chi-square against byte-identical constants): hardcoded
+    12-decimal literals so both engines parse the identical double."""
+    return spark.createDataFrame(
+        [
+            (1, 0.301029995664),
+            (2, 0.176091259056),
+            (3, 0.124938736608),
+            (4, 0.096910013008),
+            (5, 0.079181246048),
+            (6, 0.066946789631),
+            (7, 0.057991946978),
+            (8, 0.051152522447),
+            (9, 0.045757490561),
+        ],
+        "digit int, expected_share double",
+    )
+
+
 def q_benford_digit_audit(spark, sf_dir):
     """Benford's-law audit of order totals — the fraud/synthetic-data
     smell test: observed first-significant-digit counts vs the Benford
@@ -11086,20 +11136,7 @@ def q_benford_digit_audit(spark, sf_dir):
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    ben = spark.createDataFrame(
-        [
-            (1, 0.301029995664),
-            (2, 0.176091259056),
-            (3, 0.124938736608),
-            (4, 0.096910013008),
-            (5, 0.079181246048),
-            (6, 0.066946789631),
-            (7, 0.057991946978),
-            (8, 0.051152522447),
-            (9, 0.045757490561),
-        ],
-        "digit int, expected_share double",
-    )
+    ben = _benford_expected(spark)
     total = o.agg(F.count(F.lit(1)).alias("n"))
     j = (
         ben.join(obs, "digit", "left")
@@ -11330,18 +11367,8 @@ def q_neighbor_jaccard(spark, sf_dir):
     standard mitigation (cap or split high-degree hubs before the
     self-join, as two_hop_neighbors documents); degrees join in
     model-sized broadcasts."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
     e = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .distinct()
+        _copurchase_edges(spark, sf_dir)
         # one barrier: the edge list feeds four subtrees (degree pass and
         # both wedge sides); without it each reference recomputes the
         # lineitem self-join.  Re-partition BEFORE the eager checkpoint:
@@ -11732,13 +11759,7 @@ def q_quality_calibration_bins(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     scored = d.select(
-        F.floor(
-            (
-                F.lit(1000.0)
-                * F.size(F.filter(toks, lambda t: F.length(t) <= 3))
-            )
-            / F.size(toks)
-        ).cast("long").alias("score"),
+        _short_token_score(toks).alias("score"),
         (F.col("lang") == "en").cast("long").alias("label"),
     )
     return (
@@ -11760,11 +11781,9 @@ def q_quality_calibration_bins(spark, sf_dir):
     )
 
 
-ORACLE_SQL["quality_calibration_bins"] = """
+ORACLE_SQL["quality_calibration_bins"] = f"""
     WITH scored AS (
-      SELECT CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
-                                                  t -> len(t) <= 3)))
-                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+      SELECT {_SHORT_SCORE_SQL} AS score,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
       FROM documents
     )
@@ -11859,17 +11878,8 @@ def q_graph_kcore_portable(spark, sf_dir):
     label-propagation shuffle shape); production k-core iterates this
     plan to fixpoint with the eager-checkpoint hygiene the components
     operator pins."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .distinct()
+        _copurchase_edges(spark, sf_dir)
         # eager checkpoint per round — the components-loop hygiene: each
         # peel round's edge set is consumed by THREE downstream subtrees
         # (its census, the next peel's degree pass, the next peel's
@@ -13142,9 +13152,14 @@ def q_heaps_vocab_growth(spark, sf_dir):
     )
     first = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     ids = d.select("doc_id")
-    w = Window.orderBy("doc_id")
-    ranked = ids.select(
-        "doc_id", F.row_number().over(w).alias("rk")
+    # bucketed two-phase ranking, NOT row_number() over an unpartitioned
+    # window: the global-sort variant funnels every doc_id through one
+    # task — the exact pathology the engine red-lines elsewhere (ranks
+    # identical by construction; doc_id is the unique total order)
+    from parquet_merger_spark.operators.ranking import assign_row_ids
+
+    ranked = assign_row_ids(ids, "doc_id", [], n_buckets=32).select(
+        "doc_id", F.col("row_id").alias("rk")
     )
     n = ids.agg(F.count(F.lit(1)).alias("n"))
     bounds = (
@@ -13455,20 +13470,7 @@ def q_stream_benford_audit(spark, sf_dir):
     _drain_stream(q, "stream_benford_audit")
     obs = spark.table(name).localCheckpoint(eager=True)
 
-    ben = spark.createDataFrame(
-        [
-            (1, 0.301029995664),
-            (2, 0.176091259056),
-            (3, 0.124938736608),
-            (4, 0.096910013008),
-            (5, 0.079181246048),
-            (6, 0.066946789631),
-            (7, 0.057991946978),
-            (8, 0.051152522447),
-            (9, 0.045757490561),
-        ],
-        "digit int, expected_share double",
-    )
+    ben = _benford_expected(spark)
     total = obs.agg(F.sum("n_obs").alias("n"))
     j = (
         ben.join(obs, "digit", "left")
@@ -14510,10 +14512,7 @@ def q_dedup_survivors_best_quality(spark, sf_dir):
     struct min — one family-key shuffle, no window sort."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    score = F.floor(
-        (F.lit(1000.0) * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
-        / F.size(toks)
-    ).cast("long")
+    score = _short_token_score(toks)
     pfx = F.array_join(F.slice(toks, 1, 2), " ")
     base = d.select("doc_id", "source", pfx.alias("pfx"), score.alias("score"))
     best = base.groupBy("pfx").agg(
@@ -14529,13 +14528,11 @@ def q_dedup_survivors_best_quality(spark, sf_dir):
     )
 
 
-ORACLE_SQL["dedup_survivors_best_quality"] = """
+ORACLE_SQL["dedup_survivors_best_quality"] = f"""
     WITH base AS (
       SELECT doc_id, source,
              array_to_string(string_split(text, ' ')[1:2], ' ') AS pfx,
-             CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
-                                                  t -> len(t) <= 3)))
-                        / len(string_split(text, ' '))) AS BIGINT) AS score
+             {_SHORT_SCORE_SQL} AS score
       FROM documents
     ),
     best AS (
@@ -14568,10 +14565,7 @@ def q_nucleus_curation_threshold(spark, sf_dir):
     model-sized cumulative windows."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    score = F.floor(
-        (F.lit(1000.0) * F.size(F.filter(toks, lambda t: F.length(t) <= 3)))
-        / F.size(toks)
-    ).cast("long")
+    score = _short_token_score(toks)
     base = d.select("source", score.alias("score"), "n_chars")
     counts = base.groupBy("source", "score").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
@@ -14605,12 +14599,10 @@ def q_nucleus_curation_threshold(spark, sf_dir):
     return kept.orderBy("source")
 
 
-ORACLE_SQL["nucleus_curation_threshold"] = """
+ORACLE_SQL["nucleus_curation_threshold"] = f"""
     WITH base AS (
       SELECT source,
-             CAST(floor((1000.0 * len(list_filter(string_split(text, ' '),
-                                                  t -> len(t) <= 3)))
-                        / len(string_split(text, ' '))) AS BIGINT) AS score,
+             {_SHORT_SCORE_SQL} AS score,
              n_chars
       FROM documents
     ),

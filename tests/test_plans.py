@@ -312,6 +312,9 @@ _BNLJ_VOUCHED = {
     "rolling_wau",
     # 1-row basket-total broadcast (lazy tfidf-pattern scalar)
     "basket_lift",
+    # 1-row |sources| broadcast (the eager src.count() went lazy in the
+    # r07 review — |sources| is a model-sized dim)
+    "curriculum_interleave",
     # 1-row token-total broadcast gating the support threshold
     "heavy_hitters",
     # broadcast query side of the exact different-label top-k (same
