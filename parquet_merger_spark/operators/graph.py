@@ -238,7 +238,7 @@ def triangle_count(
         # the same reuse and an explicit unpersist on exit
         .persist()
     )
-    e.count()
+    n_edges = e.count()  # also gates the degree-table broadcast below
     # persisted + eagerly materialized: THREE consumers (the da/db
     # broadcasts and the n_vertices count) would otherwise each rerun
     # the 2|E| explode+groupBy — differently-aliased projections defeat
@@ -259,9 +259,16 @@ def triangle_count(
     lower_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
+    # gate the O(V) degree broadcast on the SAME sharded-regime limit as
+    # the adjacency joins (V <= 2E): an unconditional broadcast hint
+    # bypasses autoBroadcastJoinThreshold/AQE, and above the limit the
+    # degree table is as unbroadcastable as the edges themselves
+    maybe_deg_b = (
+        F.broadcast if n_edges <= broadcast_edge_limit else (lambda df: df)
+    )
     oriented = (
-        e.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        e.join(maybe_deg_b(da), "a")
+        .join(maybe_deg_b(db), "b")
         .select(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),

@@ -138,14 +138,19 @@ def upsert_by_key(
         )
 
         key = key_cols[0]
-        bloom = bloom_build(update_keys, key, m_bits=bloom_prefilter_bits)
+        # internal column uniquely prefixed like every other helper in
+        # this module: a base table with its own 'words' column would
+        # otherwise hit an ambiguous reference (or lose its column)
+        bloom = bloom_build(
+            update_keys, key, m_bits=bloom_prefilter_bits
+        ).withColumnRenamed("words", "__bloom_words")
         tagged = base.crossJoin(F.broadcast(bloom))
         may_match = F.coalesce(
-            bloom_test_col("words", key, m_bits=bloom_prefilter_bits),
+            bloom_test_col("__bloom_words", key, m_bits=bloom_prefilter_bits),
             F.lit(False),
         )
-        sure_keep = tagged.filter(~may_match).drop("words")
-        maybe = tagged.filter(may_match).drop("words")
+        sure_keep = tagged.filter(~may_match).drop("__bloom_words")
+        maybe = tagged.filter(may_match).drop("__bloom_words")
         kept = maybe.join(update_keys, key_cols, "left_anti").unionByName(
             sure_keep
         )
@@ -177,10 +182,19 @@ def scd2_from_snapshots(
     by table size, so skew is capped at n_snapshots rows per key.
     """
     w = Window.partitionBy(*key_cols).orderBy(snap_col)
-    changed = reduce(
-        lambda a, b: a | b,
-        [~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in tracked_cols],
-    ) | F.lag(snap_col).over(w).isNull()
+    # empty tracked_cols = key-presence-only history: no value change is
+    # possible, only the first appearance opens a version (reduce() over
+    # an empty iterable would raise TypeError, the guard snapshot_diff
+    # already has for its val_cols)
+    value_changed = (
+        reduce(
+            lambda a, b: a | b,
+            [~F.col(c).eqNullSafe(F.lag(c).over(w)) for c in tracked_cols],
+        )
+        if tracked_cols
+        else F.lit(False)
+    )
+    changed = value_changed | F.lag(snap_col).over(w).isNull()
     versions = (
         snapshots.withColumn("_chg", changed)
         .filter("_chg")

@@ -152,7 +152,13 @@ def salted_join(
                    "left_semi", "leftsemi", "anti", "left_anti", "leftanti"), (
         f"how={how!r} would duplicate unmatched right rows across salt copies"
     )
-    l_salted = left.withColumn("__salt", F.pmod(salt_from, F.lit(n_salts)))
+    # coalesce a NULL salt to bucket 0: pmod(NULL, n) is NULL and never
+    # equi-joins, which would DROP a matching left row from an inner
+    # join (and wrongly keep it in an anti join) — breaking the
+    # identical-output guarantee for any nullable salt_from expression
+    l_salted = left.withColumn(
+        "__salt", F.coalesce(F.pmod(salt_from, F.lit(n_salts)), F.lit(0))
+    )
     r_salted = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

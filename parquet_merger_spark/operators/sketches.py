@@ -162,6 +162,10 @@ def vq_quantiles(
     interval covers it.  The per-group cumulative window runs over the
     COUNT TABLE (distinct sampled values), never rows — the
     length_trim_corpus idiom, no single-task data sort at any grain."""
+    if not qs or any(den <= 0 for _, _, den in qs):
+        raise ValueError(
+            f"qs must be a non-empty list of (label, num, den>0); got {qs!r}"
+        )
     w = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -301,7 +305,11 @@ def bloom_build(
     the dim's KEY SET rides along as m/8 bytes (8 KB here) and
     eliminates non-matching fact rows at the SCAN, before the
     sort-merge join's exchange ever sees them."""
-    n_words = m_bits // 64
+    # ceil, not floor: for m_bits not a multiple of 64 the top PARTIAL
+    # word must exist or its bits are dropped in the densify join and a
+    # true member tests negative (element_at past the array end) —
+    # breaking the no-false-negative contract the prefilter rides on
+    n_words = (m_bits + 63) // 64
     spark = df.sparkSession
     entries = F.array(
         *[
@@ -346,18 +354,16 @@ def bloom_test_col(
     splitting keep/maybe branches must coalesce)."""
     conds = []
     for i in range(k_hashes):
-        pos = (
-            f"pmod({PORTABLE_HASH_AC[which_base + i][0]} * pmod({key_col}, "
-            f"{PORTABLE_MOD}) + {PORTABLE_HASH_AC[which_base + i][1]}, "
-            f"{PORTABLE_MOD}) % {m_bits}"
+        # the SAME portable_hash64 Column helper the build side uses —
+        # a second hand-built SQL spelling of the hash would let build
+        # and probe silently desynchronize (= false negatives)
+        pos = F.pmod(
+            portable_hash64(F.col(key_col), which_base + i), F.lit(m_bits)
         )
-        conds.append(
-            F.expr(
-                f"(shiftright(element_at({words_col}, "
-                f"CAST(({pos}) div 64 AS INT) + 1), "
-                f"CAST(({pos}) % 64 AS INT)) & 1) = 1"
-            )
+        word = F.element_at(
+            F.col(words_col), (pos / 64).cast("int") + F.lit(1)
         )
+        conds.append(F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1)
     cond = conds[0]
     for c in conds[1:]:
         cond = cond & c

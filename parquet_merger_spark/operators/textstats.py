@@ -80,7 +80,19 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_tokens_bpe", bpe_ish_token_count(t))
         .withColumn(
             "avg_token_len",
-            F.when(n_tok > 0, (F.length(t) - n_tok + 1) / n_tok).otherwise(F.lit(0.0)),
+            # normalized length (trim + collapse \s+ runs), matching
+            # token_count's tokenizer: the raw length over-counts for
+            # exactly the whitespace shapes token_count defends against
+            # (' ab cd ' -> 3.0 instead of the true 2.0)
+            F.when(
+                n_tok > 0,
+                (
+                    F.length(F.regexp_replace(F.trim(t), r"\s+", " "))
+                    - n_tok
+                    + 1
+                )
+                / n_tok,
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "stopword_ratio",
@@ -117,8 +129,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-hit counts per language + argmax prediction.
 
-    Argmax ties break by language-code order (deterministic).  'und' when
-    no marker hits at all."""
+    Argmax ties break FIRST-WINS in LANG_MARKERS insertion order
+    (en, fr, de, es — deterministic, but NOT alphabetical: a de/en tie
+    predicts 'en'; any differential oracle must mirror this priority,
+    not ORDER BY lang code).  'und' when no marker hits at all."""
     toks = tokens(F.col(text_col))
     out = df
     for lang, words in LANG_MARKERS.items():
@@ -586,8 +600,13 @@ def binary_auc(
         "n_pos",
         "n_neg",
         F.round(
-            (F.col("__s2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
-            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            # NULL (not a DIVIDE_BY_ZERO crash under the ANSI default)
+            # when only one class is present — AUC is undefined there
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                (F.col("__s2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+            ),
             6,
         ).alias("auc"),
     )

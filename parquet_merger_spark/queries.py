@@ -4914,7 +4914,8 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, chars_computed, n_tokens, n_tokens_bpe,
                round(CASE WHEN n_tokens > 0
-                          THEN (chars_computed - n_tokens + 1) / n_tokens
+                          THEN (length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                                - n_tokens + 1) / n_tokens
                           ELSE 0.0 END, 6) AS avg_token_len,
                round(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END, 6)
                  AS stopword_ratio,

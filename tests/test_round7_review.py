@@ -184,3 +184,112 @@ def test_skewness_moment_b_survives_int64_overflow(spark, tmp_path):
     assert row["n"] == n
     assert math.isfinite(row["skewness"])
     assert abs(row["skewness"] - expect) < 1e-9, (row["skewness"], expect)
+
+
+# --- operators/ review wave 2 (graph/textstats/sketches/incremental/
+# ranking/sampling) -----------------------------------------------------------
+
+
+def test_bloom_handles_non_multiple_of_64_bits(spark):
+    """m_bits=1000: bits land in the top PARTIAL word (index 15); the
+    pre-fix floor division dropped that word and true members tested
+    negative — breaking the no-false-negative contract upsert_by_key's
+    prefilter rides on."""
+    from parquet_merger_spark.operators.sketches import (
+        bloom_build,
+        bloom_test_col,
+    )
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_build(keys, "k", m_bits=1000)
+    probe = spark.range(0, 500).select(F.col("id").alias("k")).crossJoin(
+        F.broadcast(bloom)
+    )
+    hits = probe.filter(
+        bloom_test_col("words", "k", m_bits=1000)
+    ).count()
+    assert hits == 500  # every true member MUST test positive
+
+
+def test_bloom_prefilter_upsert_with_awkward_bits_and_words_column(spark):
+    """upsert_by_key(bloom_prefilter_bits=1000) on a base table that has
+    its OWN 'words' column: result must equal the plain upsert (pre-fix:
+    false negatives -> duplicate keys; 'words' collision -> ambiguous
+    reference)."""
+    from parquet_merger_spark.operators.incremental import upsert_by_key
+
+    base = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(200)], "k long, words string"
+    )
+    updates = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(0, 200, 3)], "k long, words string"
+    )
+    plain = {(r["k"], r["words"]) for r in upsert_by_key(base, updates, ["k"]).collect()}
+    bloomed = {
+        (r["k"], r["words"])
+        for r in upsert_by_key(
+            base, updates, ["k"], bloom_prefilter_bits=1000
+        ).collect()
+    }
+    assert bloomed == plain and len(plain) == 200
+
+
+def test_binary_auc_single_class_returns_null_not_crash(spark):
+    """AUC is undefined with one class present: NULL, never an ANSI
+    DIVIDE_BY_ZERO."""
+    from parquet_merger_spark.operators.textstats import binary_auc
+
+    df = spark.createDataFrame([(i, 1) for i in range(10)], "score long, label int")
+    row = binary_auc(df, "score", "label").collect()[0]
+    assert row["n_neg"] == 0 and row["auc"] is None
+
+
+def test_avg_token_len_ignores_whitespace_runs(spark):
+    """' ab cd ' must average 2.0 (the raw-length formula said 3.0);
+    'a  b' must average 1.0 (was 1.5)."""
+    from parquet_merger_spark.operators.textstats import with_text_stats
+
+    df = spark.createDataFrame([(1, " ab cd "), (2, "a  b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_token_len"] for r in with_text_stats(df).collect()}
+    assert got[1] == 2.0 and got[2] == 1.0, got
+
+
+def test_salted_join_null_salt_keeps_matching_rows(spark):
+    """A NULL salt expression must not drop a matching left row from an
+    inner join (pmod(NULL, n) never equi-joins pre-fix)."""
+    from parquet_merger_spark.operators.ranking import salted_join
+
+    left = spark.createDataFrame([(1, None), (2, 7)], "k long, seed long")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    got = {
+        (r["k"], r["v"])
+        for r in salted_join(
+            left, right, ["k"], F.col("seed"), n_salts=4
+        ).collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_scd2_empty_tracked_cols_is_key_presence_history(spark):
+    """tracked_cols=[] = key-presence-only history: one open version per
+    key from its first snapshot (pre-fix: TypeError from reduce([]))."""
+    from parquet_merger_spark.operators.incremental import scd2_from_snapshots
+
+    snaps = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2)], "k long, snap_id int"
+    )
+    rows = scd2_from_snapshots(snaps, ["k"], []).collect()
+    got = {(r["k"], r["valid_from"], r["valid_to"]) for r in rows}
+    assert got == {(1, 1, None), (2, 2, None)}, got
+
+
+def test_vq_quantiles_rejects_empty_or_degenerate_qs(spark):
+    import pytest
+
+    from parquet_merger_spark.operators.sketches import vq_quantiles
+
+    sk = spark.createDataFrame([("x", 1, 2)], "scope string, v long, cnt long")
+    with pytest.raises(ValueError):
+        vq_quantiles(sk, ["scope"], [])
+    with pytest.raises(ValueError):
+        vq_quantiles(sk, ["scope"], [("p50", 1, 0)])
