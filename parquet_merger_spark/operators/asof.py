@@ -30,6 +30,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_no_overlap(left: DataFrame, right_cols: list[str]) -> None:
+    """Reject right_cols that collide with the left schema: select()
+    happily emits DUPLICATE column names and the caller's next reference
+    fails with AMBIGUOUS_REFERENCE far from the cause — pre-alias the
+    right payload instead (the blocked_fuzzy_join convention)."""
+    clash = sorted(set(right_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right_cols {clash} collide with left columns; alias them first"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -56,6 +68,7 @@ def asof_join(
     independently could stitch values from different rows whenever one
     column is NULL in the nearest match).
     """
+    _check_no_overlap(left, right_cols)
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__side", F.lit(1)
     )
@@ -109,6 +122,7 @@ def asof_join_forward(
     The right side must be unique per (on, right_ts), as in
     :func:`asof_join`.
     """
+    _check_no_overlap(left, right_cols)
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__side", F.lit(0)
     )

@@ -84,7 +84,17 @@ def zorder_covering_buckets(
     driver-side covering set for a 2-D range predicate (model-sized:
     at most 2^prefix_bits ids, enumerated in Python).  Guaranteed a
     SUPERSET of every partition holding a matching row, so
-    ``isin(covering) AND row-predicate`` equals the plain predicate."""
+    ``isin(covering) AND row-predicate`` equals the plain predicate.
+
+    ``prefix_bits`` must be EVEN (the z-prefix interleaves one bit per
+    axis): silently flooring an odd value would emit ids in a narrower
+    id space than the caller's shiftright derives, excluding partitions
+    that hold matching rows — a correctness, not performance, failure.
+    """
+    if prefix_bits % 2 != 0 or prefix_bits <= 0 or prefix_bits > 2 * bits:
+        raise ValueError(
+            f"prefix_bits must be even and in (0, {2 * bits}]; got {prefix_bits}"
+        )
     half = prefix_bits // 2
     cell = 1 << (bits - half)  # bucket-width of one cell per axis
     out = []

@@ -37,7 +37,12 @@ def chunk_documents(
     Chunk starts stop at the FIRST start whose chunk reaches the document
     end — a start beyond that would emit a chunk fully contained in its
     predecessor (pure duplicate training text)."""
-    assert 0 <= overlap < chunk_tokens
+    if not 0 <= overlap < chunk_tokens:
+        # ValueError, not assert: asserts strip under python -O and the
+        # invalid step would surface as an opaque engine error instead
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens; got {overlap}, {chunk_tokens}"
+        )
     step = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -51,7 +56,14 @@ def chunk_documents(
         starts,
         lambda s: F.struct(
             F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
-            F.least(n - s + 1, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+            # guard NULL text ON n ITSELF: least() SKIPS null operands
+            # (least(NULL, chunk_tokens) = chunk_tokens, not NULL), so
+            # the unguarded expression reported a FULL chunk_tokens
+            # count for nonexistent text, inflating every downstream
+            # token budget (pack_sequences)
+            F.when(
+                n.isNotNull(), F.least(n - s + 1, F.lit(chunk_tokens))
+            ).otherwise(F.lit(0)).alias("n_chunk_tokens"),
         ),
     )
     return df.select(

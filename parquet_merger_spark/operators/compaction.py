@@ -115,7 +115,8 @@ def zorder_key(int_cols: list, bits: int = 16):
     from pyspark.sql import functions as F
 
     k = len(int_cols)
-    assert k * bits <= 63, "z-key must fit a signed long"
+    if k * bits > 63:
+        raise ValueError(f"z-key must fit a signed long: {k} cols x {bits} bits")
     terms = [
         F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * k + j)
         for j, c in enumerate(int_cols)

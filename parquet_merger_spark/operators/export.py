@@ -45,15 +45,10 @@ def export_csv(df: DataFrame, out_path: str, single_file: bool = False) -> None:
     }
     writer = clean.write.mode("overwrite").options(**opts)
     if single_file:
+        from parquet_merger_spark.operators.merge import promote_single_file
+
         tmp = out_path + "._tmp_single"
         clean.coalesce(1).write.mode("overwrite").options(**opts).csv(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        if os.path.isdir(out_path):
-            shutil.rmtree(out_path)
-        elif os.path.exists(out_path):
-            os.remove(out_path)
-        shutil.move(part, out_path)
-        shutil.rmtree(tmp)
+        promote_single_file(tmp, out_path, "part-*.csv")
     else:
         writer.csv(out_path)

@@ -137,6 +137,25 @@ def merge_dataframes_widen(dfs: list[DataFrame]) -> DataFrame:
     )
 
 
+def promote_single_file(tmp: str, out_path: str, pattern: str) -> None:
+    """Promote the single part file Spark wrote under ``tmp`` to
+    ``out_path`` and remove the staging dir — ONE definition of the
+    write-glob-move sequence shared by the parquet sink here and the CSV
+    sink in :mod:`operators.export` (previously two in-sync copies).
+    Raises a clear error when Spark produced no part file (e.g. a sink
+    misconfiguration), instead of a bare IndexError."""
+    parts = glob.glob(os.path.join(tmp, pattern))
+    if not parts:
+        raise RuntimeError(f"no {pattern} produced under {tmp}")
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    if os.path.isdir(out_path):
+        shutil.rmtree(out_path)
+    elif os.path.exists(out_path):
+        os.remove(out_path)
+    shutil.move(parts[0], out_path)
+    shutil.rmtree(tmp)
+
+
 def write_parquet(
     df: DataFrame,
     out_path: str,
@@ -156,7 +175,8 @@ def write_parquet(
     directories (partition pruning — plan-asserted in tests/test_plans.py).
     Mutually exclusive with ``single_file``.
     """
-    assert not (single_file and partition_by), "partitioned output is multi-file"
+    if single_file and partition_by:
+        raise ValueError("partitioned output is multi-file; drop single_file")
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
@@ -171,14 +191,7 @@ def write_parquet(
     if single_file:
         tmp = out_path + "._tmp_single"
         _writer(df.coalesce(1)).parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        if os.path.isdir(out_path):
-            shutil.rmtree(out_path)
-        elif os.path.exists(out_path):
-            os.remove(out_path)
-        shutil.move(part, out_path)
-        shutil.rmtree(tmp)
+        promote_single_file(tmp, out_path, "part-*.parquet")
     else:
         _writer(df).parquet(out_path)
     return int(obs.get["rows"])
@@ -310,11 +323,17 @@ def merge_batches(
                     t, d = _group_task_tallies(sc, gid)
                     with done_lock:
                         bd = done_count[0]
-                    progress(
-                        MergeProgress(
-                            plan.name, "running", t, d, bd, total_batches
+                    try:
+                        progress(
+                            MergeProgress(
+                                plan.name, "running", t, d, bd, total_batches
+                            )
                         )
-                    )
+                    except Exception:
+                        # an observer must never kill the merge (and a
+                        # raising callback would silently end this
+                        # daemon thread, freezing updates mid-batch)
+                        return
 
             poller = threading.Thread(target=poll, daemon=True)
             poller.start()
@@ -347,16 +366,22 @@ def merge_batches(
             bd = done_count[0]
         if progress is not None:
             t, d = _group_task_tallies(sc, gid)
-            progress(
-                MergeProgress(
-                    plan.name,
-                    "done" if result.ok else "failed",
-                    t,
-                    d,
-                    bd,
-                    total_batches,
+            try:
+                progress(
+                    MergeProgress(
+                        plan.name,
+                        "done" if result.ok else "failed",
+                        t,
+                        d,
+                        bd,
+                        total_batches,
+                    )
                 )
-            )
+            except Exception:
+                # the contract is "failures are COLLECTED, not raised":
+                # a raising terminal callback (closed UI handle) must not
+                # abort the run and discard the finished BatchResults
+                pass
         return result
 
     if max_concurrency <= 1:

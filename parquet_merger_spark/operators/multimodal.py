@@ -43,7 +43,6 @@ _MAGIC_TO_MODALITY = {
     b"\xff\xd8\xff": "image",
     b"RIFF": "audio",
     b"fLaC": "audio",
-    b"\x00\x00\x00\x18ftyp"[:4]: "video",
 }
 
 
@@ -61,6 +60,12 @@ def _sniff_modality(data: bytes) -> str:
     for magic, modality in _MAGIC_TO_MODALITY.items():
         if data.startswith(magic):
             return modality
+    # MP4/MOV: the BRAND 'ftyp' at offset 4 — the first 4 bytes are the
+    # ftyp BOX SIZE, which varies per file (the old check matched the
+    # literal size 0x18, missing most real MP4s and false-positives on
+    # any length-prefixed record starting 00 00 00 18)
+    if len(data) >= 8 and data[4:8] == b"ftyp":
+        return "video"
     return "unknown"
 
 
@@ -103,12 +108,14 @@ def extract_payload_meta_expr(
     (oracle-checked); keep the mapInPandas path when an actual decode will
     slot into the iterator, use this one for metadata-only pipelines."""
     magic = F.lower(F.hex(F.substring(F.col(payload_col), 1, 4)))
+    # MP4 brand at offset 4 (see _sniff_modality on why not the box size)
+    brand = F.lower(F.hex(F.substring(F.col(payload_col), 5, 4)))
     modality = (
         F.when(magic.startswith("89504e47"), "image")
         .when(magic.startswith("ffd8ff"), "image")
         .when(magic.startswith("52494646"), "audio")
         .when(magic.startswith("664c6143"), "audio")
-        .when(magic.startswith("00000018"), "video")
+        .when(brand == "66747970", "video")
         .otherwise("unknown")
     )
     return df.select(
@@ -460,13 +467,21 @@ def frame_sample_plan(
     decode of selected frames would join this plan against the payloads
     and run in mapInPandas."""
     # explode_outer: plain explode makes InferFiltersFromGenerate build the
-    # frame sequence a second time inside a pushed-down filter; the
-    # sequence starting at 0 is never empty, so outer changes nothing.
-    return df.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n))
-        ).alias("frame_idx"),
+    # frame sequence a second time inside a pushed-down filter.  The
+    # sequence is NULL (not clamped to [0, 0]) for n_frames <= 0 or NULL:
+    # greatest(n_frames-1, 0) would emit a PHANTOM frame 0 for an
+    # empty/corrupt clip, and a downstream decode would then request a
+    # frame that does not exist.  explode_outer turns the NULL sequence
+    # into one NULL frame_idx row, dropped by the post-generate filter
+    # (a filter on the GENERATED column — InferFiltersFromGenerate only
+    # rebuilds generators for filters on generator INPUTS).
+    seq = F.when(
+        F.col(n_frames_col) >= 1,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode_outer(seq).alias("frame_idx"))
+        .filter(F.col("frame_idx").isNotNull())
     )
 
 

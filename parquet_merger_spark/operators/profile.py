@@ -189,12 +189,19 @@ def corr_matrix_exact(df: DataFrame, int_cols: list[str]) -> DataFrame:
     if len(int_cols) < 2:
         raise ValueError("need >= 2 columns")
     aggs = [F.count(F.lit(1)).alias("n")]
+    # square/cross sums fold in decimal(38,0), not int64: cents-scale
+    # values (~1e7) over ~1e9 rows push sum(x*x) past 2^63 — the exact
+    # regime the docstring promises exactness for (int64 would wrap
+    # silently, or throw under the ANSI default)
+    dec = "decimal(38,0)"
     for c in int_cols:
         aggs.append(F.sum(c).alias(f"s_{c}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+        aggs.append(F.sum(F.col(c).cast(dec) * F.col(c)).alias(f"ss_{c}"))
     for i, a in enumerate(int_cols):
         for b in int_cols[i + 1 :]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b)).alias(f"sp_{a}_{b}")
+            )
     g = df.agg(*aggs)
 
     def d(name: str) -> Column:
@@ -212,7 +219,17 @@ def corr_matrix_exact(df: DataFrame, int_cols: list[str]) -> DataFrame:
                     F.lit(a).alias("col_x"),
                     F.lit(b).alias("col_y"),
                     F.col("n").alias("n"),
-                    F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("corr"),
+                    # NULL (not IEEE NaN) where correlation is undefined
+                    # (zero-variance column): NaN poisons the
+                    # cross-engine hash-match and diverges from the
+                    # binary_auc NULL-for-undefined pattern
+                    F.round(
+                        F.when(
+                            (dx > 0) & (dy > 0),
+                            num / (F.sqrt(dx) * F.sqrt(dy)),
+                        ),
+                        6,
+                    ).alias("corr"),
                 )
             )
     return g.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

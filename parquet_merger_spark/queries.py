@@ -3734,15 +3734,21 @@ ORACLE_SQL: dict[str, str] = {
           FROM q
         )
         SELECT 'qty' AS col_x, 'disc' AS col_y, n,
-               round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)), 6) AS corr
+               round(CASE WHEN n*sqq - sq*sq > 0 AND n*sdd - sd*sd > 0
+                     THEN (n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd))
+                     END, 6) AS corr
         FROM s
         UNION ALL
         SELECT 'qty', 'tax', n,
-               round((n*sqt - sq*st) / (sqrt(n*sqq - sq*sq) * sqrt(n*stt - st*st)), 6)
+               round(CASE WHEN n*sqq - sq*sq > 0 AND n*stt - st*st > 0
+                     THEN (n*sqt - sq*st) / (sqrt(n*sqq - sq*sq) * sqrt(n*stt - st*st))
+                     END, 6)
         FROM s
         UNION ALL
         SELECT 'disc', 'tax', n,
-               round((n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st)), 6)
+               round(CASE WHEN n*sdd - sd*sd > 0 AND n*stt - st*st > 0
+                     THEN (n*sdt - sd*st) / (sqrt(n*sdd - sd*sd) * sqrt(n*stt - st*st))
+                     END, 6)
         FROM s
     """,
     "scd2_customers": f"""
@@ -5041,6 +5047,7 @@ ORACLE_SQL: dict[str, str] = {
         m AS (SELECT doc_id,
                      CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                      lower(substring(hex(payload), 1, 8)) AS magic,
+                     lower(substring(hex(payload), 9, 8)) AS brand,
                      sha256(text) AS sha256
               FROM b)
         SELECT doc_id, n_bytes, magic, sha256,
@@ -5048,7 +5055,7 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN magic LIKE 'ffd8ff%' THEN 'image'
                     WHEN magic LIKE '52494646%' THEN 'audio'
                     WHEN magic LIKE '664c6143%' THEN 'audio'
-                    WHEN magic LIKE '00000018%' THEN 'video'
+                    WHEN brand = '66747970' THEN 'video'
                     ELSE 'unknown' END AS modality
         FROM m
     """,
@@ -5057,6 +5064,7 @@ ORACLE_SQL: dict[str, str] = {
         m AS (SELECT doc_id,
                      CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                      lower(substring(hex(payload), 1, 8)) AS magic,
+                     lower(substring(hex(payload), 9, 8)) AS brand,
                      -- duckdb's sha256 takes VARCHAR; payload bytes ARE the
                      -- utf-8 of text, so hashing the string is identical
                      sha256(text) AS sha256
@@ -5066,7 +5074,7 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN magic LIKE 'ffd8ff%' THEN 'image'
                     WHEN magic LIKE '52494646%' THEN 'audio'
                     WHEN magic LIKE '664c6143%' THEN 'audio'
-                    WHEN magic LIKE '00000018%' THEN 'video'
+                    WHEN brand = '66747970' THEN 'video'
                     ELSE 'unknown' END AS modality
         FROM m
     """,

@@ -80,7 +80,7 @@ def test_bloom_probe_prunes_index_postings(spark):
 
 def test_bloom_probe_filter_below_join_exchange(spark):
     """Plan pin: with the knob on, the index side's scan is consumed by
-    a Filter carrying the Bloom bit tests (shiftright/element_at)
+    a Filter carrying the Bloom bit tests (bit_get/element_at)
     BEFORE any exchange feeds the gram equi-join — the prune happens at
     the scan, not after the shuffle."""
     from parquet_merger_spark.queries import QUERIES
@@ -91,7 +91,7 @@ def test_bloom_probe_filter_below_join_exchange(spark):
         .executedPlan()
         .toString()
     )
-    assert "shiftright" in plan and "element_at" in plan
+    assert "bit_get" in plan and "element_at" in plan
     # the bloom words come in via a broadcast, never a data-sized shuffle
     assert "BroadcastExchange" in plan
 

@@ -293,3 +293,123 @@ def test_vq_quantiles_rejects_empty_or_degenerate_qs(spark):
         vq_quantiles(sk, ["scope"], [])
     with pytest.raises(ValueError):
         vq_quantiles(sk, ["scope"], [("p50", 1, 0)])
+
+
+# --- operators/ review wave 3 (profile/multimodal/bucketing/chunking/
+# asof/merge/export/compaction) -----------------------------------------------
+
+
+def test_corr_matrix_survives_int64_overflow_and_nulls_zero_variance(spark):
+    """Square/cross sums past 2^63 must stay exact (decimal fold), and a
+    zero-variance column yields corr NULL, never IEEE NaN."""
+    import math
+
+    from parquet_merger_spark.operators.profile import corr_matrix_exact
+
+    n = 300_000
+    big = spark.range(n).select(
+        (F.col("id") % 1000 + 10_000_000).alias("x"),
+        ((F.col("id") % 1000) * 2 + 20_000_000).alias("y"),
+        F.lit(7).alias("const"),
+    )
+    rows = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in corr_matrix_exact(big, ["x", "y", "const"]).collect()
+    }
+    # sum(x*x) ~ 3e5 * 1e14 = 3e19 > 2^63: pre-fix ANSI overflow error
+    assert abs(rows[("x", "y")] - 1.0) < 1e-9  # y is affine in x
+    assert rows[("x", "const")] is None and rows[("y", "const")] is None
+
+
+def test_sniff_modality_matches_ftyp_brand_not_box_size(spark):
+    """A real-layout MP4 header (32-byte ftyp box) must classify video in
+    BOTH the pandas and JVM paths; a length-prefixed record starting
+    00 00 00 18 must NOT."""
+    from parquet_merger_spark.operators.multimodal import (
+        _sniff_modality,
+        extract_payload_meta_expr,
+    )
+
+    mp4 = b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8
+    fake = b"\x00\x00\x00\x18" + b"AAAA" + b"\x00" * 8
+    assert _sniff_modality(mp4) == "video"
+    assert _sniff_modality(fake) == "unknown"
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(fake))], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r["modality"] for r in extract_payload_meta_expr(df).collect()}
+    assert got == {1: "video", 2: "unknown"}
+
+
+def test_zorder_covering_rejects_odd_prefix_bits():
+    import pytest
+
+    from parquet_merger_spark.operators.bucketing import zorder_covering_buckets
+
+    with pytest.raises(ValueError):
+        zorder_covering_buckets((0, 3), (0, 3), bits=8, prefix_bits=5)
+
+
+def test_frame_sample_plan_skips_zero_and_null_frame_counts(spark):
+    """n_frames = 0 or NULL emits NO frames (pre-fix: a phantom frame 0
+    a downstream decode would request of a zero-frame video)."""
+    from parquet_merger_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, None), (4, 1)], "doc_id long, n_frames int"
+    )
+    got = sorted(
+        (r["doc_id"], r["frame_idx"])
+        for r in frame_sample_plan(df, every_n=4).collect()
+    )
+    assert got == [(1, 0), (1, 4), (1, 8), (4, 0)], got
+
+
+def test_chunk_null_text_counts_zero_tokens(spark):
+    """least() skips NULLs, so a NULL-text doc claimed a FULL
+    chunk_tokens count pre-fix, inflating pack_sequences budgets."""
+    from parquet_merger_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"]
+        for r in chunk_documents(df, chunk_tokens=2, overlap=0).collect()
+    }
+    assert rows[(1, 1)] == 0
+    assert rows[(2, 1)] == 2 and rows[(2, 2)] == 1
+
+
+def test_asof_join_rejects_colliding_right_cols(spark):
+    import pytest
+
+    from parquet_merger_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, ts long, value string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, rts long, value string")
+    with pytest.raises(ValueError, match="value"):
+        asof_join(left, right, "k", "ts", "rts", ["value"])
+
+
+def test_merge_batches_survives_raising_progress_callback(spark, tmp_path):
+    """The 'failures are collected, not raised' contract extends to the
+    observer: a throwing terminal callback must not discard results."""
+    from parquet_merger_spark.operators.merge import MergePlan, merge_batches
+
+    src = tmp_path / "src"
+    for sub in ("a", "b"):
+        (src / sub).mkdir(parents=True)
+        pd.DataFrame({"v": [1, 2]}).to_parquet(str(src / sub / "t.parquet"))
+    plan = MergePlan(
+        name="t",
+        paths=[str(src / "a" / "t.parquet"), str(src / "b" / "t.parquet")],
+        schema_mismatch=False,
+    )
+
+    def bad_progress(p):
+        raise RuntimeError("closed UI handle")
+
+    results = merge_batches(
+        spark, [plan], str(tmp_path / "out"), single_file=True,
+        progress=bad_progress, max_concurrency=1,
+    )
+    assert len(results) == 1 and results[0].ok and results[0].rows == 4
