@@ -66,8 +66,14 @@ def _driver_green_keys() -> set[str]:
         for key, row in latest.items()
         if isinstance(row, dict)
         and (
+            # oracle keys are green ONLY on a value-hash match: a row
+            # with rows_match=True / hash_match=False is a VALUE
+            # regression and must rotate back to the sample front (the
+            # old rows_match fallback classified exactly those rows
+            # green — a real rows-only driver row has rows_match=None
+            # and err='no_oracle', so the fallback never matched one)
             row.get("hash_match")
-            or (row.get("rows_match") and row.get("err") is None)
+            or row.get("err") == "no_oracle"
         )
     }
 

@@ -92,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         single_file=not args.no_single_file,
         csv=args.csv,
         max_concurrency=args.concurrency,
+        compression=args.compression,
     )
     failed = 0
     for r in results:

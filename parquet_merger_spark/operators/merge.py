@@ -270,6 +270,7 @@ def merge_batches(
     max_concurrency: int = 1,
     progress=None,
     progress_poll_sec: float = 0.2,
+    compression: str | None = None,
 ) -> list[BatchResult]:
     """Execute a list of merge plans into ``<output_dir>/merged/``.
 
@@ -339,7 +340,9 @@ def merge_batches(
             poller.start()
         try:
             df = merged_df(spark, plan.paths)
-            rows = write_parquet(df, out, single_file=single_file)
+            rows = write_parquet(
+                df, out, single_file=single_file, compression=compression
+            )
             if csv:
                 export_csv(
                     spark.read.parquet(out),

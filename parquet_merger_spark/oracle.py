@@ -29,6 +29,11 @@ def canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
+        if math.isinf(v):
+            # int(inf) raises OverflowError: a legitimately infinite
+            # cell (zero-denominator ratio) must canonicalize, not turn
+            # the whole key into a FAIL row
+            return f"{v:.10g}"
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
         return f"{v:.10g}"
@@ -85,11 +90,14 @@ def next_round(root: str) -> int:
         for f in files
         if (m := re.match(r"(?:CORRECTNESS_local_r|PLANS_r)(\d+)\.json$", f))
     ]
-    nxt = (max(driver) + 1) if driver else 1
+    if not driver:
+        # fresh clone with no driver artifacts: we cannot know whether
+        # the newest committed local round is still open — number PAST
+        # it (as the docstring promises) instead of overwriting it
+        return (max(local) + 1) if local else 1
+    nxt = max(driver) + 1
     if local and max(local) >= nxt:
         # the newest local artifact has no driver twin yet: this run
         # belongs to the SAME round — refresh that artifact in place
-        # (also covers the fresh-clone case where driver artifacts are
-        # absent entirely: continue the committed local numbering)
         nxt = max(local)
     return nxt

@@ -121,11 +121,23 @@ def first_touch_canary_s(mb: int = 256) -> float:
     should not be compared round-over-round.  Recorded as
     ``host_canary_s`` in BENCH_local / SCALING artifacts so they
     self-qualify."""
+    import mmap
     import time
 
-    import numpy as np
-
+    # anonymous mmap, NOT malloc/np.empty: with MALLOC_TRIM_THRESHOLD_
+    # pinned to 1 GiB (above) a heap allocation is never returned to the
+    # OS, so the SECOND canary in a process would re-touch already-
+    # faulted pages and read ~0s regardless of host state — making the
+    # "after" reading (and canary_ok) structurally blind to pathology
+    # arising mid-sweep.  munmap on close returns the pages, so every
+    # call faults fresh ones.
+    n = mb << 20
     t0 = time.perf_counter()
-    a = np.empty(mb << 20, dtype=np.uint8)
-    a[::4096] = 1
+    buf = mmap.mmap(-1, n)
+    try:
+        mv = memoryview(buf)
+        mv[::4096] = b"\x01" * (n // 4096)
+        mv.release()
+    finally:
+        buf.close()
     return round(time.perf_counter() - t0, 3)

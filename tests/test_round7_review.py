@@ -413,3 +413,85 @@ def test_merge_batches_survives_raising_progress_callback(spark, tmp_path):
         progress=bad_progress, max_concurrency=1,
     )
     assert len(results) == 1 and results[0].ok and results[0].rows == 4
+
+
+# --- support-module review wave 4 (entry/oracle/session/CLI/tools) -----------
+
+
+def test_rotation_green_requires_hash_match():
+    """A driver row with rows_match=True but hash_match=False is a VALUE
+    regression and must NOT classify green (pre-fix it never rotated
+    back to the sample front); rows-only rows classify via their
+    explicit err='no_oracle'."""
+    import __spark_entry__ as e
+
+    rows = {
+        "red_value": {"rows_match": True, "schema_match": True,
+                      "hash_match": False, "err": None},
+        "green": {"rows_match": True, "schema_match": True,
+                  "hash_match": True, "err": None},
+        "rows_only": {"rows_match": None, "schema_match": None,
+                      "hash_match": None, "err": "no_oracle"},
+    }
+    classify = {
+        k: bool(r.get("hash_match") or r.get("err") == "no_oracle")
+        for k, r in rows.items()
+    }
+    assert classify == {"red_value": False, "green": True, "rows_only": True}
+    # and the live function agrees with the committed artifacts' shape
+    green = e._driver_green_keys()
+    assert isinstance(green, set) and len(green) > 0
+
+
+def test_canon_cell_handles_infinity():
+    from parquet_merger_spark.oracle import canon_cell
+
+    assert canon_cell(float("inf")) == "inf"
+    assert canon_cell(float("-inf")) == "-inf"
+    assert canon_cell(float("nan")) == "<null>"
+    assert canon_cell(2.0) == "2.000000"
+
+
+def test_canary_faults_fresh_pages_each_call():
+    """Both probes must touch FRESH pages: the pre-fix heap allocation
+    re-read already-faulted pages on the second call (~0s regardless of
+    host state), blinding canary_ok to mid-sweep pathology."""
+    from parquet_merger_spark.session import first_touch_canary_s
+
+    a, b = first_touch_canary_s(64), first_touch_canary_s(64)
+    assert a > 0.001 and b > 0.001, (a, b)
+
+
+def test_cli_merge_threads_compression(spark, tmp_path):
+    """--compression must reach the parquet writer (pre-fix: parsed,
+    silently dropped, output always snappy)."""
+    import pyarrow.parquet as pq
+
+    from parquet_merger_spark.operators.merge import MergePlan, merge_batches
+
+    src = tmp_path / "s"
+    for sub in ("a", "b"):
+        (src / sub).mkdir(parents=True)
+        pd.DataFrame({"v": [1]}).to_parquet(str(src / sub / "t.parquet"))
+    plan = MergePlan(
+        name="t",
+        paths=[str(src / "a" / "t.parquet"), str(src / "b" / "t.parquet")],
+        schema_mismatch=False,
+    )
+    out = tmp_path / "o"
+    merge_batches(spark, [plan], str(out), single_file=True, compression="zstd")
+    meta = pq.ParquetFile(str(out / "merged" / "t.parquet")).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_next_round_numbers_past_committed_history_without_driver(tmp_path):
+    """Fresh clone with committed locals but NO driver artifacts: number
+    PAST the newest local round, never overwrite it."""
+    from parquet_merger_spark.oracle import next_round
+
+    (tmp_path / "CORRECTNESS_local_r07.json").write_text("{}")
+    (tmp_path / "PLANS_r07.json").write_text("{}")
+    assert next_round(str(tmp_path)) == 8
+    # with the driver twin present, the same-round refresh rule applies
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    assert next_round(str(tmp_path)) == 7

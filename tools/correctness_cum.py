@@ -40,9 +40,12 @@ if __name__ == "__main__":
     out = os.path.join(root, "CORRECTNESS_cum.json")
     with open(out, "w") as fh:
         json.dump(cum, fh, indent=2)
+    # green = value-hash match (or the driver's weaker rows-only check):
+    # rows_match alone classifies a VALUE regression as green — the same
+    # trap the rotation's _driver_green_keys had
     greens = sum(
         1
         for r in cum.values()
-        if r.get("rows_match") and r.get("err") is None
+        if r.get("hash_match") or r.get("err") == "no_oracle"
     )
     print(f"{out}: {len(cum)} keys, {greens} green", file=sys.stderr)

@@ -31,13 +31,19 @@ pandas/pyarrow, no Spark needed.
 Run from the repo root:  python tools/gen_scale_data.py [K] [DST] [tables...]
 
 The second decade (sf10) chains the same construction: SRC=.localdata/sf1,
-K=10, DST=.localdata/sf10 — replica 0 is sf1 verbatim and replicas 1-9
-re-suffix every token, so shingle vocabularies stay disjoint across the
-new replicas too (tokens gain a second ``·j`` suffix) and no artificial
-cross-replica duplicates appear at 100x either.  Tables not named on the
-command line are skipped (sf10 only needs what its elephants read):
+K=10, DST=.localdata/sf10.  CHAINED RUNS MUST USE A LEVEL-DISTINCT TAG
+AND SEED BASE (r07 review finding): with the same ``·`` suffix at both
+levels, sf1-replica-0 text suffixed ``·j`` inside sf10 replica j is
+byte-identical to sf1's replica-j text sitting verbatim in sf10 replica
+0 — every chained replica smuggled a full exact-duplicate 5k-doc block
+into the "no artificial duplicates" corpus; likewise reusing sign-flip
+seeds 1000+i at both levels made s_i*s_i cancel to exact duplicate
+vectors.  ``SPARK_GRAFT_SCALE_TAG`` (default ``·``) and
+``SPARK_GRAFT_SCALE_SEED_BASE`` (default 1000) make each level's
+transform injective against the previous level's outputs:
 
-    SPARK_GRAFT_SCALE_SRC=.localdata/sf1 \
+    SPARK_GRAFT_SCALE_SRC=.localdata/sf1 SPARK_GRAFT_SCALE_TAG=‡ \
+    SPARK_GRAFT_SCALE_SEED_BASE=2000 \
       python tools/gen_scale_data.py 10 .localdata/sf10 lineitem documents
 """
 
@@ -52,6 +58,11 @@ import pandas as pd
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 DST = os.path.join(ROOT, ".localdata", "sf1")
+# level-distinct knobs for chained (second-decade) generation — see the
+# module docstring for why reusing them across levels manufactures
+# exact duplicates
+TAG = os.environ.get("SPARK_GRAFT_SCALE_TAG", "·")
+SEED_BASE = int(os.environ.get("SPARK_GRAFT_SCALE_SEED_BASE", "1000"))
 
 
 def gen_lineitem(src: str, dst: str, k: int) -> None:
@@ -79,7 +90,7 @@ def gen_documents(src: str, dst: str, k: int) -> None:
         r = d.copy()
         r["doc_id"] = r["doc_id"] + i * did_span
         if i > 0:
-            suf = f"·{i}"  # one char that never appears in fixture text
+            suf = f"{TAG}{i}"  # a char that never appears in fixture text
             r["text"] = [
                 " ".join(t + suf for t in s.split(" ")) for s in r["text"]
             ]
@@ -100,7 +111,9 @@ def gen_embeddings(src: str, dst: str, k: int) -> None:
         r["vec_id"] = r["vec_id"] + i * vid_span
         if i > 0:
             signs = np.where(
-                np.random.default_rng(1000 + i).random(dim) < 0.5, -1.0, 1.0
+                np.random.default_rng(SEED_BASE + i).random(dim) < 0.5,
+                -1.0,
+                1.0,
             ).astype(np.float32)
             mat = np.stack(r["embedding"].to_numpy()) * signs
             r["embedding"] = list(mat)
