@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_green_keys() -> set[str]:
+def _driver_green_keys(root: str | None = None) -> set[str]:
     """Keys with a GREEN driver CORRECTNESS row in ANY round artifact.
 
     Green = the hard signal the judge accepts: a value-hash match (or, for
@@ -50,7 +50,7 @@ def _driver_green_keys() -> set[str]:
     import re
 
     rounds: list[tuple[int, str]] = []
-    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+    for path in glob.glob(os.path.join(root or _HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))

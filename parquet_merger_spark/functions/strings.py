@@ -23,8 +23,13 @@ def basename_col(path: Column | str) -> Column:
 
 def stem_col(path: Column | str) -> Column:
     """Basename with its final extension stripped
-    (reference: Path::file_stem, src/main.rs:271-275)."""
-    return F.regexp_replace(basename_col(path), r"\.[^.]*$", "")
+    (reference: Path::file_stem, src/main.rs:271-275).
+
+    Dot-leading names keep the reference semantics: ``.bashrc`` IS the
+    stem (a hidden file, not an empty stem with a ``bashrc`` extension)
+    — the lookbehind requires at least one character before the dot
+    being stripped, exactly Rust's ``file_stem`` rule."""
+    return F.regexp_replace(basename_col(path), r"(?<=.)\.[^.]*$", "")
 
 
 def lower_contains(col: Column | str, query: str) -> Column:

@@ -25,7 +25,12 @@ from pyspark.sql.functions import udtf
 @udtf(returnType="pos int, tok string")
 class TokenPositions:
     """Yield (1-based position, token) per whitespace token — the
-    UDTF-API twin of ``posexplode(split(text, ' '))``."""
+    UDTF-API sibling of ``posexplode(split(text, ' '))`` with two
+    deliberate differences the oracle mirrors: positions are 1-based
+    (posexplode is 0-based), and empty/NULL text yields NO rows (the
+    ``if text:`` guard — split('') would yield one empty token).  The
+    udtf_tokens oracle's ``length(text) > 0`` clause exists to match
+    this; keep them in lockstep."""
 
     def eval(self, text: str | None):  # noqa: D102 — UDTF contract
         if text:

@@ -280,9 +280,18 @@ def test_plan_digest_and_assert_scalable(spark):
     with pytest.raises(AssertionError, match="NestedLoop|Cartesian"):
         assert_scalable(cart)
 
-    funnel = spark.range(1000).orderBy("id").limit(10**9)  # global sort shape
+    # the global-funnel red line must actually FIRE (the old body only
+    # digested the funnel — a tautology that could not catch deleting
+    # the SinglePartition branch from assert_scalable)
+    funnel = (
+        spark.range(1000)
+        .repartition(1)
+        .withColumn("x", F.col("id") + 1)
+    )
     dd = plan_digest(funnel)
-    assert isinstance(dd, dict) and set(dd) >= {"hash_exchanges"}
+    assert dd["single_partition_exchanges"] >= 1, dd
+    with pytest.raises(AssertionError, match="SinglePartition"):
+        assert_scalable(funnel)
 
 
 # Queries whose plans legitimately contain a BroadcastNestedLoopJoin:

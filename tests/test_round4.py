@@ -27,7 +27,7 @@ def test_gopher_rules_zero_shuffle_plan(spark):
     assert dig["hash_exchanges"] == 0
 
 
-def test_gopher_top_share_is_max_multiplicity(spark):
+def test_gopher_top_share_is_max_multiplicity(spark, tmp_path):
     """The sorted-array max-run equals the max token multiplicity —
     pinned on crafted docs including the all-same and all-distinct
     extremes."""
@@ -45,8 +45,7 @@ def test_gopher_top_share_is_max_multiplicity(spark):
             ],
         }
     )
-    tmp = "/tmp/pm_gopher_fixture"
-    os.makedirs(tmp, exist_ok=True)
+    tmp = str(tmp_path)  # pytest-managed: no cross-run state, no races
     docs.to_parquet(f"{tmp}/documents.parquet", index=False)
     out = (
         QUERIES["gopher_quality_rules"](spark, tmp)

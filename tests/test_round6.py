@@ -186,9 +186,11 @@ def test_upsert_bloom_knob_identical_and_bypasses(spark):
 
 def test_zorder_scan_prunes_partitions(spark):
     """The z-layout re-scan lists only the covering cells: the scan
-    node carries a PartitionFilters entry on zbucket, the covering set
-    is 4 of 16 cells for the pinned rectangle, and the pruned result
-    equals the full-scan predicate (superset + row re-filter)."""
+    node carries a PartitionFilters entry on zbucket and the covering
+    set is 4 of 16 cells for the pinned rectangle.  (Pruned == full-scan
+    equality is NOT re-checked here — the zorder_pruned_scan key is
+    hash-certified against the plain full-scan predicate's DuckDB
+    oracle, which IS that equality.)"""
     from pyspark.sql import functions as F
 
     from parquet_merger_spark.operators.bucketing import (

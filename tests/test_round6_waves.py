@@ -150,12 +150,19 @@ def test_winsorized_mean_clamps(spark, tmp_path):
 
 
 def test_tv_divergence_bounds(spark):
-    """Total variation lies in [0, 1] and the corpus-weighted mean is
-    small for sources drawn from the corpus distribution."""
+    """Total variation lies in [0, 1] AND the mean is actually small for
+    sources drawn from the corpus distribution (fixture measures ~0.057
+    with max 0.073; a broken divergence collapsing to a constant 0 or
+    pinned at 1 fails the band) — the old body only asserted [0, 1],
+    which any correctly-typed wrong computation satisfies."""
     rows = QUERIES["source_divergence_tv"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r["tv_divergence"] <= 1.0
+    vals = [r["tv_divergence"] for r in rows]
+    mean = sum(vals) / len(vals)
+    assert 0.01 < mean < 0.3, mean  # small but NON-ZERO sampling noise
+    assert max(vals) > 0.0
 
 
 def test_kfold_folds_complete(spark):

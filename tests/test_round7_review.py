@@ -418,31 +418,6 @@ def test_merge_batches_survives_raising_progress_callback(spark, tmp_path):
 # --- support-module review wave 4 (entry/oracle/session/CLI/tools) -----------
 
 
-def test_rotation_green_requires_hash_match():
-    """A driver row with rows_match=True but hash_match=False is a VALUE
-    regression and must NOT classify green (pre-fix it never rotated
-    back to the sample front); rows-only rows classify via their
-    explicit err='no_oracle'."""
-    import __spark_entry__ as e
-
-    rows = {
-        "red_value": {"rows_match": True, "schema_match": True,
-                      "hash_match": False, "err": None},
-        "green": {"rows_match": True, "schema_match": True,
-                  "hash_match": True, "err": None},
-        "rows_only": {"rows_match": None, "schema_match": None,
-                      "hash_match": None, "err": "no_oracle"},
-    }
-    classify = {
-        k: bool(r.get("hash_match") or r.get("err") == "no_oracle")
-        for k, r in rows.items()
-    }
-    assert classify == {"red_value": False, "green": True, "rows_only": True}
-    # and the live function agrees with the committed artifacts' shape
-    green = e._driver_green_keys()
-    assert isinstance(green, set) and len(green) > 0
-
-
 def test_canon_cell_handles_infinity():
     from parquet_merger_spark.oracle import canon_cell
 
