@@ -123,10 +123,71 @@ def gen_embeddings(src: str, dst: str, k: int) -> None:
     print(f"embeddings: {len(e)} -> {len(big)} rows (dim {dim})", flush=True)
 
 
+def _custkey_span(src: str) -> int:
+    """ONE custkey span shared by gen_orders and gen_customer — the two
+    tables must offset by the same stride or replica-i orders would join
+    replica-j customers."""
+    c = pd.read_parquet(os.path.join(src, "customer.parquet"), columns=["c_custkey"])
+    o = pd.read_parquet(os.path.join(src, "orders.parquet"), columns=["o_custkey"])
+    return max(int(c["c_custkey"].max()), int(o["o_custkey"].max())) + 1
+
+
+def gen_orders(src: str, dst: str, k: int) -> None:
+    """Key-offset replicas; o_custkey offsets by the SHARED custkey span
+    so orders->customer joins stay consistent when both replicate."""
+    o = pd.read_parquet(os.path.join(src, "orders.parquet"))
+    okey_span = int(o["o_orderkey"].max()) + 1
+    ckey_span = _custkey_span(src)
+    reps = []
+    for i in range(k):
+        r = o.copy()
+        r["o_orderkey"] = r["o_orderkey"] + i * okey_span
+        r["o_custkey"] = r["o_custkey"] + i * ckey_span
+        reps.append(r)
+    big = pd.concat(reps, ignore_index=True)
+    big.to_parquet(os.path.join(dst, "orders.parquet"), index=False)
+    print(f"orders: {len(o)} -> {len(big)} rows", flush=True)
+
+
+def gen_customer(src: str, dst: str, k: int) -> None:
+    """c_custkey offsets by the SHARED custkey span (_custkey_span)."""
+    c = pd.read_parquet(os.path.join(src, "customer.parquet"))
+    ckey_span = _custkey_span(src)
+    reps = []
+    for i in range(k):
+        r = c.copy()
+        r["c_custkey"] = r["c_custkey"] + i * ckey_span
+        reps.append(r)
+    big = pd.concat(reps, ignore_index=True)
+    big.to_parquet(os.path.join(dst, "customer.parquet"), index=False)
+    print(f"customer: {len(c)} -> {len(big)} rows", flush=True)
+
+
+def gen_events(src: str, dst: str, k: int) -> None:
+    """event_id/user_id key-offset replicas, timestamps preserved: event
+    volume grows 10x at constant time span (constant per-user/per-type
+    distributions) — the shape a growing service's event table has."""
+    e = pd.read_parquet(os.path.join(src, "events.parquet"))
+    eid_span = int(e["event_id"].max()) + 1
+    uid_span = int(e["user_id"].max()) + 1
+    reps = []
+    for i in range(k):
+        r = e.copy()
+        r["event_id"] = r["event_id"] + i * eid_span
+        r["user_id"] = r["user_id"] + i * uid_span
+        reps.append(r)
+    big = pd.concat(reps, ignore_index=True)
+    big.to_parquet(os.path.join(dst, "events.parquet"), index=False)
+    print(f"events: {len(e)} -> {len(big)} rows", flush=True)
+
+
 GENERATORS = {
     "lineitem": gen_lineitem,
     "documents": gen_documents,
     "embeddings": gen_embeddings,
+    "orders": gen_orders,
+    "customer": gen_customer,
+    "events": gen_events,
 }
 
 

@@ -98,10 +98,21 @@ def main() -> None:
     from parquet_merger_spark.queries import QUERIES
     from parquet_merger_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a != "--verification"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--verification" in sys.argv[1:]:
         KEYS.extend(VERIFICATION_KEYS)
         KEYS_100X.extend(VERIFICATION_KEYS)
+    only = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--keys=")),
+        None,
+    )
+    if only:
+        # measure an ad-hoc key list instead of the standing panel (the
+        # r07 warehouse/events family ran this way; merge the output into
+        # the committed artifact by hand — this tool OVERWRITES)
+        KEYS[:] = only.split(",")
+        KEYS_100X[:] = list(KEYS)
+        SPECIAL.clear()
     reps = int(args[0]) if args else 2
     spark = get_spark("pm-scale-bench", cpus=32)
     spark.sparkContext.setLogLevel("ERROR")
