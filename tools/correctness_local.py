@@ -75,7 +75,9 @@ def main() -> None:
     from parquet_merger_spark.oracle import next_round
 
     n = next_round(ROOT)
-    path = os.path.join(ROOT, f"CORRECTNESS_local_r{n:02d}.json")
+    path = os.environ.get("SPARK_GRAFT_ORACLE_OUT") or os.path.join(
+        ROOT, f"CORRECTNESS_local_r{n:02d}.json"
+    )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     n_pass = sum(1 for r in out.values() if r["hash_match"])
