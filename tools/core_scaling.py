@@ -57,28 +57,61 @@ PANEL = [
 ]
 
 
+def _prefault_inputs() -> None:
+    """Pull every panel input file through the page cache once, so the
+    FIRST session's first keys don't pay cold-file IO the later sessions
+    never see (that asymmetry inflated local[4] walls ~3x on the first
+    measured key in the initial sf1 run)."""
+    for name in os.listdir(SF_DIR):
+        with open(os.path.join(SF_DIR, name), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+
 def main() -> None:
     from parquet_merger_spark.queries import QUERIES
     from parquet_merger_spark.session import first_touch_canary_s, get_spark
 
+    reps = int(os.environ.get("SPARK_GRAFT_CORE_REPS", "2"))
+    cycles = int(os.environ.get("SPARK_GRAFT_CORE_CYCLES", "2"))
+    _prefault_inputs()
     canary_before = first_touch_canary_s()
-    walls: dict[str, dict[str, float]] = {k: {} for k in PANEL}
-    for n in CORES:
-        spark = get_spark(f"pm-core-scaling-{n}", cpus=n)
-        spark.sparkContext.setLogLevel("ERROR")
-        # bench.py's warm-up: fault the IO path + fork all python workers
-        spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
-        spark.range(0, n, 1, n).mapInPandas(lambda it: it, "id long").count()
-        for key in PANEL:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            QUERIES[key](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            walls[key][str(n)] = round(time.perf_counter() - t0, 3)
-            print(f"local[{n}] {key}: {walls[key][str(n)]}s", flush=True)
-        spark.stop()
-    canary_after = first_touch_canary_s()
+    walls: dict[str, dict[str, float]] = {
+        k: {str(n): float("inf") for n in CORES} for k in PANEL
+    }
+    session_canary: dict[str, float] = {}
+    # CYCLE the core counts (4,16,32, 4,16,32, ...) taking the best wall
+    # per (key, cores) across cycles: this host's fault-service latency
+    # drifts on ~10-minute timescales (BASELINE.md §3), and a single
+    # monotone pass confounds that drift with the core count — the first
+    # committed run showed pure scans "slowing down" at 32 cores because
+    # the 32-core session happened to run last, in the worst window.
+    for cyc in range(cycles):
+        for n in CORES:
+            spark = get_spark(f"pm-core-scaling-{n}", cpus=n)
+            spark.sparkContext.setLogLevel("ERROR")
+            # bench.py's warm-up: fault IO path + fork all python workers
+            spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+            spark.range(0, n, 1, n).mapInPandas(lambda it: it, "id long").count()
+            for key in PANEL:
+                best = walls[key][str(n)]
+                for _ in range(reps):  # best-of-reps: drop transient noise
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    QUERIES[key](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                walls[key][str(n)] = round(best, 3)
+            spark.stop()
+            # per-session canary: a fault-dominated window localizes to
+            # the session it hit instead of silently poisoning the artifact
+            c = first_touch_canary_s()
+            session_canary[f"cycle{cyc}_local{n}"] = c
+            print(f"cycle {cyc} local[{n}] done, canary {c}s", flush=True)
+    for key in PANEL:
+        print(f"{key}: {walls[key]}", flush=True)
+    canary_after = c
 
     lo, hi = str(CORES[0]), str(CORES[-1])
     ratio = CORES[-1] / CORES[0]
@@ -87,16 +120,20 @@ def main() -> None:
     for key in PANEL:
         w = walls[key]
         speedup = round(w[lo] / w[hi], 2) if w[hi] else None
-        adj_lo = max(w[lo] - floor_lo, 1e-9)
-        adj_hi = max(w[hi] - floor_hi, 1e-9)
+        adj_lo = w[lo] - floor_lo
+        adj_hi = w[hi] - floor_hi
         out[key] = {
             "wall_s": w,
             "speedup_4_to_32": speedup,
             "efficiency": round(speedup / ratio, 2) if speedup else None,
             # fixed-cost floor subtracted (projection's wall at each N):
-            # the efficiency of the key's OWN data-parallel work
+            # the efficiency of the key's OWN data-parallel work.  None
+            # when either adjusted wall is under 50ms — the key IS the
+            # floor there and the ratio would be pure noise
             "efficiency_floor_adj": (
-                round((adj_lo / adj_hi) / ratio, 2) if key != "projection" else None
+                round((adj_lo / adj_hi) / ratio, 2)
+                if key != "projection" and min(adj_lo, adj_hi) > 0.05
+                else None
             ),
         }
 
@@ -105,8 +142,14 @@ def main() -> None:
     artifact = {
         "sf_dir": SF_DIR,
         "cores": list(CORES),
-        "host_canary_s": {"before": canary_before, "after": canary_after},
-        "canary_ok": bool(max(canary_before, canary_after) < 1.0),
+        "host_canary_s": {
+            "before": canary_before,
+            "after": canary_after,
+            "per_session": session_canary,
+        },
+        "canary_ok": bool(
+            max(canary_before, *session_canary.values()) < 1.0
+        ),
         "keys": out,
     }
     n = next_round(ROOT)
