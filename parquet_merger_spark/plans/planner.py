@@ -23,7 +23,7 @@ from pyspark.sql import SparkSession
 
 from parquet_merger_spark.functions.naming import generate_batch_name
 from parquet_merger_spark.plans.schema import check_schema_mismatch
-from parquet_merger_spark.sources.catalog import ParquetFileEntry, probe_schema
+from parquet_merger_spark.sources.catalog import ParquetFileEntry, probe_schemas
 
 
 @dataclass
@@ -91,7 +91,7 @@ def plan_batch(
     src/main.rs:184-228): deterministic order, advisory mismatch flag from
     footer-only probes, name derived from member file stems."""
     paths = sorted(paths)
-    schemas = [probe_schema(spark, p) for p in paths]
+    schemas = probe_schemas(spark, paths)
     mismatch = check_schema_mismatch(schemas)
     name = generate_batch_name([_stem(p) for p in paths], batch_number)
     return MergePlan(name=name, paths=paths, schema_mismatch=mismatch)
@@ -108,20 +108,24 @@ def smart_batch(
     for e in entries:
         groups.setdefault(os.path.basename(e.full_path), []).append(e.full_path)
 
-    plans: list[MergePlan] = []
-    singletons = 0
-    for filename, paths in groups.items():
-        if len(paths) <= 1:
-            singletons += 1
-            continue
-        paths = sorted(paths)
-        schemas = [probe_schema(spark, p) for p in paths]
-        plans.append(
-            MergePlan(
-                name=os.path.splitext(filename)[0],
-                paths=paths,
-                schema_mismatch=check_schema_mismatch(schemas),
-            )
+    batched = {
+        filename: sorted(paths)
+        for filename, paths in groups.items()
+        if len(paths) > 1
+    }
+    singletons = sum(1 for paths in groups.values() if len(paths) <= 1)
+    # ONE concurrent probe over every batch member (not per-group serial
+    # loops): at 100k files the footer probes, not the merges, dominate
+    # planning wall — see probe_schemas
+    flat = [p for paths in batched.values() for p in paths]
+    probed = dict(zip(flat, probe_schemas(spark, flat)))
+    plans = [
+        MergePlan(
+            name=os.path.splitext(filename)[0],
+            paths=paths,
+            schema_mismatch=check_schema_mismatch([probed[p] for p in paths]),
         )
+        for filename, paths in batched.items()
+    ]
     plans.sort(key=lambda p: p.name)
     return plans, singletons

@@ -90,6 +90,155 @@ def probe_schema(spark: SparkSession, path: str) -> StructType | None:
         return None
 
 
+class _UnsafeForArrowProbe(Exception):
+    """Raised by the arrow->Spark type walk when a type is outside the
+    parity-pinned safe set; the caller falls back to the Spark probe."""
+
+
+def _arrow_probe_type(t, int96_paths: frozenset[str], path: str):
+    """Map a parquet-level arrow type to the EXACT Spark type
+    ``spark.read.parquet(file).schema`` would report, or raise
+    :class:`_UnsafeForArrowProbe`.
+
+    The safe set is pinned file-by-file against the Spark probe in
+    ``tests/test_planner.py`` (type zoo: every branch below plus the
+    fallback types).  Notable mappings, all verified:
+
+    - tz-naive timestamp (s/ms/us) -> TimestampNTZType (Spark's
+      ``inferTimestampNTZ`` default), tz-aware -> TimestampType;
+    - ns-unit timestamps: physical INT96 (legacy Spark writers) reads
+      as TimestampType; an INT64 ns annotation makes ``spark.read``
+      itself raise — both only at top level, nested ns is UNSAFE;
+    - unsigned ints are UNSAFE (Spark widens u8->short, u32->long,
+      u64->decimal(20,0); handled by the Spark-probe fallback);
+    - every field/element is nullable: Spark's file-source inference
+      applies ``asNullable`` to the whole schema regardless of parquet
+      required/optional.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_int8(t):
+        return T.ByteType()
+    if pa.types.is_int16(t):
+        return T.ShortType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_date(t):
+        return T.DateType()
+    if pa.types.is_decimal128(t):
+        return T.DecimalType(t.precision, t.scale)
+    if pa.types.is_timestamp(t):
+        if t.unit in ("s", "ms", "us"):
+            return T.TimestampType() if t.tz else T.TimestampNTZType()
+        if t.unit == "ns" and path in int96_paths:
+            return T.TimestampType()  # legacy INT96, top-level only
+        raise _UnsafeForArrowProbe(f"timestamp[{t.unit}] at {path!r}")
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        elem = _arrow_probe_type(t.value_type, frozenset(), f"{path}.<list>")
+        return T.ArrayType(elem, containsNull=True)
+    if pa.types.is_struct(t):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    _arrow_probe_type(f.type, frozenset(), f"{path}.{f.name}"),
+                    nullable=True,
+                )
+                for f in t
+            ]
+        )
+    if pa.types.is_map(t):
+        return T.MapType(
+            _arrow_probe_type(t.key_type, frozenset(), f"{path}.<key>"),
+            _arrow_probe_type(t.item_type, frozenset(), f"{path}.<val>"),
+            valueContainsNull=True,
+        )
+    raise _UnsafeForArrowProbe(f"{t} at {path!r}")
+
+
+def _probe_schema_arrow(path: str) -> StructType:
+    """Footer probe via pyarrow — no JVM round trip (~1 ms vs ~15 ms).
+
+    Uses the PARQUET-LEVEL schema (``to_arrow_schema`` on the parquet
+    schema, not the metadata-restored ``schema_arrow``): the embedded
+    ``ARROW:schema`` blob can restore writer-side types (date64,
+    fixed_size_list, uint) that Spark's converter — which only sees the
+    parquet annotations — never would.  Raises on anything it cannot
+    map with pinned parity; the caller then falls back to the Spark
+    probe, so the fast path can only ever be a byte-identical shortcut.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    pf = pq.ParquetFile(path)
+    pq_schema = pf.schema
+    int96_paths = frozenset(
+        pq_schema.column(i).path
+        for i in range(len(pq_schema))
+        if pq_schema.column(i).physical_type == "INT96"
+    )
+    fields = [
+        T.StructField(
+            f.name, _arrow_probe_type(f.type, int96_paths, f.name), nullable=True
+        )
+        for f in pq_schema.to_arrow_schema()
+    ]
+    return T.StructType(fields)
+
+
+def probe_schemas(
+    spark: SparkSession, paths: list[str], max_workers: int | None = None
+) -> list[StructType | None]:
+    """Probe many footers CONCURRENTLY; one result per path, in order
+    (None where unreadable — same contract as :func:`probe_schema`).
+
+    The file-count scale path: one serial Spark probe is a driver->JVM
+    round trip per footer (~15 ms), so a 100k-file batch set costs tens
+    of minutes before any merge starts.  Two measures fix that:
+
+    1. an arrow-native footer probe (:func:`_probe_schema_arrow`) reads
+       the footer in-process with a parity-pinned type mapping — any
+       type outside the pinned set, or any read error, falls back to
+       the authoritative Spark probe for that file, so results are
+       byte-identical by construction;
+    2. a thread pool overlaps whatever probes remain (arrow IO releases
+       the GIL; py4j serves concurrent fallback calls over separate
+       gateway connections).
+
+    Ordering: results[i] is paths[i], so callers' positional zip with
+    paths (mismatch detection, schema grouping) is unaffected.
+    """
+    if not paths:
+        return []
+
+    def _probe_one(p: str) -> StructType | None:
+        try:
+            return _probe_schema_arrow(p)
+        except Exception:
+            return probe_schema(spark, p)
+
+    if len(paths) == 1:  # no pool spin-up for the common single-file case
+        return [_probe_one(paths[0])]
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max_workers or min(16, len(paths), os.cpu_count() or 4)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(_probe_one, paths))
+
+
 def file_catalog_df(spark: SparkSession, folders: list[str]) -> DataFrame:
     """The discovered-file list as a DataFrame: (full_path, display_path,
     file_name, file_stem).

@@ -116,3 +116,128 @@ def test_remove_completed_keeps_failures():
     ]
     remaining = remove_completed(plans, results)
     assert [p.name for p in remaining] == ["b"]
+
+
+def test_probe_schemas_concurrent_matches_serial(spark, tmp_path):
+    """probe_schemas is the SAME probe overlapped, not a reimplementation:
+    per-path results (including None for unreadable) must equal the serial
+    loop's, in path order."""
+    from parquet_merger_spark.sources.catalog import probe_schemas
+
+    paths = []
+    for i in range(7):
+        paths.append(
+            _write(
+                tmp_path / f"f{i}.parquet",
+                {"a": pd.Series(range(i + 1), dtype="int64"),
+                 "b": pd.Series([f"s{i}"] * (i + 1))},
+            )
+        )
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"not parquet")
+    paths.insert(3, str(bad))
+    got = probe_schemas(spark, paths)
+    want = [probe_schema(spark, p) for p in paths]
+    assert got == want
+    assert got[3] is None and all(s is not None for i, s in enumerate(got) if i != 3)
+    # single-path fast path and empty input
+    assert probe_schemas(spark, [paths[0]]) == [want[0]]
+    assert probe_schemas(spark, []) == []
+
+
+def test_merged_df_names_first_unreadable_in_path_order(spark, tmp_path):
+    """With TWO unreadable files, the error names the first in PATH order —
+    concurrency must not make the named file depend on completion order."""
+    import pytest
+
+    from parquet_merger_spark.operators.merge import merged_df
+    from parquet_merger_spark.plans.schema import UnreadableSchemaError
+
+    good = _write(tmp_path / "a_good.parquet", {"k": pd.Series([1], dtype="int64")})
+    bad1 = tmp_path / "b_bad.parquet"
+    bad1.write_bytes(b"junk1")
+    bad2 = tmp_path / "c_bad.parquet"
+    bad2.write_bytes(b"junk2")
+    with pytest.raises(UnreadableSchemaError) as exc:
+        merged_df(spark, [good, str(bad1), str(bad2)])
+    assert "b_bad.parquet" in str(exc.value)
+
+
+def test_arrow_fast_probe_parity_type_zoo(spark, tmp_path):
+    """The arrow fast probe must be a byte-identical shortcut: for every
+    type in the zoo — safe-set types mapped directly, unsafe types
+    (unsigned, ns-INT64 timestamps) via the Spark-probe fallback —
+    probe_schemas == probe_schema, including None for files Spark itself
+    refuses (ns-annotated INT64) and for corrupt files."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_merger_spark.sources.catalog import probe_schemas
+
+    cases = {
+        "bool": pa.array([True, None], pa.bool_()),
+        "i8": pa.array([1, None], pa.int8()),
+        "i16": pa.array([1, None], pa.int16()),
+        "i32": pa.array([1, None], pa.int32()),
+        "i64": pa.array([1, None], pa.int64()),
+        "f32": pa.array([1.5, None], pa.float32()),
+        "f64": pa.array([1.5, None], pa.float64()),
+        "str": pa.array(["a", None], pa.string()),
+        "large_str": pa.array(["a", None], pa.large_string()),
+        "bin": pa.array([b"a", None], pa.binary()),
+        "date32": pa.array([datetime.date(2024, 1, 1)], pa.date32()),
+        "date64": pa.array([datetime.date(2024, 1, 1)], pa.date64()),
+        "ts_us": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("us")),
+        "ts_ms": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("ms")),
+        "ts_us_utc": pa.array(
+            [datetime.datetime(2024, 1, 1)], pa.timestamp("us", tz="UTC")
+        ),
+        "dec": pa.array([decimal.Decimal("1.23")], pa.decimal128(10, 2)),
+        "list_i64": pa.array([[1, 2]], pa.list_(pa.int64())),
+        "fsl_f32": pa.array([[1.0] * 4], pa.list_(pa.float32(), 4)),
+        "struct": pa.array(
+            [{"x": 1, "y": "a"}], pa.struct([("x", pa.int64()), ("y", pa.string())])
+        ),
+        "map": pa.array([[("a", 1)]], pa.map_(pa.string(), pa.int64())),
+        # unsafe set: Spark-probe fallback territory
+        "u8": pa.array([1], pa.uint8()),
+        "u32": pa.array([1], pa.uint32()),
+        "u64": pa.array([1], pa.uint64()),
+        "ts_ns": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("ns")),
+        "ts_ns_tz": pa.array(
+            [datetime.datetime(2024, 1, 1)], pa.timestamp("ns", tz="UTC")
+        ),
+    }
+    paths = []
+    for name, arr in cases.items():
+        p = str(tmp_path / f"{name}.parquet")
+        pq.write_table(pa.table({name: arr}), p)
+        paths.append(p)
+    # required (non-nullable) field: Spark's inference force-nullables it
+    req = str(tmp_path / "required.parquet")
+    sch = pa.schema([pa.field("r", pa.int64(), nullable=False)])
+    pq.write_table(pa.table({"r": pa.array([1, 2], pa.int64())}).cast(sch), req)
+    paths.append(req)
+    # legacy INT96 timestamp (Spark's own writer default)
+    int96_dir = str(tmp_path / "int96")
+    spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), "x")], "ts timestamp, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(int96_dir)
+    import glob
+
+    paths.append(glob.glob(f"{int96_dir}/part-*.parquet")[0])
+    # corrupt file -> None from both
+    bad = str(tmp_path / "corrupt.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"nope")
+    paths.append(bad)
+
+    fast = probe_schemas(spark, paths)
+    slow = [probe_schema(spark, p) for p in paths]
+    for p, f_, s_ in zip(paths, fast, slow):
+        assert f_ == s_, (p, f_, s_)
+    # the ns-INT64 files are unreadable to Spark: both report None
+    assert slow[paths.index(str(tmp_path / "ts_ns.parquet"))] is None
