@@ -13,6 +13,7 @@ surface (display paths, per-file rows) for planning and UIs.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -200,23 +201,33 @@ def _probe_schema_arrow(path: str) -> StructType:
 
 
 def probe_schemas(
-    spark: SparkSession, paths: list[str], max_workers: int | None = None
+    spark: SparkSession,
+    paths: list[str],
+    max_workers: int | None = None,
+    distributed_threshold: int = 8192,
 ) -> list[StructType | None]:
     """Probe many footers CONCURRENTLY; one result per path, in order
     (None where unreadable — same contract as :func:`probe_schema`).
 
     The file-count scale path: one serial Spark probe is a driver->JVM
     round trip per footer (~15 ms), so a 100k-file batch set costs tens
-    of minutes before any merge starts.  Two measures fix that:
+    of minutes before any merge starts.  Three tiers:
 
     1. an arrow-native footer probe (:func:`_probe_schema_arrow`) reads
-       the footer in-process with a parity-pinned type mapping — any
-       type outside the pinned set, or any read error, falls back to
-       the authoritative Spark probe for that file, so results are
-       byte-identical by construction;
-    2. a thread pool overlaps whatever probes remain (arrow IO releases
-       the GIL; py4j serves concurrent fallback calls over separate
-       gateway connections).
+       the footer in-process (~0.5 ms) with a parity-pinned type
+       mapping — any type outside the pinned set, or any read error,
+       falls back to the authoritative Spark probe for that file, so
+       results are byte-identical by construction;
+    2. a driver thread pool overlaps the probes (arrow IO releases the
+       GIL; py4j serves concurrent fallback calls over separate gateway
+       connections) — the default up to ``distributed_threshold``;
+    3. at or above the threshold, the arrow probes run ON THE CLUSTER
+       (mapInPandas over the path list, schemas shipped back as JSON —
+       the same executor-side footer pattern ``sources/stats.py`` uses
+       for row-group pruning): wall scales with executors, not driver
+       threads, which is the 1M-file regime.  Files the executor pass
+       marks unsafe/unreadable still fall back to the driver-side Spark
+       probe, preserving exact parity.
 
     Ordering: results[i] is paths[i], so callers' positional zip with
     paths (mismatch detection, schema grouping) is unaffected.
@@ -232,11 +243,61 @@ def probe_schemas(
 
     if len(paths) == 1:  # no pool spin-up for the common single-file case
         return [_probe_one(paths[0])]
+
+    if len(paths) >= distributed_threshold:
+        results: dict[str, StructType | None] = _probe_schemas_distributed(
+            spark, paths
+        )
+        # exact parity for the residue: unsafe/unreadable files get the
+        # authoritative Spark probe, same as the threaded tier
+        return [
+            results[p] if results.get(p) is not None else probe_schema(spark, p)
+            for p in paths
+        ]
+
     from concurrent.futures import ThreadPoolExecutor
 
     workers = max_workers or min(16, len(paths), os.cpu_count() or 4)
     with ThreadPoolExecutor(max_workers=workers) as pool:
         return list(pool.map(_probe_one, paths))
+
+
+def _probe_schemas_distributed(
+    spark: SparkSession, paths: list[str]
+) -> dict[str, StructType | None]:
+    """Executor-side arrow footer probes: path list -> (path, schema
+    JSON) via mapInPandas; None JSON marks unsafe/unreadable files for
+    the caller's Spark-probe fallback.  StructType round-trips its JSON
+    representation exactly (``StructType.fromJson``)."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    def probe_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p in pdf["file"]:
+                try:
+                    out.append(_probe_schema_arrow(p).json())
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({"file": pdf["file"], "schema_json": out})
+
+    files = spark.createDataFrame([(p,) for p in paths], "file string")
+    n_slices = max(1, min(len(paths) // 256, 512))
+    rows = (
+        files.repartition(n_slices)
+        .mapInPandas(probe_batches, "file string, schema_json string")
+        .collect()
+    )
+    return {
+        r["file"]: (
+            StructType.fromJson(json.loads(r["schema_json"]))
+            if r["schema_json"] is not None
+            else None
+        )
+        for r in rows
+    }
 
 
 def file_catalog_df(spark: SparkSession, folders: list[str]) -> DataFrame:

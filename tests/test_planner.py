@@ -239,5 +239,43 @@ def test_arrow_fast_probe_parity_type_zoo(spark, tmp_path):
     slow = [probe_schema(spark, p) for p in paths]
     for p, f_, s_ in zip(paths, fast, slow):
         assert f_ == s_, (p, f_, s_)
-    # the ns-INT64 files are unreadable to Spark: both report None
-    assert slow[paths.index(str(tmp_path / "ts_ns.parquet"))] is None
+    # ns-INT64 goes through the Spark-probe fallback, whatever that
+    # yields under the session's confs: None (Spark 4 default rejects
+    # TIMESTAMP(NANOS)) or bigint (legacy.parquet.nanosAsLong=true, set
+    # by the oracle suite) — the parity loop above already proved the
+    # fast path matched it either way
+    ns_probe = slow[paths.index(str(tmp_path / "ts_ns.parquet"))]
+    assert ns_probe is None or ns_probe.fields[0].dataType.simpleString() == "bigint"
+
+
+def test_probe_schemas_distributed_tier_parity(spark, tmp_path):
+    """The executor-side probe tier (mapInPandas + schema JSON) must be
+    indistinguishable from the threaded tier: same results on a mixed
+    safe/unsafe/corrupt set when the threshold forces the distributed
+    path, including the per-file Spark-probe fallback residue."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_merger_spark.sources.catalog import probe_schemas
+
+    paths = []
+    for i in range(5):
+        paths.append(
+            _write(
+                tmp_path / f"ok{i}.parquet",
+                {"a": pd.Series(range(3), dtype="int64"), "b": pd.Series(list("xyz"))},
+            )
+        )
+    unsafe = str(tmp_path / "u64.parquet")
+    pq.write_table(pa.table({"u": pa.array([1], pa.uint64())}), unsafe)
+    paths.insert(2, unsafe)
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"junk")
+    paths.insert(4, str(bad))
+
+    via_dist = probe_schemas(spark, paths, distributed_threshold=2)
+    via_threads = probe_schemas(spark, paths, distributed_threshold=10**9)
+    serial = [probe_schema(spark, p) for p in paths]
+    assert via_dist == via_threads == serial
+    assert via_dist[4] is None  # corrupt
+    assert via_dist[2].fields[0].dataType.simpleString() == "decimal(20,0)"  # u64 widened
