@@ -101,10 +101,20 @@ def main() -> None:
             probe_schema(spark, p)
         t_serial = time.perf_counter() - t0
 
+        # the executor-distributed tier, forced (default threshold 8192):
+        # higher fixed cost than driver threads at these counts — its
+        # regime is 100k-1M files where wall scales with executors
+        from parquet_merger_spark.sources.catalog import probe_schemas
+
+        t0 = time.perf_counter()
+        probe_schemas(spark, paths, distributed_threshold=2)
+        t_dist = time.perf_counter() - t0
+
         out["many_batches"][str(n)] = {
             "scan_folders_s": round(t_scan, 3),
             "smart_batch_s": round(t_plan, 3),
             "serial_probe_s": round(t_serial, 3),
+            "distributed_probe_s": round(t_dist, 3),
             "probe_speedup": round(t_serial / max(t_plan, 1e-9), 1),
             "n_plans": len(plans),
         }
