@@ -235,16 +235,37 @@ def probe_schemas(
     if not paths:
         return []
 
-    def _probe_one(p: str) -> StructType | None:
+    # The arrow tier's parity is pinned under Spark's DEFAULT parquet
+    # reader confs; each of these changes what the Spark probe reports
+    # for some type (tz-naive -> TimestampType when NTZ inference is
+    # off, unannotated BYTE_ARRAY -> string, INT96 -> non-timestamp).
+    # Under a non-default setting, disable the shortcut: every probe
+    # takes the authoritative (still thread-overlapped) Spark path.
+    # nanosAsLong needs no guard — ns is already always-unsafe.
+    def _conf(key: str, default: str) -> str:
         try:
-            return _probe_schema_arrow(p)
+            return spark.conf.get(key, default)
         except Exception:
-            return probe_schema(spark, p)
+            return default
+
+    arrow_ok = (
+        _conf("spark.sql.parquet.inferTimestampNTZ.enabled", "true") == "true"
+        and _conf("spark.sql.parquet.binaryAsString", "false") == "false"
+        and _conf("spark.sql.parquet.int96AsTimestamp", "true") == "true"
+    )
+
+    def _probe_one(p: str) -> StructType | None:
+        if arrow_ok:
+            try:
+                return _probe_schema_arrow(p)
+            except Exception:
+                pass
+        return probe_schema(spark, p)
 
     if len(paths) == 1:  # no pool spin-up for the common single-file case
         return [_probe_one(paths[0])]
 
-    if len(paths) >= distributed_threshold:
+    if arrow_ok and len(paths) >= distributed_threshold:
         results: dict[str, StructType | None] = _probe_schemas_distributed(
             spark, paths
         )

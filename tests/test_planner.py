@@ -279,3 +279,37 @@ def test_probe_schemas_distributed_tier_parity(spark, tmp_path):
     assert via_dist == via_threads == serial
     assert via_dist[4] is None  # corrupt
     assert via_dist[2].fields[0].dataType.simpleString() == "decimal(20,0)"  # u64 widened
+
+
+def test_arrow_probe_disabled_under_nondefault_reader_confs(spark, tmp_path):
+    """The arrow tier's parity is pinned under default parquet reader
+    confs; with NTZ inference off, a tz-naive file probes as TimestampType
+    (not ntz) — probe_schemas must follow the Spark probe, i.e. the
+    shortcut must disable itself."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_merger_spark.sources.catalog import probe_schemas
+
+    p = str(tmp_path / "naive.parquet")
+    pq.write_table(
+        pa.table({"t": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("us"))}),
+        p,
+    )
+    p2 = str(tmp_path / "other.parquet")
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), p2)
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        fast = probe_schemas(spark, [p, p2])
+        slow = [probe_schema(spark, q) for q in [p, p2]]
+        assert fast == slow
+        assert fast[0].fields[0].dataType.simpleString() == "timestamp"
+    finally:
+        spark.conf.set(key, saved)
+    # defaults back: the shortcut returns and still matches
+    assert probe_schemas(spark, [p, p2]) == [probe_schema(spark, q) for q in [p, p2]]
+    assert probe_schemas(spark, [p])[0].fields[0].dataType.simpleString() == "timestamp_ntz"
