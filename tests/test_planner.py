@@ -313,3 +313,36 @@ def test_arrow_probe_disabled_under_nondefault_reader_confs(spark, tmp_path):
     # defaults back: the shortcut returns and still matches
     assert probe_schemas(spark, [p, p2]) == [probe_schema(spark, q) for q in [p, p2]]
     assert probe_schemas(spark, [p])[0].fields[0].dataType.simpleString() == "timestamp_ntz"
+
+
+def test_wide_schema_probe_and_intersection(spark, tmp_path):
+    """Column-count axis: a 1500-column file probes correctly through the
+    arrow tier (parity with the Spark probe), and the intersection merge
+    of two wide files drops exactly the absent column, keeping first-file
+    column order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_merger_spark.operators.merge import merged_df
+    from parquet_merger_spark.sources.catalog import probe_schemas
+
+    n_cols = 1500
+    cols = {f"c{i:04d}": pa.array([i, i + 1], pa.int64()) for i in range(n_cols)}
+    a = str(tmp_path / "wide_a.parquet")
+    pq.write_table(pa.table(cols), a)
+    cols_b = dict(cols)
+    del cols_b["c0777"]  # one column absent from the second file
+    b = str(tmp_path / "wide_b.parquet")
+    pq.write_table(pa.table(cols_b), b)
+
+    fast = probe_schemas(spark, [a, b])
+    assert fast == [probe_schema(spark, a), probe_schema(spark, b)]
+    assert len(fast[0].fields) == n_cols
+
+    df = merged_df(spark, [a, b])
+    assert len(df.columns) == n_cols - 1
+    assert "c0777" not in df.columns
+    # first-file order preserved minus the dropped column
+    expected = [f"c{i:04d}" for i in range(n_cols) if i != 777]
+    assert df.columns == expected
+    assert df.count() == 4
