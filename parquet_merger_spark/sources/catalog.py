@@ -265,20 +265,25 @@ def probe_schemas(
     if len(paths) == 1:  # no pool spin-up for the common single-file case
         return [_probe_one(paths[0])]
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max_workers or min(16, len(paths), os.cpu_count() or 4)
+
     if arrow_ok and len(paths) >= distributed_threshold:
         results: dict[str, StructType | None] = _probe_schemas_distributed(
             spark, paths
         )
         # exact parity for the residue: unsafe/unreadable files get the
-        # authoritative Spark probe, same as the threaded tier
-        return [
-            results[p] if results.get(p) is not None else probe_schema(spark, p)
-            for p in paths
-        ]
+        # authoritative Spark probe, same as the threaded tier — pooled,
+        # since a batch set with (say) one uint column per file would
+        # otherwise degrade back to one serial JVM round trip per file
+        residue = [p for p in paths if results.get(p) is None]
+        if residue:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                probed = pool.map(lambda p: probe_schema(spark, p), residue)
+                results.update(zip(residue, probed))
+        return [results[p] for p in paths]
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    workers = max_workers or min(16, len(paths), os.cpu_count() or 4)
     with ThreadPoolExecutor(max_workers=workers) as pool:
         return list(pool.map(_probe_one, paths))
 
