@@ -20,6 +20,7 @@ from parquet_merger_spark.operators.merge import (
     merge_batches,
     merge_dataframes,
     merged_df,
+    merged_df_ordered,
     write_parquet,
 )
 from parquet_merger_spark.operators.chunking import chunk_documents, pack_sequences
@@ -82,6 +83,7 @@ __all__ = [
     "merge_batches",
     "merge_dataframes",
     "merged_df",
+    "merged_df_ordered",
     "minhash_lsh_pairs",
     "near_dedup_survivors",
     "ngram_contamination",

@@ -976,7 +976,8 @@ def simhash_signatures(
     Bit-identical to the expression formulation (verified by tests)."""
     from pyspark.sql.types import LongType
 
-    assert bits == 64, "simhash_signatures computes 64-bit fingerprints"
+    if bits != 64:  # not assert: must survive `python -O`
+        raise ValueError("simhash_signatures computes 64-bit fingerprints")
 
     @F.pandas_udf(LongType())
     def _fp(col: pd.Series) -> pd.Series:

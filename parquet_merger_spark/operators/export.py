@@ -28,13 +28,29 @@ def drop_internal_columns(df: DataFrame) -> DataFrame:
     return df.select(*keep)
 
 
-def export_csv(df: DataFrame, out_path: str, single_file: bool = False) -> None:
+def export_csv(
+    df: DataFrame,
+    out_path: str,
+    single_file: bool = False,
+    order_by: list[str] | None = None,
+) -> None:
     """Write CSV with header, internal columns dropped, ISO timestamps.
 
     ``single_file=True`` -> exactly one ``.csv`` file at ``out_path``
     (parity mode); default is Spark's parallel directory output.
-    """
+
+    ``order_by`` columns are CONSUMED (sorted on within the single output
+    partition, dropped before the write) — same contract as
+    ``merge.write_parquet``.  Without it, single-file row order is
+    unspecified (repartition(1) fetch order is nondeterministic);
+    ``merge_batches`` passes the merged file's row index to keep the CSV
+    in reference order."""
     clean = drop_internal_columns(df)
+    if order_by:
+        # internal-column drop must not eat the ordering keys
+        clean = df.select(
+            *[c for c in df.columns if not is_internal_column(c) or c in order_by]
+        )
     # escape='"' => RFC-4180 doubled inner quotes (reference: escape_csv_field,
     # src/main.rs:731-737); Spark's default escape is backslash.
     opts = {
@@ -43,7 +59,6 @@ def export_csv(df: DataFrame, out_path: str, single_file: bool = False) -> None:
         "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS",
         "dateFormat": "yyyy-MM-dd",
     }
-    writer = clean.write.mode("overwrite").options(**opts)
     if single_file:
         from parquet_merger_spark.operators.merge import promote_single_file
 
@@ -51,7 +66,13 @@ def export_csv(df: DataFrame, out_path: str, single_file: bool = False) -> None:
         # repartition(1), not coalesce(1) — same rationale as
         # merge.write_parquet: keep the upstream scan parallel and shuffle
         # rows to the single writer instead of serializing the whole read
-        clean.repartition(1).write.mode("overwrite").options(**opts).csv(tmp)
+        frame = clean.repartition(1)
+        if order_by:
+            frame = frame.sortWithinPartitions(*order_by).drop(*order_by)
+        frame.write.mode("overwrite").options(**opts).csv(tmp)
         promote_single_file(tmp, out_path, "part-*.csv")
     else:
+        writer = (clean.drop(*order_by) if order_by else clean).write.mode(
+            "overwrite"
+        ).options(**opts)
         writer.csv(out_path)

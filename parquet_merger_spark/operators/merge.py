@@ -47,8 +47,40 @@ from parquet_merger_spark.plans.schema import (
 from parquet_merger_spark.sources.catalog import probe_schemas
 
 
-def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Build the merged DataFrame for one batch (lazy; no job runs).
+# Helper columns merged_df_ordered appends; write_parquet/export_csv sort
+# the single output partition on them and drop them before writing.
+ORDER_FILE_COL = "__pm_file_seq__"
+ORDER_ROW_COL = "__pm_row_seq__"
+_ORDER_FP_COL = "__pm_file_path__"  # internal join key, dropped in-build
+
+
+def _qualified_uris(spark: SparkSession, paths: list[str]) -> list[str]:
+    """The exact strings ``_metadata.file_path`` reports for these paths:
+    Hadoop-qualified URIs (e.g. ``file:/abs/path`` — verified equal to
+    ``fs.makeQualified(path).toString()``).  One JVM round trip qualifies
+    the first path; when every path is absolute the rest reuse its scheme
+    prefix (qualification of an absolute path is plain concatenation), so
+    a 32k-file batch does not pay 32k py4j calls."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def qual(p: str) -> str:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(hconf).makeQualified(jp).toString()
+
+    first = qual(paths[0])
+    if not first.endswith(paths[0]) or not all(os.path.isabs(p) for p in paths):
+        return [qual(p) for p in paths]
+    prefix = first[: len(first) - len(paths[0])]
+    return [first] + [prefix + p for p in paths[1:]]
+
+
+def merged_df(
+    spark: SparkSession, paths: list[str], *, _with_order: bool = False
+) -> DataFrame:
+    """Build the merged DataFrame for one batch (lazy — no job scans data,
+    though at >= probe_schemas' distributed_threshold file counts the
+    footer probing itself runs as a Spark mapInPandas job).
 
     Raises the reference's three hard errors: empty input, unreadable
     schema (naming the file), empty schema intersection.
@@ -65,35 +97,86 @@ def merged_df(spark: SparkSession, paths: list[str]) -> DataFrame:
             raise UnreadableSchemaError(f"Cannot read schema from file: {p}")
         schemas.append(s)
 
+    def _with_order_cols(df: DataFrame, cols: list[str]) -> DataFrame:
+        reserved = {ORDER_FILE_COL, ORDER_ROW_COL, _ORDER_FP_COL}
+        if reserved & set(cols):
+            raise ValueError(f"input columns collide with {sorted(reserved)}")
+        return df.select(
+            *cols,
+            F.col("_metadata.file_path").alias(_ORDER_FP_COL),
+            F.col("_metadata.row_index").alias(ORDER_ROW_COL),
+        )
+
     first = schemas[0]
     if all(schemas_compatible(first, s) for s in schemas[1:]):
         # Fast path: all columns kept, one distributed scan over all
         # files.  Passing the probed schema skips the reader's own
         # footer-based inference — at 4096 small files that inference
         # alone cost ~10s of driver wall before the first task ran
-        return spark.read.schema(first).parquet(*paths)
+        base = spark.read.schema(first).parquet(*paths)
+        if _with_order:
+            base = _with_order_cols(base, [f.name for f in first.fields])
+    else:
+        common = find_common_columns(schemas)
+        if not common:
+            raise NoCommonColumnsError("No common columns found across all files")
 
-    common = find_common_columns(schemas)
-    if not common:
-        raise NoCommonColumnsError("No common columns found across all files")
+        # Group files by identical schema signature so each distinct schema
+        # is scanned once; select() pushes the projection into the reader.
+        groups: dict[tuple, list[str]] = {}
+        group_schema: dict[tuple, StructType] = {}
+        for path, schema in zip(paths, schemas):
+            key = tuple((f.name, f.dataType) for f in schema.fields)
+            groups.setdefault(key, []).append(path)
+            group_schema[key] = schema
 
-    # Group files by identical schema signature so each distinct schema is
-    # scanned once; select() pushes the projection into the parquet reader.
-    groups: dict[tuple, list[str]] = {}
-    group_schema: dict[tuple, StructType] = {}
-    for path, schema in zip(paths, schemas):
-        key = tuple((f.name, f.dataType) for f in schema.fields)
-        groups.setdefault(key, []).append(path)
-        group_schema[key] = schema
+        parts = []
+        for key, group_paths in groups.items():
+            # probed per-group schema: skips inference (see fast path)
+            scan = spark.read.schema(group_schema[key]).parquet(*group_paths)
+            parts.append(
+                _with_order_cols(scan, list(common))
+                if _with_order
+                else scan.select(*common)
+            )
+        # Positional union is safe: every part was select()-ed into the
+        # same column order with exactly-equal types (§1.4).
+        base = reduce(DataFrame.union, parts)
 
-    parts = [
-        # probed per-group schema: skips inference (see fast path)
-        spark.read.schema(group_schema[key]).parquet(*group_paths).select(*common)
-        for key, group_paths in groups.items()
-    ]
-    # Positional union is safe: every part was select()-ed into the same
-    # column order with exactly-equal types (§1.4).
-    return reduce(DataFrame.union, parts)
+    if not _with_order:
+        return base
+    # file seq = position in `paths` (the reference appends inputs to the
+    # writer strictly in member order, src/main.rs:580-599); resolved via
+    # a broadcast join on the qualified URI Spark reports in _metadata
+    uris = _qualified_uris(spark, paths)
+    seq_of: dict[str, int] = {}
+    for i, u in enumerate(uris):
+        seq_of.setdefault(u, i)
+    mapping = spark.createDataFrame(
+        list(seq_of.items()), f"{_ORDER_FP_COL} string, {ORDER_FILE_COL} long"
+    )
+    return base.join(F.broadcast(mapping), _ORDER_FP_COL, "left").drop(
+        _ORDER_FP_COL
+    )
+
+
+def merged_df_ordered(
+    spark: SparkSession, paths: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """:func:`merged_df` plus the reference's OUTPUT ROW ORDER: files
+    strictly in ``paths`` order, rows within a file in file order.
+
+    Returns ``(df, order_cols)``; the df carries two extra long columns
+    (``__pm_file_seq__``, ``__pm_row_seq__``) to pass as ``order_by`` to
+    :func:`write_parquet` / ``export_csv``, which sort the single output
+    partition on them and DROP them before writing.  Needed because the
+    single-file sink's repartition(1) is a round-robin shuffle whose
+    reduce-side fetch order is nondeterministic on a cluster — without an
+    explicit sort, single-file output row order is unspecified."""
+    return (
+        merged_df(spark, paths, _with_order=True),
+        [ORDER_FILE_COL, ORDER_ROW_COL],
+    )
 
 
 def merge_dataframes(dfs: list[DataFrame]) -> DataFrame:
@@ -171,13 +254,23 @@ def write_parquet(
     single_file: bool = False,
     compression: str | None = None,
     partition_by: list[str] | None = None,
+    order_by: list[str] | None = None,
 ) -> int:
     """Parquet sink; returns the row count observed during the write.
 
     ``single_file=True`` gives reference parity (exactly one ``.parquet``
-    file at ``out_path``) via coalesce(1) + rename — correct only at
+    file at ``out_path``) via repartition(1) + rename — correct only at
     single-node scale.  The default keeps Spark's parallel, partitioned
     directory output, which is the 100 TB path.
+
+    ``order_by`` columns are CONSUMED: the single output partition is
+    sorted on them (spillable external sort), then they are dropped
+    before the write.  Without ``order_by``, single-file row order is
+    UNSPECIFIED — repartition(1) is a round-robin shuffle whose
+    reduce-side fetch order is nondeterministic on a cluster.
+    ``merge_batches`` passes :func:`merged_df_ordered`'s keys to pin the
+    reference's file-order output.  In directory mode the columns are
+    dropped without sorting (multi-file output has no total order).
 
     ``partition_by`` hive-partitions the output (``col=value/``
     directories): readers filtering on those columns scan only matching
@@ -206,10 +299,13 @@ def write_parquet(
         # parallel and shuffles rows to one writer, which is cheap in
         # exactly the regime where one output file is legitimate (data
         # fits one file)
-        _writer(df.repartition(1)).parquet(tmp)
+        frame = df.repartition(1)
+        if order_by:
+            frame = frame.sortWithinPartitions(*order_by).drop(*order_by)
+        _writer(frame).parquet(tmp)
         promote_single_file(tmp, out_path, "part-*.parquet")
     else:
-        _writer(df).parquet(out_path)
+        _writer(df.drop(*order_by) if order_by else df).parquet(out_path)
     return int(obs.get["rows"])
 
 
@@ -355,15 +451,35 @@ def merge_batches(
             poller = threading.Thread(target=poll, daemon=True)
             poller.start()
         try:
-            df = merged_df(spark, plan.paths)
+            # single-file mode pins the reference's row order (files in
+            # plan order, rows in file order); directory mode stays
+            # unordered — a multi-file 100 TB output has no total order
+            if single_file:
+                df, order_cols = merged_df_ordered(spark, plan.paths)
+            else:
+                df, order_cols = merged_df(spark, plan.paths), None
             rows = write_parquet(
-                df, out, single_file=single_file, compression=compression
+                df,
+                out,
+                single_file=single_file,
+                compression=compression,
+                order_by=order_cols,
             )
             if csv:
+                csv_src = spark.read.parquet(out)
+                csv_order = None
+                if single_file:
+                    # the merged file is already in reference order; carry
+                    # its row index through the CSV sink's repartition(1)
+                    csv_src = csv_src.withColumn(
+                        ORDER_ROW_COL, F.col("_metadata.row_index")
+                    )
+                    csv_order = [ORDER_ROW_COL]
                 export_csv(
-                    spark.read.parquet(out),
+                    csv_src,
                     os.path.join(merged_dir, name + ".csv"),
                     single_file=single_file,
+                    order_by=csv_order,
                 )
             result = BatchResult(name=plan.name, output_path=out, rows=rows)
         except Exception as exc:  # isolate per-batch failure

@@ -170,6 +170,34 @@ def _arrow_probe_type(t, int96_paths: frozenset[str], path: str):
     raise _UnsafeForArrowProbe(f"{t} at {path!r}")
 
 
+# Parquet LEAF logical-type annotations whose pyarrow conversion is pinned
+# against the Spark probe by the type zoo (tests/test_planner.py).  Anything
+# else is UNSAFE even when the converted arrow type looks mappable: e.g.
+# ENUM-annotated BYTE_ARRAY converts to arrow `binary` (-> BinaryType here)
+# while Spark's converter reports StringType — the arrow probe would return
+# a WRONG schema without ever triggering the Spark-probe fallback.  JSON /
+# BSON / UUID / FLOAT16 / INTERVAL / UNKNOWN likewise fall back.
+_SAFE_LEAF_LOGICAL_TYPES = frozenset(
+    {"NONE", "STRING", "INT", "DECIMAL", "DATE", "TIMESTAMP"}
+)
+
+
+def _check_leaf_logical_types(pq_schema) -> None:
+    """Raise :class:`_UnsafeForArrowProbe` when any leaf column carries a
+    logical-type annotation outside the parity-pinned set (advisor finding,
+    r07: the ENUM->binary conversion silently broke the byte-identical-
+    shortcut invariant).  LIST/MAP annotations live on group nodes, which
+    this leaf iteration never visits — element/key/value leaves carry
+    their own (checked) annotations."""
+    for i in range(len(pq_schema)):
+        col = pq_schema.column(i)
+        lt = col.logical_type.type
+        if lt not in _SAFE_LEAF_LOGICAL_TYPES:
+            raise _UnsafeForArrowProbe(
+                f"logical type {lt} at {col.path!r} is outside the pinned zoo"
+            )
+
+
 def _probe_schema_arrow(path: str) -> StructType:
     """Footer probe via pyarrow — no JVM round trip (~1 ms vs ~15 ms).
 
@@ -186,6 +214,7 @@ def _probe_schema_arrow(path: str) -> StructType:
 
     pf = pq.ParquetFile(path)
     pq_schema = pf.schema
+    _check_leaf_logical_types(pq_schema)
     int96_paths = frozenset(
         pq_schema.column(i).path
         for i in range(len(pq_schema))

@@ -287,3 +287,78 @@ def test_merge_batches_live_progress(spark, fixture_dir, tmp_path):
         assert 0 <= e.tasks_done <= e.tasks_total
         if e.state == "running":
             assert e.batch_name in {"good", "bad"}
+
+
+def test_single_file_output_row_order_is_reference_order(spark, tmp_path):
+    """merge_batches(single_file=True) must emit rows EXACTLY as the
+    reference would: files in plan order, rows within a file in file
+    order (src/main.rs:580-599 appends batches to the writer in member
+    order).  repartition(1) alone is a round-robin shuffle with
+    nondeterministic reduce-side fetch order — the ordered merge path
+    pins it (advisor finding, r07).  Also covers the CSV twin."""
+    import pandas as pd
+
+    from parquet_merger_spark.operators.merge import merged_df_ordered
+
+    files, want = [], []
+    for i in range(4):
+        # per-file rows deliberately NOT sorted by any data column, so a
+        # "sorted output" false-pass is impossible
+        vals = [(i * 10 + j) * 7 % 13 for j in range(50)]
+        pdf = pd.DataFrame({"k": vals, "src": [f"f{i}"] * 50})
+        p = str(tmp_path / f"part_{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        files.append(p)
+        want.append(pdf)
+    expected = pd.concat(want, ignore_index=True)
+
+    plan = MergePlan(name="ordered", paths=files)
+    out_dir = str(tmp_path / "out")
+    for _ in range(2):  # determinism across runs, not just one lucky fetch
+        res = merge_batches(spark, [plan], out_dir, single_file=True, csv=True)
+        assert res[0].ok and res[0].rows == 200
+        got = pd.read_parquet(os.path.join(out_dir, "merged", "ordered.parquet"))
+        pd.testing.assert_frame_equal(got, expected)
+        csv = pd.read_csv(os.path.join(out_dir, "merged", "ordered.csv"))
+        pd.testing.assert_frame_equal(csv, expected, check_dtype=False)
+
+    # the helper columns never leak into the output schema
+    assert not [c for c in got.columns if c.startswith("__pm_")]
+
+    # merged_df_ordered honors CALLER order, not sorted order
+    rev = list(reversed(files))
+    df, order_cols = merged_df_ordered(spark, rev)
+    import pyspark.sql.functions as F
+
+    seqs = (
+        df.groupBy("src").agg(F.min(order_cols[0]).alias("seq"))
+        .orderBy("seq").select("src").collect()
+    )
+    assert [r.src for r in seqs] == ["f3", "f2", "f1", "f0"]
+
+
+def test_single_file_order_with_schema_mismatch_groups(spark, tmp_path):
+    """Reference order must hold on the INTERSECTION path too, where files
+    with distinct schemas land in different scan groups and plan order
+    interleaves the groups (file 0 and 2 share a schema, 1 differs)."""
+    import pandas as pd
+
+    pd.DataFrame({"k": range(0, 30), "name": ["a"] * 30}).to_parquet(
+        tmp_path / "m0.parquet", index=False
+    )
+    pd.DataFrame(
+        {"k": range(100, 140), "name": ["b"] * 40, "extra": [1.5] * 40}
+    ).to_parquet(tmp_path / "m1.parquet", index=False)
+    pd.DataFrame({"k": range(200, 220), "name": ["c"] * 20}).to_parquet(
+        tmp_path / "m2.parquet", index=False
+    )
+    paths = [str(tmp_path / f"m{i}.parquet") for i in range(3)]
+    plan = MergePlan(name="mix", paths=paths)
+    out_dir = str(tmp_path / "out_mix")
+    res = merge_batches(spark, [plan], out_dir, single_file=True)
+    assert res[0].ok and res[0].rows == 90
+    got = pd.read_parquet(os.path.join(out_dir, "merged", "mix.parquet"))
+    assert got.columns.tolist() == ["k", "name"]
+    assert got["k"].tolist() == list(range(0, 30)) + list(range(100, 140)) + list(
+        range(200, 220)
+    )

@@ -281,6 +281,50 @@ def test_probe_schemas_distributed_tier_parity(spark, tmp_path):
     assert via_dist[2].fields[0].dataType.simpleString() == "decimal(20,0)"  # u64 widened
 
 
+def test_arrow_probe_rejects_unpinned_leaf_logical_types(tmp_path):
+    """ENUM-annotated BYTE_ARRAY converts to arrow `binary` (-> BinaryType)
+    while Spark's converter reports StringType, so the arrow probe must
+    refuse any leaf annotation outside the pinned zoo and take the
+    Spark-probe fallback (advisor finding, r07).  No writer in this
+    container can produce ENUM/BSON/UUID files (pyarrow has no API for
+    them; Spark never writes them), so the guard is exercised directly
+    with a stub parquet schema — the accept-side is covered for every
+    writable annotation by the type-zoo parity test above."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from parquet_merger_spark.sources.catalog import (
+        _check_leaf_logical_types,
+        _UnsafeForArrowProbe,
+    )
+
+    def fake_schema(*leaf_logical_types):
+        cols = [
+            SimpleNamespace(
+                path=f"c{i}", logical_type=SimpleNamespace(type=lt)
+            )
+            for i, lt in enumerate(leaf_logical_types)
+        ]
+        class _S:
+            def __len__(self):
+                return len(cols)
+
+            def column(self, i):
+                return cols[i]
+
+        return _S()
+
+    # the full pinned set passes
+    _check_leaf_logical_types(
+        fake_schema("NONE", "STRING", "INT", "DECIMAL", "DATE", "TIMESTAMP")
+    )
+    # every known out-of-zoo annotation raises, naming type and column
+    for bad in ("ENUM", "JSON", "BSON", "UUID", "FLOAT16", "INTERVAL", "UNKNOWN"):
+        with pytest.raises(_UnsafeForArrowProbe, match=bad):
+            _check_leaf_logical_types(fake_schema("STRING", bad))
+
+
 def test_arrow_probe_disabled_under_nondefault_reader_confs(spark, tmp_path):
     """The arrow tier's parity is pinned under default parquet reader
     confs; with NTZ inference off, a tz-naive file probes as TimestampType
