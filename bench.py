@@ -343,9 +343,13 @@ def main() -> None:
     # first-touch canary around the timed sweep so r-over-r diffs can
     # tell code regressions from the hypervisor paging pathology
     # (BASELINE.md §3) without re-running anything
-    from parquet_merger_spark.session import first_touch_canary_s
+    from parquet_merger_spark.session import (
+        first_touch_canary_s,
+        stage_latency_canary_s,
+    )
 
     canary_before = first_touch_canary_s()
+    stage_before = stage_latency_canary_s(spark)
 
     # one-time index builds, outside the headline window (see
     # INDEXED_PREBUILD): the first call writes the persisted index, the
@@ -381,6 +385,8 @@ def main() -> None:
         "host_canary_s": {
             "before": canary_before,
             "after": first_touch_canary_s(),
+            "stage_before": stage_before,
+            "stage_after": stage_latency_canary_s(spark),
         },
     }
     # r06 verdict ask #4: "canary-clean" must be COMPUTED, not asserted —
@@ -389,6 +395,15 @@ def main() -> None:
     # a "canary-clean" commit message; this makes that impossible).
     c = out["host_canary_s"]
     c["canary_ok"] = bool(max(c["before"], c["after"]) < 1.0)
+    # r07 verdict ask #7: the 1.0s threshold misses the ~1.2x drift phase
+    # (197.0s and 174.3s same-code windows were both canary_ok).  Second
+    # signal: no-op stage latency.  A window is COMPARISON-GRADE — usable
+    # for round-over-round claims via tools/bench_compare.py — only when
+    # both probes are quiet on both sides of the sweep.
+    c["canary_strict_ok"] = bool(
+        max(c["before"], c["after"]) < 0.3
+        and max(c["stage_before"], c["stage_after"]) < 0.15
+    )
     # The driver captures stdout's one line and has truncated it from the
     # front before (BENCH_r02 lost the dedup/ANN head): print compact, and
     # ALSO persist the full result to a committed per-round artifact so

@@ -141,3 +141,34 @@ def first_touch_canary_s(mb: int = 256) -> float:
     finally:
         buf.close()
     return round(time.perf_counter() - t0, 3)
+
+
+def stage_latency_canary_s(spark, reps: int = 12, warmup: int = 3) -> float:
+    """Median wall seconds of a no-op one-task-per-core Spark stage — the
+    SECOND host-health probe class (r07 verdict ask #7).
+
+    The first-touch canary only sees page-fault service latency, and its
+    1.0s fault-dominated threshold misses the milder ~1.2x drift phase:
+    BENCH_r07's driver window (197.0s) and the committed same-code window
+    (174.3s) were BOTH ``canary_ok`` yet differ 13%.  A fixed-size
+    JVM-only stage (range -> sum: whole-stage codegen, no shuffle, no
+    python workers) measures scheduler + executor dispatch latency, which
+    that phase inflates uniformly.  Healthy on this box: ~0.07-0.10s
+    median after warmup; ``bench.py`` flags a window non-comparison-grade
+    above 0.15s (``canary_strict_ok`` — decision rule in SURVEY §10).
+    Median over ``reps`` so a single GC pause cannot flag; ``warmup``
+    rounds are discarded (the first stage after idle pays JIT/page-in)."""
+    import statistics
+    import time
+
+    # one task per core: a fixed 32-task stage would measure multiple
+    # scheduling WAVES on smaller sessions (0.13s median on local[8] vs
+    # 0.07s on local[32] — same host, same health)
+    n = spark.sparkContext.defaultParallelism
+    samples = []
+    for i in range(warmup + reps):
+        t0 = time.perf_counter()
+        spark.range(0, 1 << 20, 1, n).selectExpr("sum(id)").collect()
+        if i >= warmup:
+            samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
