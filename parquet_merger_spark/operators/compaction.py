@@ -44,6 +44,7 @@ class CompactionResult:
     n_output_files: int
     input_bytes: int
     output_bytes: int
+    n_passes: int = 1
 
 
 def plan_compaction(paths: list[str], target_bytes: int) -> int:
@@ -163,10 +164,25 @@ def compact_files(
     target_bytes: int = 128 * 1024 * 1024,
     shuffle: bool = True,
     compression: str | None = None,
+    size_tolerance: float | None = None,
 ) -> CompactionResult:
     """Rewrite ``paths`` into ``ceil(total_bytes/target_bytes)`` files
     under ``out_dir``.  One distributed scan, one (optional) shuffle,
-    one parallel write — no driver-side data movement."""
+    one parallel write — no driver-side data movement.
+
+    ``size_tolerance`` (e.g. ``0.2``) opts into OUTPUT-size calibration:
+    the manifest-based file count is systematically high for small-file
+    inputs (each tiny input pays a ~KB footer the compacted output
+    amortizes away — at 131k files the input manifest overstates the
+    data bytes several-fold), so when the mean output size misses the
+    target by more than the tolerance, a second pass re-slices the
+    PASS-1 OUTPUT (reading the few compacted files, never the original
+    many) with ``n = round(measured_output_bytes / target)``.  One
+    correction converges: the compressed size is then known, and the
+    residual is row-order encoding noise plus the 1/(2n) quantization
+    floor.  A production deployment would persist the learned
+    bytes-per-row ratio per table and apply it at pass 1; recalibration
+    here is the bootstrap for first contact with a table."""
     n_out = plan_compaction(paths, target_bytes)
     df = spark.read.parquet(*paths)
     df = df.repartition(n_out) if shuffle else df.coalesce(n_out)
@@ -175,10 +191,35 @@ def compact_files(
         w = w.option("compression", compression)
     w.parquet(out_dir)
     out_files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    n_passes = 1
+
+    if size_tolerance is not None and out_files:
+        out_total = sum(os.stat(p).st_size for p in out_files)
+        mean = out_total / len(out_files)
+        n_ideal = max(1, round(out_total / target_bytes))
+        if (
+            abs(mean - target_bytes) > size_tolerance * target_bytes
+            and n_ideal != len(out_files)
+        ):
+            import shutil
+
+            tmp = out_dir + "._recalib"
+            redo = spark.read.parquet(out_dir).repartition(n_ideal).write.mode(
+                "overwrite"
+            )
+            if compression:
+                redo = redo.option("compression", compression)
+            redo.parquet(tmp)
+            shutil.rmtree(out_dir)
+            os.rename(tmp, out_dir)
+            out_files = glob.glob(os.path.join(out_dir, "*.parquet"))
+            n_passes = 2
+
     return CompactionResult(
         out_dir=out_dir,
         n_input_files=len(paths),
         n_output_files=len(out_files),
         input_bytes=sum(os.stat(p).st_size for p in paths),
         output_bytes=sum(os.stat(p).st_size for p in out_files),
+        n_passes=n_passes,
     )

@@ -101,6 +101,57 @@ def test_compaction_reduces_files_and_preserves_content(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
 
 
+def test_compaction_size_calibration(spark, tmp_path):
+    """size_tolerance: when inputs are overhead-dominated tiny files, the
+    manifest-based file count overshoots (mean output far below target);
+    the calibration pass re-slices the PASS-1 OUTPUT so the mean lands
+    within tolerance of the byte target, and rows are preserved."""
+    import pandas as pd
+
+    from parquet_merger_spark.operators.compaction import compact_files
+
+    import numpy as np
+
+    shattered = tmp_path / "tiny"
+    shattered.mkdir()
+    # 200 small files whose per-file footer is a large FRACTION of the
+    # file but small vs the target (the real compaction regime: targets
+    # are MBs+, footers ~KB — a target below the footer size has no
+    # fixed point and is a caller error, per the docstring)
+    rng = np.random.default_rng(7)
+    for i in range(200):
+        pd.DataFrame(
+            {
+                "k": range(i * 300, i * 300 + 300),
+                # incompressible payload so parquet can't shrink it away
+                "s": ["%0100x" % int(x) for x in rng.integers(0, 2**63, 300)],
+            }
+        ).to_parquet(shattered / f"f{i:03d}.parquet", index=False)
+    paths = sorted(str(p) for p in shattered.glob("*.parquet"))
+
+    # ~6 calibrated files: 1/(2n) quantization floor ~8%, inside the 20%
+    probe = compact_files(
+        spark, paths, str(tmp_path / "probe"), target_bytes=10**9
+    )  # one file: measures true compacted bytes
+    target = max(1, probe.output_bytes // 6)
+
+    res = compact_files(
+        spark,
+        paths,
+        str(tmp_path / "out"),
+        target_bytes=target,
+        size_tolerance=0.2,
+    )
+    sizes = [
+        os.stat(p).st_size for p in glob.glob(str(tmp_path / "out/*.parquet"))
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert abs(mean - target) <= 0.2 * target, (mean, target, res)
+    assert res.n_passes == 2  # manifest overshoot forced the calibration
+    back = spark.read.parquet(res.out_dir)
+    assert back.count() == 200 * 300
+
+
 def test_compaction_coalesce_mode_no_shuffle(spark, tmp_path):
     from parquet_merger_spark.operators.compaction import compact_files
 

@@ -94,12 +94,17 @@ def main() -> None:
         t_plan = time.perf_counter() - t0
         assert len(plans) == n // 2 and singles == 0
 
-        # the pre-fix baseline on the same paths: one serial probe per file
+        # the pre-fix baseline on the same paths: one serial probe per
+        # file.  Skipped above 8192 files — r07 measured 31 MINUTES at
+        # 32k files (~57ms/file); re-paying it at 131k (~2h) buys nothing
         paths = [e.full_path for e in entries]
-        t0 = time.perf_counter()
-        for p in paths:
-            probe_schema(spark, p)
-        t_serial = time.perf_counter() - t0
+        if n <= 8192:
+            t0 = time.perf_counter()
+            for p in paths:
+                probe_schema(spark, p)
+            t_serial = time.perf_counter() - t0
+        else:
+            t_serial = None
 
         # the executor-distributed tier, forced (default threshold 8192):
         # higher fixed cost than driver threads at these counts — its
@@ -113,9 +118,11 @@ def main() -> None:
         out["many_batches"][str(n)] = {
             "scan_folders_s": round(t_scan, 3),
             "smart_batch_s": round(t_plan, 3),
-            "serial_probe_s": round(t_serial, 3),
+            "serial_probe_s": round(t_serial, 3) if t_serial else None,
             "distributed_probe_s": round(t_dist, 3),
-            "probe_speedup": round(t_serial / max(t_plan, 1e-9), 1),
+            "probe_speedup": (
+                round(t_serial / max(t_plan, 1e-9), 1) if t_serial else None
+            ),
             "n_plans": len(plans),
         }
         print(f"many_batches n={n}: {out['many_batches'][str(n)]}", flush=True)
@@ -145,9 +152,55 @@ def main() -> None:
             "merge_s": round(t_merge, 3),
             "rows_out": results[0].rows,
         }
+
+        # size-targeted MULTI-file compaction (r07 verdict ask #3): the
+        # single-file sink above is reference parity; a 100 TB compaction
+        # writes many size-targeted files.  compact_files self-calibrates
+        # against measured output bytes (size_tolerance) because the
+        # input manifest at this file size is mostly per-file footer
+        # overhead; the artifact records how close the output lands.
+        import glob as _glob
+
+        from parquet_merger_spark.operators.compaction import compact_files
+
+        tgt = {4096: 256 * 1024, 131072: 8 * 1024 * 1024}.get(
+            n, max(256 * 1024, n * 64)
+        )
+        sized_dir = os.path.join(WORK, f"cp_{n}_sized")
+        shutil.rmtree(sized_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        cres = compact_files(
+            spark,
+            plans[0].paths,
+            sized_dir,
+            target_bytes=tgt,
+            size_tolerance=0.2,
+        )
+        t_sized = time.perf_counter() - t0
+        sizes = sorted(
+            os.stat(p).st_size
+            for p in _glob.glob(os.path.join(sized_dir, "*.parquet"))
+        )
+        mean_sz = sum(sizes) / len(sizes)
+        rows_sized = spark.read.parquet(sized_dir).count()
+        assert rows_sized == n * ROWS_PER_FILE, (rows_sized, n * ROWS_PER_FILE)
+        dev = abs(mean_sz - tgt) / tgt
+        if len(sizes) >= 3:  # below that the 1/(2n) quantization floor rules
+            assert dev <= 0.2, (mean_sz, tgt, dev)
+        out["compaction"][str(n)]["sized"] = {
+            "target_bytes": tgt,
+            "wall_s": round(t_sized, 3),
+            "n_passes": cres.n_passes,
+            "n_output_files": len(sizes),
+            "mean_output_bytes": int(mean_sz),
+            "mean_dev_from_target": round(dev, 3),
+            "min_output_bytes": sizes[0],
+            "max_output_bytes": sizes[-1],
+        }
         print(f"compaction n={n}: {out['compaction'][str(n)]}", flush=True)
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
+        shutil.rmtree(sized_dir, ignore_errors=True)
 
     out["host_canary_s"]["after"] = first_touch_canary_s()
     out["canary_ok"] = bool(max(out["host_canary_s"].values()) < 1.0)
