@@ -11394,8 +11394,18 @@ def q_neighbor_jaccard(spark, sf_dir):
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
     )
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("s", "v")
-    w1 = sym.select(F.col("s").alias("mid"), F.col("d").alias("pa"))
-    w2 = sym.select(F.col("s").alias("mid"), F.col("d").alias("pb"))
+    # pre-partition the wedge join's BOTH sides on the join key at the
+    # checkpoint's 8x parallelism: the join then runs at 256 tasks, not
+    # spark.sql.shuffle.partitions=32, so each task's share of the
+    # O(sum deg^2) wedge stream — and the partial-aggregation spill count
+    # riding on it — drops 8x.  At sf10/6g the 32-task shape OOMed in
+    # finishAggregate's per-spill-file reader buffers (MEM_SCALING_r08
+    # triage); the same untracked-buffer peak scales with spills PER TASK
+    wedge_src = sym.repartition(
+        spark.sparkContext.defaultParallelism * 8, "s"
+    ).localCheckpoint(eager=True)
+    w1 = wedge_src.select(F.col("s").alias("mid"), F.col("d").alias("pa"))
+    w2 = wedge_src.select(F.col("s").alias("mid"), F.col("d").alias("pb"))
     wedges = (
         w1.join(w2, "mid")
         .filter(F.col("pa") < F.col("pb"))

@@ -88,7 +88,35 @@ def get_spark(
         # on the first signature-kernel call, with the cost moved into
         # session startup (untimed in bench.py; once per pytest session).
         # Standard production JVM practice; ~no-op on healthy hosts.
-        .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
+        #
+        # GCLockerRetryAllocationCount (default 2): with 32 executor
+        # threads doing compressed shuffle IO, JNI critical sections hold
+        # the GCLocker almost continuously; under heap pressure a WORDS-
+        # sized allocation can exhaust its 2 retries and throw a spurious
+        # OutOfMemoryError while the spill that would free memory is mid-
+        # flight (observed: neighbor_jaccard's hash-agg spill dying on a
+        # 3-word TimSort allocation at 4 GiB, MEM_SCALING_r08 triage; the
+        # JDK-8192647 pathology).  64 retries turns that into a brief
+        # stall.  No effect when the heap has headroom.  The flag is
+        # diagnostic on JDK 17 (product from JDK 21), hence the unlock.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+AlwaysPreTouch -XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=64",
+        )
+        # Spill-reader buffers are UNTRACKED heap: when a hash
+        # aggregation finishes, finishAggregate opens a reader for EVERY
+        # spill file at once — with read-ahead each reader allocates TWO
+        # 1 MB buffers (file buffer + read-ahead buffer; the 1 MB floor
+        # is the conf's minimum) plus a thread, all outside the memory
+        # manager's accounting.  A spill-heavy constrained-heap task set
+        # (32 tasks x ~50 spills at sf10/6g) allocated ~3 GB of invisible
+        # buffers and died in ByteBuffer.allocate (MEM_SCALING_r08 triage
+        # stack).  Disabling read-ahead halves the untracked set and
+        # drops the threads; spill re-reads are page-cache-served
+        # sequential IO, so the merge-throughput cost is noise next to
+        # not OOMing exactly when memory is scarcest.
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
