@@ -41,25 +41,41 @@ WORK = os.path.join(ROOT, ".localdata", "filescale")
 
 def _build_tree(base: str, n_files: int, n_names: int) -> None:
     """n_files parquet files spread over dirs so that each of n_names
-    basenames appears n_files//n_names times (one per dir level)."""
+    basenames appears n_files//n_names times (one per dir level).
+
+    Every file gets DISTINCT, incompressible payload rows (seeded hex —
+    deterministic): with identical dictionary-compressible rows the
+    whole 131k-file corpus packed into ~150 KB, which made every
+    multi-file byte target footer-dominated and the size-calibration
+    check unsatisfiable by construction.  Probe timings never read data
+    pages, so the many_batches numbers are unaffected."""
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     copies = n_files // n_names
-    pdf = pd.DataFrame(
-        {
-            "k": range(ROWS_PER_FILE),
-            "v": [float(i) * 1.5 for i in range(ROWS_PER_FILE)],
-            "s": [f"row{i}" for i in range(ROWS_PER_FILE)],
-        }
-    )
-    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    fid = 0
     for c in range(copies):
         d = os.path.join(base, f"d{c:04d}")
         os.makedirs(d, exist_ok=True)
         for i in range(n_names):
-            pq.write_table(table, os.path.join(d, f"part_{i:05d}.parquet"))
+            rng = np.random.default_rng(fid)
+            pdf = pd.DataFrame(
+                {
+                    "k": range(fid * ROWS_PER_FILE, (fid + 1) * ROWS_PER_FILE),
+                    "v": rng.random(ROWS_PER_FILE),
+                    "s": [
+                        "%016x" % int(x)
+                        for x in rng.integers(0, 2**63, ROWS_PER_FILE)
+                    ],
+                }
+            )
+            fid += 1
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(d, f"part_{i:05d}.parquet"),
+            )
 
 
 def main() -> None:
@@ -163,9 +179,13 @@ def main() -> None:
 
         from parquet_merger_spark.operators.compaction import compact_files
 
-        tgt = {4096: 256 * 1024, 131072: 8 * 1024 * 1024}.get(
-            n, max(256 * 1024, n * 64)
-        )
+        # target derived from the MEASURED single-file merge size (the
+        # fixture rows are dictionary-compressible to almost nothing, so
+        # any fixed byte target can land below one file's data — an
+        # unsatisfiable ask); ~12 outputs keeps the 1/(2n) quantization
+        # floor (~4%) far inside the 20% tolerance
+        single_bytes = os.stat(results[0].output_path).st_size
+        tgt = max(16 * 1024, single_bytes // 12)
         sized_dir = os.path.join(WORK, f"cp_{n}_sized")
         shutil.rmtree(sized_dir, ignore_errors=True)
         t0 = time.perf_counter()
