@@ -425,6 +425,43 @@ def main() -> None:
         # the newest local artifact has no driver twin yet -> this run
         # belongs to the SAME round; refresh that artifact in place
         local = os.path.join(here, f"BENCH_local_r{nxt - 1:02d}.json")
+
+    def _canary_class(art: dict) -> int:
+        hc = art.get("host_canary_s") or {}
+        return 2 if hc.get("canary_strict_ok") else (1 if hc.get("canary_ok") else 0)
+
+    # keep the BEST window of the round: a same-round refresh may only
+    # replace the standing artifact when its canary class is strictly
+    # better, or equal-class with a lower total (host drift only ever
+    # INFLATES walls, so for same code lower is closer to truth).  A
+    # worse window is preserved to BENCH_local_r{NN}_rejected.json
+    # instead — r08 learned this the hard way when a fault-dominated
+    # retry overwrote the round's one near-clean window in place.
+    if os.path.exists(local):
+        try:
+            with open(local) as fh:
+                prev = json.load(fh)
+        except Exception:
+            prev = None
+        if (
+            prev is not None
+            and prev.get("sf") == out["sf"]
+            and set(prev.get("queries", {})) == set(out["queries"])
+            and (
+                _canary_class(prev) > _canary_class(out)
+                or (
+                    _canary_class(prev) == _canary_class(out)
+                    and prev.get("value", 1e18) <= out["value"]
+                )
+            )
+        ):
+            local = local.replace(".json", "_rejected.json")
+            print(
+                f"# standing artifact has a better/equal window "
+                f"(class {_canary_class(prev)}, {prev.get('value')}s); "
+                f"this run -> {os.path.basename(local)}",
+                file=sys.stderr,
+            )
     with open(local, "w") as fh:
         json.dump(out, fh, indent=1)
     # end-of-round checklist automation (r05 verdict ask #1): refresh the
