@@ -443,15 +443,20 @@ def main() -> None:
                 prev = json.load(fh)
         except Exception:
             prev = None
-        if (
-            prev is not None
-            and prev.get("sf") == out["sf"]
-            and set(prev.get("queries", {})) == set(out["queries"])
-            and (
-                _canary_class(prev) > _canary_class(out)
-                or (
-                    _canary_class(prev) == _canary_class(out)
-                    and prev.get("value", 1e18) <= out["value"]
+        if prev is not None and (
+            # a different-SF run is a smoke/experiment, never the
+            # round's sf-record — divert it regardless of canaries
+            prev.get("sf") != out["sf"]
+            or (
+                # same sf, same contract: keep the better window (a
+                # changed key set means the contract moved — replace)
+                set(prev.get("queries", {})) == set(out["queries"])
+                and (
+                    _canary_class(prev) > _canary_class(out)
+                    or (
+                        _canary_class(prev) == _canary_class(out)
+                        and prev.get("value", 1e18) <= out["value"]
+                    )
                 )
             )
         ):
