@@ -437,30 +437,46 @@ def main() -> None:
     # worse window is preserved to BENCH_local_r{NN}_rejected.json
     # instead — r08 learned this the hard way when a fault-dominated
     # retry overwrote the round's one near-clean window in place.
+    def _numbered(base: str, tag: str) -> str:
+        # never overwrite an earlier diverted window: every diversion
+        # gets its own numbered slot (r08's single _rejected slot lost
+        # evidence — only the LAST of >=3 rejected windows survived)
+        n = 1
+        while True:
+            cand = base.replace(".json", f"_{tag}{n}.json")
+            if not os.path.exists(cand):
+                return cand
+            n += 1
+
     if os.path.exists(local):
         try:
             with open(local) as fh:
                 prev = json.load(fh)
         except Exception:
             prev = None
-        if prev is not None and (
-            # a different-SF run is a smoke/experiment, never the
-            # round's sf-record — divert it regardless of canaries
-            prev.get("sf") != out["sf"]
-            or (
-                # same sf, same contract: keep the better window (a
-                # changed key set means the contract moved — replace)
-                set(prev.get("queries", {})) == set(out["queries"])
-                and (
-                    _canary_class(prev) > _canary_class(out)
-                    or (
-                        _canary_class(prev) == _canary_class(out)
-                        and prev.get("value", 1e18) <= out["value"]
-                    )
+        if prev is not None and prev.get("sf") != out["sf"]:
+            # a different-SF run is a smoke/experiment, never the round's
+            # sf-record — divert it under its own name (NOT 'rejected':
+            # that tag means 'worse window, same sf')
+            local = _numbered(local, "smoke")
+            print(
+                f"# different sf ({out['sf']} vs standing {prev.get('sf')}); "
+                f"this run -> {os.path.basename(local)}",
+                file=sys.stderr,
+            )
+        elif prev is not None and (
+            # same sf, same contract: keep the better window (a
+            # changed key set means the contract moved — replace)
+            set(prev.get("queries", {})) == set(out["queries"])
+            and (
+                _canary_class(prev) > _canary_class(out)
+                or (
+                    _canary_class(prev) == _canary_class(out)
+                    and prev.get("value", 1e18) <= out["value"]
                 )
             )
         ):
-            local = local.replace(".json", "_rejected.json")
+            local = _numbered(local, "rejected")
             print(
                 f"# standing artifact has a better/equal window "
                 f"(class {_canary_class(prev)}, {prev.get('value')}s); "
@@ -476,9 +492,9 @@ def main() -> None:
     try:
         sys.path.insert(0, os.path.join(here, "tools"))
         from correctness_cum import merge as _cum_merge
+        from correctness_cum import write_cum as _cum_write
 
-        with open(os.path.join(here, "CORRECTNESS_cum.json"), "w") as fh:
-            json.dump(_cum_merge(here), fh, indent=2)
+        _cum_write(here, _cum_merge(here))
     except Exception:
         pass  # diagnostics must never break the bench contract line
     print(json.dumps(out, separators=(",", ":")))

@@ -204,14 +204,27 @@ def compact_files(
             import shutil
 
             tmp = out_dir + "._recalib"
-            redo = spark.read.parquet(out_dir).repartition(n_ideal).write.mode(
-                "overwrite"
-            )
-            if compression:
-                redo = redo.option("compression", compression)
-            redo.parquet(tmp)
-            shutil.rmtree(out_dir)
+            try:
+                redo = spark.read.parquet(out_dir).repartition(
+                    n_ideal
+                ).write.mode("overwrite")
+                if compression:
+                    redo = redo.option("compression", compression)
+                redo.parquet(tmp)
+            except BaseException:
+                # failed pass 2 must not orphan ._recalib next to an
+                # intact pass-1 output
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+            # swap via two renames (each atomic), never rmtree-then-rename:
+            # a crash between those would lose the output entirely.  After
+            # the aside-rename, the worst crash window leaves pass-1 output
+            # at *.old and pass-2 at ._recalib — both recoverable.
+            old = out_dir + "._old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(out_dir, old)
             os.rename(tmp, out_dir)
+            shutil.rmtree(old)
             out_files = glob.glob(os.path.join(out_dir, "*.parquet"))
             n_passes = 2
 

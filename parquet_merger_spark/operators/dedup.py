@@ -141,7 +141,10 @@ _SIG_CHUNK_SHINGLES = 65_536
 
 
 def _minhash_constants(k: int):
-    assert k <= _MINHASH_MAX_K
+    # ValueError, not assert: stripped under python -O, k beyond the
+    # constant table would silently slice to fewer hashes than requested
+    if k > _MINHASH_MAX_K:
+        raise ValueError(f"k ({k}) exceeds _MINHASH_MAX_K ({_MINHASH_MAX_K})")
     rng = np.random.RandomState(0x5EED)
     a = rng.randint(1, 2**62, _MINHASH_MAX_K).astype(np.uint64) * 2 + 1
     c = rng.randint(0, 2**62, _MINHASH_MAX_K).astype(np.uint64)
@@ -227,7 +230,10 @@ def lsh_band_buckets(
     explode_outer dodges InferFiltersFromGenerate re-evaluating the
     band-hash array inside an inferred filter (band arrays are never
     empty — SURVEY §9 #1)."""
-    assert num_hashes % bands == 0
+    # ValueError, not assert: a stripped guard (python -O) would silently
+    # truncate the last band's rows — a recall bug, not an argument nit
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     band_cols = F.array(
         *[
@@ -281,7 +287,10 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    assert num_hashes % bands == 0
+    # ValueError, not assert: stripped under python -O this would silently
+    # drop the trailing hashes from the last band (recall loss, no error)
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     # Shingle-eligibility is filtered on the CHEAP token-count predicate
     # BEFORE the signature pipeline: a post-hoc filter(size(sh_hashes)>0)
     # gets predicate-pushed below the gram-building projections, fully
@@ -1039,11 +1048,15 @@ def simhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    assert max_hamming < bands, (
-        f"pigeonhole needs max_hamming ({max_hamming}) < bands ({bands}); "
-        "pairs at distance >= bands can evade every chunk bucket"
-    )
-    assert bits % bands == 0, "bits must divide evenly into bands"
+    # ValueError, not assert: these two guard RECALL invariants — stripped
+    # under python -O, a violating call would silently miss pairs
+    if not max_hamming < bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming ({max_hamming}) < bands ({bands}); "
+            "pairs at distance >= bands can evade every chunk bucket"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
     sigs = simhash_signatures(df, id_col, text_col, bits=bits).persist(
         storage_level or StorageLevel.MEMORY_AND_DISK
     )
@@ -1421,7 +1434,13 @@ def minhash_lsh_pairs_portable(
     precisely from its xxhash64 + mod-2^64 hashing).  b=6, r=2 puts the
     LSH threshold near (1/b)^(1/r) ~ 0.41: recall on J >= 0.8 pairs is
     1-(1-s^2)^6 > 0.99 (asserted against exact Jaccard in tests)."""
-    assert num_hashes % bands == 0 and num_hashes <= len(PORTABLE_HASH_AC)
+    # ValueError, not assert (python -O): both halves guard recall —
+    # truncated bands or missing hash constants silently lose pairs
+    if num_hashes % bands != 0 or num_hashes > len(PORTABLE_HASH_AC):
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide into bands ({bands}) and "
+            f"stay within the portable constant table ({len(PORTABLE_HASH_AC)})"
+        )
     r = num_hashes // bands
     grams = _portable_doc_grams(df, id_col, text_col)
     mins = [
@@ -1475,7 +1494,9 @@ def simhash_signatures_portable(
     shifts on non-negative BIGINTs), hence exactly DuckDB-checkable —
     unlike the production :func:`simhash_signatures`' xxhash64 path.
     Row-local after the dictionary join: one groupBy(doc) shuffle."""
-    assert bits <= 30  # h < PORTABLE_MOD ~ 2^30
+    if bits > 30:  # ValueError, not assert: h < PORTABLE_MOD ~ 2^30 —
+        # stripped, bits > 30 would vote on constant-zero high bits
+        raise ValueError(f"bits ({bits}) must be <= 30 (h < PORTABLE_MOD ~ 2^30)")
     a0, c0 = PORTABLE_HASH_AC[0]
     vocab = portable_vocab(df, text_col)
     tok = df.select(
@@ -1537,7 +1558,10 @@ def winnow_fingerprints(
     no cross-document shuffle at all; output volume is ~2/(window+1) of
     the gram stream.  Fingerprint matching downstream is a plain
     equi-join on ``fp``."""
-    assert k >= 1 and window >= 1
+    # ValueError, not assert: k=0/window=0 would build degenerate grams /
+    # empty winnow windows silently under python -O
+    if k < 1 or window < 1:
+        raise ValueError(f"k ({k}) and window ({window}) must both be >= 1")
     a0, c0 = PORTABLE_HASH_AC[0]
     poscap = 1 << 21
     vocab = portable_vocab(df, text_col)

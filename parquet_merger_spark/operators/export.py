@@ -21,11 +21,20 @@ from pyspark.sql import DataFrame
 from parquet_merger_spark.functions.strings import is_internal_column
 
 
-def drop_internal_columns(df: DataFrame) -> DataFrame:
+def drop_internal_columns(
+    df: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
     """Drop ``__name__``-style columns (reference: src/main.rs:689-691,
-    applied only on the CSV path at :706 — the parquet sink keeps them)."""
-    keep = [c for c in df.columns if not is_internal_column(c)]
-    return df.select(*keep)
+    applied only on the CSV path at :706 — the parquet sink keeps them).
+
+    ``keep`` exempts named columns from the drop (the CSV sink's consumed
+    ``order_by`` keys are internal-shaped but must survive until the
+    sort) — one policy site instead of two divergable copies."""
+    exempt = set(keep or ())
+    cols = [
+        c for c in df.columns if c in exempt or not is_internal_column(c)
+    ]
+    return df.select(*cols)
 
 
 def export_csv(
@@ -45,12 +54,8 @@ def export_csv(
     unspecified (repartition(1) fetch order is nondeterministic);
     ``merge_batches`` passes the merged file's row index to keep the CSV
     in reference order."""
-    clean = drop_internal_columns(df)
-    if order_by:
-        # internal-column drop must not eat the ordering keys
-        clean = df.select(
-            *[c for c in df.columns if not is_internal_column(c) or c in order_by]
-        )
+    # internal-column drop must not eat the consumed ordering keys
+    clean = drop_internal_columns(df, keep=order_by)
     # escape='"' => RFC-4180 doubled inner quotes (reference: escape_csv_field,
     # src/main.rs:731-737); Spark's default escape is backslash.
     opts = {

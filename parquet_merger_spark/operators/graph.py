@@ -183,6 +183,7 @@ def triangle_count(
     src_col: str = "src",
     dst_col: str = "dst",
     broadcast_edge_limit: int = 5_000_000,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Exact global triangle count over an undirected edge list, by
     DEGREE-ORDERED ORIENTATION (the classic wedge-check algorithm:
@@ -220,7 +221,41 @@ def triangle_count(
     equi-joins on the vertex key; orientation bounds every out-neighbor
     array at O(sqrt E), so the per-row intersect work — and the total
     O(E^1.5) — survives the scale-up.
+
+    ``shuffle_partitions``: partition count for the operator's internal
+    shuffles (default ``None`` = session conf).  The r08 measurement
+    (CORE_SCALING_r07 + the r08 triangles probe, sf1 AND sf10): the
+    heavy stages here are ALLOCATION-bound (per-task array builds for
+    collect_list/array_intersect), so beyond ~1 task per 2 cores extra
+    partitions only multiply allocation pressure — 32 cores at 16
+    partitions matched 16 cores at 16 partitions, while 32 partitions
+    was measurably slower.  On a big cluster size this to ~cores/2 for
+    the triangle stage rather than inheriting a large global default.
+    Applied by setting ``spark.sql.shuffle.partitions`` around the
+    internal materializations and restoring it afterwards — the setting
+    is SESSION-scoped for that window, so don't run concurrent queries
+    on the same session while counting with a hint.
     """
+    spark = edges.sparkSession
+    saved_sp = None
+    if shuffle_partitions is not None:
+        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _triangle_count_body(
+            edges, src_col, dst_col, broadcast_edge_limit
+        )
+    finally:
+        if saved_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+
+
+def _triangle_count_body(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    broadcast_edge_limit: int,
+) -> DataFrame:
     u, v = F.col(src_col), F.col(dst_col)
     # canonical undirected edges (a < b), self-loops dropped
     e = (

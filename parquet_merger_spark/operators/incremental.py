@@ -50,7 +50,10 @@ def snapshot_diff(
     Keys should be non-null by contract; the labels are at least
     side-correct (membership comes from explicit presence markers, not
     key nullness)."""
-    assert old.columns == new.columns, "snapshots must share a schema"
+    # ValueError, not assert: stripped under python -O, mismatched
+    # snapshots would positional-compare the wrong columns silently
+    if old.columns != new.columns:
+        raise ValueError("snapshots must share a schema")
     val_cols = [c for c in old.columns if c not in key_cols]
     # column-rename disambiguation: the two snapshots often share lineage
     # (same source table), so frame-qualified references are ambiguous.

@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+from urllib.parse import quote
 from dataclasses import dataclass
 from functools import reduce
 
@@ -68,8 +69,20 @@ def _qualified_uris(spark: SparkSession, paths: list[str]) -> list[str]:
         jp = jvm.org.apache.hadoop.fs.Path(p)
         return jp.getFileSystem(hconf).makeQualified(jp).toString()
 
+    def _concat_safe(p: str) -> bool:
+        # The shortcut assumes qual(p) == prefix + p, which only holds when
+        # Hadoop's Path neither percent-escapes nor normalizes p: absolute,
+        # URI-unreserved chars only (space/%/# etc. get escaped), no '//'
+        # runs or trailing '/' (Path collapses/strips those).
+        return (
+            os.path.isabs(p)
+            and quote(p, safe="/") == p
+            and "//" not in p
+            and not p.endswith("/")
+        )
+
     first = qual(paths[0])
-    if not first.endswith(paths[0]) or not all(os.path.isabs(p) for p in paths):
+    if not first.endswith(paths[0]) or not all(map(_concat_safe, paths)):
         return [qual(p) for p in paths]
     prefix = first[: len(first) - len(paths[0])]
     return [first] + [prefix + p for p in paths[1:]]
@@ -147,17 +160,57 @@ def merged_df(
         return base
     # file seq = position in `paths` (the reference appends inputs to the
     # writer strictly in member order, src/main.rs:580-599); resolved via
-    # a broadcast join on the qualified URI Spark reports in _metadata
-    uris = _qualified_uris(spark, paths)
+    # a broadcast join on the qualified URI Spark reports in _metadata.
+    # _metadata.file_path names the LEAF file the row came from, so a
+    # DIRECTORY input (a part-file dataset) must be expanded to its
+    # leaves first — mapping the raw directory URI would leave every row
+    # unmatched (pre-r09 this silently sorted such rows first; now the
+    # null trap below makes the mismatch a hard error).  Leaves within a
+    # directory get consecutive seqs in sorted-name order — equal to
+    # part-number order within a single write job, and DETERMINISTIC
+    # (same file set -> same order) even for appended datasets whose
+    # uuid-bearing names don't sort in write order.
+    leaves: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for root, dirs, files in os.walk(p):
+                # match the reader's listing rule: hidden/metadata
+                # entries (_SUCCESS, .crc, ...) are not data files
+                dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+                leaves.extend(
+                    os.path.join(root, f)
+                    for f in sorted(files)
+                    if not f.startswith(("_", "."))
+                )
+        else:
+            leaves.append(p)
+    uris = _qualified_uris(spark, leaves)
     seq_of: dict[str, int] = {}
     for i, u in enumerate(uris):
         seq_of.setdefault(u, i)
     mapping = spark.createDataFrame(
         list(seq_of.items()), f"{_ORDER_FP_COL} string, {ORDER_FILE_COL} long"
     )
-    return base.join(F.broadcast(mapping), _ORDER_FP_COL, "left").drop(
-        _ORDER_FP_COL
-    )
+    # LEFT join + an executor-side null trap, not INNER: an inner join
+    # would silently DROP any row whose reported file_path has no mapping
+    # (URI-encoding drift between _metadata and _qualified_uris), which is
+    # worse than misordering it.  The trap turns the mismatch into a hard
+    # error naming the unresolved URI the moment any task touches such a
+    # row — no extra job, no count() pass over the data.
+    joined = base.join(F.broadcast(mapping), _ORDER_FP_COL, "left")
+    return joined.withColumn(
+        ORDER_FILE_COL,
+        F.when(
+            F.col(ORDER_FILE_COL).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("file sequence unresolved for "),
+                    F.col(_ORDER_FP_COL),
+                    F.lit(" (URI not in the qualified input set)"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(ORDER_FILE_COL)),
+    ).drop(_ORDER_FP_COL)
 
 
 def merged_df_ordered(

@@ -148,10 +148,13 @@ def salted_join(
     Only left-preserving join types are allowed: in a right/full outer
     join an unmatched right key would survive once PER SALT COPY
     (n_salts duplicate null-padded rows), so those are rejected."""
-    assert how in ("inner", "left", "left_outer", "leftouter", "semi",
-                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"), (
-        f"how={how!r} would duplicate unmatched right rows across salt copies"
-    )
+    # ValueError, not assert: stripped under python -O, a right/full outer
+    # join would duplicate every unmatched right key once PER SALT COPY
+    if how not in ("inner", "left", "left_outer", "leftouter", "semi",
+                   "left_semi", "leftsemi", "anti", "left_anti", "leftanti"):
+        raise ValueError(
+            f"how={how!r} would duplicate unmatched right rows across salt copies"
+        )
     # coalesce a NULL salt to bucket 0: pmod(NULL, n) is NULL and never
     # equi-joins, which would DROP a matching left row from an inner
     # join (and wrongly keep it in an anti join) — breaking the

@@ -88,7 +88,10 @@ def deterministic_sample(
     :func:`portable_hash_gate` for cross-engine tests)."""
     g = gate if gate is not None else hash_gate(F.col(id_col), salt)
     if fractions is not None:
-        assert strata_col is not None, "fractions requires strata_col"
+        # ValueError, not assert (python -O strips asserts): without the
+        # guard a missing strata_col would fail later with an opaque error
+        if strata_col is None:
+            raise ValueError("fractions requires strata_col")
         threshold: Column = F.lit(-1)  # unknown strata drop out
         for value, frac in fractions.items():
             threshold = (
@@ -96,7 +99,8 @@ def deterministic_sample(
                 .otherwise(threshold)
             )
     else:
-        assert fraction is not None, "need fraction or fractions"
+        if fraction is None:
+            raise ValueError("need fraction or fractions")
         threshold = F.lit(int(round(fraction * _MOD)))
     return df.filter(g < threshold)
 
@@ -122,7 +126,10 @@ def split_by_hash(
     * Shuffle-free: one row-local expression, no shuffle, no sort.
     """
     total = sum(fractions.values())
-    assert abs(total - 1.0) < 1e-9, f"fractions must sum to 1, got {total}"
+    # ValueError, not assert: stripped under python -O, non-normalized
+    # fractions would silently mis-size every split (semantic invariant)
+    if not abs(total - 1.0) < 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
     g = gate if gate is not None else hash_gate(F.col(id_col), salt)
     expr, cum = None, 0.0
     names = list(fractions)
@@ -173,8 +180,13 @@ def mixture_sample(
     the standard behavior for low-resource languages in mixture specs.
     """
     parts_total = sum(weight_parts.values())
-    assert parts_total > 0, "weights must sum positive"
-    assert budget_tokens * parts_total * _MOD < 2**63, "budget too large"
+    # ValueError, not assert: both guard CORRECTNESS invariants — under
+    # python -O a zero weight-sum divides by zero later, and a too-large
+    # budget silently overflows the exact-integer threshold arithmetic
+    if parts_total <= 0:
+        raise ValueError("weights must sum positive")
+    if budget_tokens * parts_total * _MOD >= 2**63:
+        raise ValueError("budget too large: budget*sum(weights)*1e6 must stay below 2^63")
     g = gate if gate is not None else hash_gate(F.col(id_col), salt)
 
     totals = df.groupBy(strata_col).agg(F.sum(token_col).alias("__stratum_tokens"))

@@ -1025,7 +1025,10 @@ def knn_graph(
 
 def _pq_split(m: int, dim: int) -> list[tuple[int, int]]:
     """(1-based slice start, length) per subspace; dim must divide by m."""
-    assert dim % m == 0, f"dim {dim} must divide into m={m} subspaces"
+    # ValueError, not assert: stripped under python -O, a non-dividing m
+    # would silently drop the trailing dims from every PQ code
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
     sub = dim // m
     return [(s * sub + 1, sub) for s in range(m)]
 
@@ -1879,7 +1882,10 @@ def rhp_lsh_pairs(
     no shuffle); the only wide op is the banded equi-join, O(vectors x
     bands) with AQE handling hot buckets; the verify filter runs on
     candidates only.  Output: (id_a, id_b, cosine) with id_a < id_b."""
-    assert bits % bands == 0
+    # ValueError, not assert: band divisibility guards recall (python -O
+    # would strip the check and silently truncate the last band)
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
     from parquet_merger_spark.operators.dedup import (
         PORTABLE_HASH_AC,
         PORTABLE_MOD,

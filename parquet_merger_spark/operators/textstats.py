@@ -349,7 +349,10 @@ def bm25_scores(
     a broadcast 1-row frame.  One shuffle of the filtered tf rows; at
     100 TB the flow is scan-local except for that filtered aggregate.
     """
-    assert terms, "bm25_scores needs at least one query term"
+    # ValueError, not assert (python -O strips asserts): an empty term
+    # list would silently score every doc 0 instead of failing loudly
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     toks = df.select(
         F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term").isin(terms))

@@ -27,6 +27,10 @@ _MARKERS = {
     "python_evals": "ArrowEvalPython",
     "map_in_pandas": "MapInPandas",
     "grouped_pandas": "FlatMapGroupsInPandas",
+    # the node a row-at-a-time F.udf produces: pickled per-row transfer,
+    # no Arrow batching — the one anti-pattern this audit exists to
+    # red-line (r08 verdict: the audit was blind to it)
+    "batch_python_evals": "BatchEvalPython",
 }
 
 
@@ -85,6 +89,14 @@ def assert_scalable(
     problems = []
     if d["cartesian_products"]:
         problems.append(f"{d['cartesian_products']} CartesianProduct node(s)")
+    if d["batch_python_evals"]:
+        # unconditional — no allow_* escape hatch: a row-at-a-time Python
+        # UDF (pickled per-row, no Arrow) is never acceptable in this
+        # codebase; vectorized kernels must be pandas_udf/mapInPandas
+        problems.append(
+            f"{d['batch_python_evals']} BatchEvalPython node(s) "
+            "(row-at-a-time F.udf — use a pandas_udf)"
+        )
     if not allow_nested_loop and d["broadcast_nested_loop_joins"]:
         problems.append(
             f"{d['broadcast_nested_loop_joins']} BroadcastNestedLoopJoin node(s)"

@@ -80,7 +80,8 @@ def test_salted_join_rejects_right_preserving_how(spark):
     from parquet_merger_spark.operators.ranking import salted_join
 
     df = spark.createDataFrame([(1, 1)], "k long, v long")
-    with pytest.raises(AssertionError):
+    # ValueError since r09 (semantic guards survive python -O)
+    with pytest.raises(ValueError, match="salt copies"):
         salted_join(df, df, ["k"], salt_from=F.xxhash64("v"), how="full")
 
 

@@ -362,3 +362,66 @@ def test_single_file_order_with_schema_mismatch_groups(spark, tmp_path):
     assert got["k"].tolist() == list(range(0, 30)) + list(range(100, 140)) + list(
         range(200, 220)
     )
+
+
+def test_ordered_merge_directory_inputs(spark, tmp_path):
+    """r09 advisor fix: a DIRECTORY input (multi-part dataset) must keep
+    reference order too.  Pre-fix, _metadata.file_path (the LEAF part
+    file) never matched the directory's qualified URI, the LEFT join left
+    __pm_file_seq__ NULL, and those rows silently sorted FIRST — wrong
+    order, no error.  Now the mapping expands directories to their leaf
+    files (sorted part order = Spark's write order) and any unresolved
+    URI raises instead of misordering."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from parquet_merger_spark.operators.merge import merged_df_ordered
+
+    # input 0: a 3-part DIRECTORY dataset with known per-part contents
+    part_frames = []
+    dir0 = str(tmp_path / "multi")
+    for j in range(3):
+        pdf = pd.DataFrame(
+            {"k": [(j * 50 + i) * 7 % 13 for i in range(40)],
+             "src": [f"d{j}"] * 40}
+        )
+        part_frames.append(pdf)
+    # write parts via Spark so the layout is a genuine part-file dataset;
+    # one file per part, names sorted in part order
+    for j, pdf in enumerate(part_frames):
+        mode = "overwrite" if j == 0 else "append"
+        spark.createDataFrame(pdf).coalesce(1).write.mode(mode).parquet(dir0)
+    # input 1: a plain file AFTER the directory in caller order
+    tail = pd.DataFrame({"k": [99] * 10, "src": ["tail"] * 10})
+    f1 = str(tmp_path / "tail.parquet")
+    tail.to_parquet(f1, index=False)
+
+    df, order_cols = merged_df_ordered(spark, [dir0, f1])
+    got = (
+        df.orderBy(*order_cols)
+        .drop(*order_cols)
+        .toPandas()
+    )
+    # every directory row precedes every tail row (caller order), no NULL
+    # seq ordered anything first
+    assert got["src"].tolist()[-10:] == ["tail"] * 10
+    assert set(got["src"].tolist()[:-10]) == {"d0", "d1", "d2"}
+    # within the directory, part files appear whole and in one block each
+    # (sorted part-name order), rows inside each part in file order
+    dir_rows = got.iloc[:-10].reset_index(drop=True)
+    blocks = [
+        dir_rows[dir_rows["src"] == s]["k"].tolist()
+        for s in sorted(set(dir_rows["src"]))
+    ]
+    expected_blocks = sorted(
+        ([pf["k"].tolist() for pf in part_frames]), key=lambda b: b
+    )
+    assert sorted(blocks) == sorted(expected_blocks)
+    # each src block is contiguous (a part file is never interleaved)
+    src_seq = dir_rows["src"].tolist()
+    seen, prev = set(), None
+    for s in src_seq:
+        if s != prev:
+            assert s not in seen, f"part {s} interleaved"
+            seen.add(s)
+            prev = s

@@ -293,6 +293,19 @@ def test_plan_digest_and_assert_scalable(spark):
     with pytest.raises(AssertionError, match="SinglePartition"):
         assert_scalable(funnel)
 
+    # a row-at-a-time F.udf (BatchEvalPython node) is red-lined
+    # UNCONDITIONALLY — no allow_* flag may admit it (r08 verdict: the
+    # audit was blind to the one anti-pattern it exists to catch)
+    from pyspark.sql.types import LongType
+
+    row_udf = F.udf(lambda x: x + 1, LongType())
+    slow = spark.range(100).withColumn("y", row_udf(F.col("id")))
+    ds = plan_digest(slow)
+    assert ds["batch_python_evals"] >= 1, ds
+    with pytest.raises(AssertionError, match="BatchEvalPython"):
+        assert_scalable(slow, allow_python=True, allow_nested_loop=True,
+                        allow_single_partition=True)
+
 
 # Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
 # the broadcast side is model-tiny BY CONSTRUCTION (GEMM block-pair

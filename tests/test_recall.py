@@ -463,7 +463,8 @@ def test_pq_training_rejects_empty_and_bad_dims(spark, embeddings):
     empty = embeddings.filter("vec_id < 0")
     with pytest.raises(ValueError, match="empty corpus"):
         train_pq_codebooks(empty, m=8, n_codes=4)
-    with pytest.raises(AssertionError, match="divide"):
+    # ValueError since r09 (semantic guards survive python -O)
+    with pytest.raises(ValueError, match="divide"):
         train_pq_codebooks(embeddings, m=7, n_codes=4)  # 64 % 7 != 0
 
 

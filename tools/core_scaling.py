@@ -154,8 +154,11 @@ def main() -> None:
     }
     n = next_round(ROOT)
     path = os.path.join(ROOT, f"CORE_SCALING_r{n:02d}.json")
-    with open(path, "w") as fh:
-        json.dump(artifact, fh, indent=1)
+    from artifact import write_artifact
+
+    moved = write_artifact(path, artifact, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
     print(f"\n{path} written")
 
 

@@ -78,8 +78,11 @@ def main() -> None:
     path = os.environ.get("SPARK_GRAFT_ORACLE_OUT") or os.path.join(
         ROOT, f"CORRECTNESS_local_r{n:02d}.json"
     )
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    from artifact import write_artifact
+
+    moved = write_artifact(path, out, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
     n_pass = sum(1 for r in out.values() if r["hash_match"])
     n_ro = sum(1 for r in out.values() if r["err"] == "no_oracle")
     n_fail = len(out) - n_pass - n_ro

@@ -101,8 +101,11 @@ def main() -> None:
             merged = json.load(fh)
         merged.update(out)
         out = merged
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    from artifact import write_artifact
+
+    moved = write_artifact(path, out, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
     n_ok = sum(1 for r in out.values() if r["match"])
     print(f"\n{path}: {n_ok} deterministic, {len(out) - n_ok} flagged")
     if n_mismatch:

@@ -195,8 +195,11 @@ def main() -> None:
 
     nn = next_round(ROOT)
     path = os.path.join(ROOT, f"MEM_SCALING_r{nn:02d}.json")
-    with open(path, "w") as fh:
-        json.dump(result, fh, indent=1)
+    from artifact import write_artifact
+
+    moved = write_artifact(path, result, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
     print(f"wrote {path}")
 
 

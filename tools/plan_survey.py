@@ -56,8 +56,11 @@ def main() -> None:
 
     n = next_round(ROOT)
     path = os.path.join(ROOT, f"PLANS_r{n:02d}.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=True)
+    from artifact import write_artifact
+
+    moved = write_artifact(path, out, indent=1, sort_keys=True)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
     bad = [k for k, v in out.items() if "err" in v]
     cart = [
         k for k, v in out.items()

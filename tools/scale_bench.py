@@ -179,8 +179,11 @@ def main() -> None:
 
     n = next_round(ROOT)
     path = os.path.join(ROOT, f"SCALING_r{n:02d}.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
+    from artifact import write_artifact
+
+    moved = write_artifact(path, out, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
     print(f"\nwrote {path}")
 
 

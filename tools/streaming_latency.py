@@ -33,10 +33,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 def main() -> None:
     from parquet_merger_spark import queries as Q
-    from parquet_merger_spark.session import get_spark
+    from parquet_merger_spark.session import (
+        first_touch_canary_s,
+        get_spark,
+        stage_latency_canary_s,
+    )
 
     spark = get_spark("pm-stream-latency", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # the same two-probe canary bracket bench.py uses (r09 ask #7): a
+    # latency artifact from a fault-phase window is not comparison-grade
+    canary_before = first_touch_canary_s()
+    stage_before = stage_latency_canary_s(spark)
 
     stream_keys = sorted(k for k in Q.QUERIES if k.startswith("stream_"))
     out: dict[str, dict] = {}
@@ -74,13 +83,70 @@ def main() -> None:
             flush=True,
         )
 
+    # Partition-count curve for the stream-stream interval join (r09 ask
+    # #7).  The r08 decomposition attributed its ~1.2s addBatch to
+    # per-partition state-store commit cost on top of the universal
+    # micro-batch floor, predicting ~0.74s at 1 state partition.  The
+    # state partition count is FIXED at first checkpoint creation by
+    # spark.sql.shuffle.partitions, and each run of the key uses a fresh
+    # checkpoint dir, so sweeping the conf sweeps the curve.
+    curve: dict[str, dict] = {}
+    if "stream_interval_join" in Q.QUERIES:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for parts in (1, 2, 4, 8, 16):
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                Q.QUERIES["stream_interval_join"](spark, SF_DIR).count()
+                wall = round(time.perf_counter() - t0, 3)
+                prog = Q.STREAM_PROGRESS.get("stream_interval_join", [])
+                adds = [
+                    (p.get("duration_ms") or {}).get("addBatch")
+                    for p in prog
+                ]
+                adds = [a for a in adds if a is not None]
+                curve[str(parts)] = {
+                    "wall_s": wall,
+                    "n_batches": len(prog),
+                    "addBatch_ms_total": round(sum(adds), 1),
+                    "addBatch_ms_max": max(adds) if adds else None,
+                }
+                print(
+                    f"interval-join curve: {parts} state partition(s) -> "
+                    f"addBatch total {sum(adds):.0f}ms over {len(prog)} "
+                    f"batches (wall {wall}s)",
+                    flush=True,
+                )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+
     from parquet_merger_spark.oracle import next_round
 
     n = next_round(ROOT)
     path = os.path.join(ROOT, f"STREAM_LATENCY_r{n:02d}.json")
-    with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
-    print(f"\nwrote {path}")
+    from artifact import write_artifact
+
+    result = {
+        "host_canary_s": {
+            "before": canary_before,
+            "after": first_touch_canary_s(),
+            "stage_before": stage_before,
+            "stage_after": stage_latency_canary_s(spark),
+        },
+        "keys": out,
+        "interval_join_state_partition_curve": curve,
+    }
+    c = result["host_canary_s"]
+    c["canary_ok"] = bool(max(c["before"], c["after"]) < 1.0)
+    c["canary_strict_ok"] = bool(
+        max(c["before"], c["after"]) < 0.3
+        and max(c["stage_before"], c["stage_after"]) < 0.15
+    )
+    moved = write_artifact(path, result, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
+    print(f"\nwrote {path} (strict={c['canary_strict_ok']})")
 
 
 if __name__ == "__main__":
