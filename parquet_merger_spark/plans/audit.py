@@ -29,9 +29,24 @@ _MARKERS = {
     "grouped_pandas": "FlatMapGroupsInPandas",
     # the node a row-at-a-time F.udf produces: pickled per-row transfer,
     # no Arrow batching — the one anti-pattern this audit exists to
-    # red-line (r08 verdict: the audit was blind to it)
+    # red-line (r08 verdict: the audit was blind to it).  NOTE: the
+    # substring also matches BatchEvalPythonUDTF (the sanctioned UDTF
+    # API surface, a DIFFERENT node class) — _count() separates them so
+    # the scalar-UDF red line can stay unconditional
     "batch_python_evals": "BatchEvalPython",
+    "batch_python_udtfs": "BatchEvalPythonUDTF",
 }
+
+
+def _count(plan: str) -> dict[str, int]:
+    import re
+
+    d = {name: plan.count(marker) for name, marker in _MARKERS.items()}
+    # "BatchEvalPython" is a prefix of "BatchEvalPythonUDTF": keep the
+    # scalar count pure so a UDTF never masks (or fakes) a row-UDF
+    d["batch_python_evals"] -= d["batch_python_udtfs"]
+    d["whole_stage_codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    return d
 
 
 def _explain(df: DataFrame, mode: str = "simple") -> str:
@@ -61,12 +76,7 @@ def plan_digest(df: DataFrame) -> dict[str, int]:
     ``spark.sql.adaptive.enabled=false`` (how the codegen-width tests
     use it) or on a post-execution final plan.
     """
-    import re
-
-    plan = _explain(df)
-    d = {name: plan.count(marker) for name, marker in _MARKERS.items()}
-    d["whole_stage_codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
-    return d
+    return _count(_explain(df))
 
 
 def assert_scalable(
@@ -75,6 +85,7 @@ def assert_scalable(
     allow_nested_loop: bool = False,
     allow_python: bool = True,
     allow_single_partition: bool = False,
+    allow_python_udtf: bool = False,
 ) -> dict[str, int]:
     """Raise AssertionError (with the offending counts) when the plan
     crosses a scale red line; returns the digest when it passes.
@@ -96,6 +107,14 @@ def assert_scalable(
         problems.append(
             f"{d['batch_python_evals']} BatchEvalPython node(s) "
             "(row-at-a-time F.udf — use a pandas_udf)"
+        )
+    if not allow_python_udtf and d["batch_python_udtfs"]:
+        # UDTFs are the sanctioned user API for genuinely-Python table
+        # logic, but still row-at-a-time: a caller must vouch the input
+        # is bounded (as q_udtf_tokens does with its 100-doc slice)
+        problems.append(
+            f"{d['batch_python_udtfs']} BatchEvalPythonUDTF node(s) "
+            "(row-at-a-time UDTF on an unvouched path)"
         )
     if not allow_nested_loop and d["broadcast_nested_loop_joins"]:
         problems.append(
@@ -136,13 +155,8 @@ def final_plan_digest(df: DataFrame) -> dict[str, int]:
     COLLECTS the frame to the driver — audit/test use on bounded or
     aggregated frames only, never on a production hot path.
     """
-    import re
-
     df.collect()
     plan = _explain(df)
     # the AQE explain appends the pre-execution tree after the final one;
     # digest only what ran
-    plan = plan.split("== Initial Plan ==")[0]
-    d = {name: plan.count(marker) for name, marker in _MARKERS.items()}
-    d["whole_stage_codegen"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
-    return d
+    return _count(plan.split("== Initial Plan ==")[0])

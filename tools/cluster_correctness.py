@@ -89,7 +89,24 @@ def main() -> None:
     only = set(sys.argv[1:])
     spark = pin_oracle_confs(get_cluster_spark())
     spark.sparkContext.setLogLevel("ERROR")
-    n_execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+    # the artifact must PROVE multi-JVM execution: wait until every
+    # executor JVM has registered its block manager (the count includes
+    # the driver's), and hard-fail rather than record a sweep that
+    # silently ran driver-only or under-provisioned
+    import re as _re
+
+    want = int((_re.match(r"local-cluster\[(\d+),", MASTER) or [None, "2"])[1])
+    deadline = time.time() + 120
+    while True:
+        n_execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+        if n_execs >= want + 1:
+            break
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"only {n_execs} block managers (incl driver) registered "
+                f"after 120s; wanted {want} executor JVMs — not multi-JVM"
+            )
+        time.sleep(2)
     print(f"# master={MASTER}  block managers (incl driver)={n_execs}")
     con = duckdb.connect()
     register_views(con, SF_DIR)
