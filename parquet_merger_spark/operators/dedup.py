@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_merger_spark.barrier import materialize, materialize_lazy
+
 
 def tokens_col(text: Column | str, sep: str = " ") -> Column:
     return F.split(text, sep)
@@ -784,7 +786,7 @@ def dup_clusters(
                 "label",
                 (F.col("label") != F.col("__plabel")).alias("__changed"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
         n_changed = labels.agg(
             F.count_if(F.col("__changed")).alias("c")

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parquet_merger_spark.barrier import materialize, materialize_lazy
+
 SCALE = 1_000_000
 
 
@@ -165,14 +167,14 @@ def pagerank_int(
         # pulling the persisted invariants into cache on the first
         # iteration.
         if it % 2 == 1 and it != iterations - 1:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(materialize_lazy)
     # Materialize the final O(V) rank frame, then RELEASE the loop
     # invariants: without this, deg/e_deg/vertices stay pinned in the
     # CacheManager across calls (every later plan analysis walks them —
     # the +85% tax documented in SURVEY §9.10), and only a caller-side
     # clearCache() would mitigate it.  The checkpoint makes the returned
     # frame self-contained, so the unpersists cannot force a recompute.
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.transform(materialize)
     for inv in (deg, e_deg, vertices):
         inv.unpersist()
     return ranks
@@ -385,7 +387,7 @@ def _triangle_count_body(
     # 1-row census: materialize it, then release EVERY persisted
     # intermediate so nothing pins block-manager memory across calls
     # (same rationale as pagerank_int's exit path)
-    result = result.localCheckpoint(eager=True)
+    result = result.transform(materialize)
     for cached in (deg, out_nbrs, e, oriented):
         cached.unpersist()
     return result

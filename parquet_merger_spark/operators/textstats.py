@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from parquet_merger_spark.barrier import materialize, materialize_lazy
+
 # Tiny per-language marker lists for the n-gram/stopword heuristic.  Real
 # pipelines plug fastText/cld3 here via a Pandas UDF; the heuristic keeps
 # the engine dependency-free and the semantics SQL-expressible.
@@ -445,7 +447,7 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("syms", F.split("w", ""))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     rules: list[tuple[int, str, str, str, int]] = []
     for step in range(k):
@@ -482,7 +484,7 @@ def bpe_learn_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        vocab = vocab.withColumn("syms", merged).localCheckpoint(eager=True)
+        vocab = vocab.withColumn("syms", merged).transform(materialize)
         rules.append((step, a, b, ab, cnt))
     if return_vocab:
         return rules, vocab

@@ -64,6 +64,7 @@ from parquet_merger_spark.operators.textstats import (
 from parquet_merger_spark.operators.export import drop_internal_columns
 from parquet_merger_spark.functions.strings import sanitize_filename_col
 from parquet_merger_spark.session import pin_oracle_confs
+from parquet_merger_spark.barrier import materialize, materialize_lazy
 from parquet_merger_spark.streaming.events import (
     session_window_agg,
     sessionize_batch,
@@ -6285,7 +6286,7 @@ def q_basket_lift(spark, sf_dir):
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # basket total as a LAZY broadcast 1-row frame (the tfidf_top_terms
     # pattern) — an eager .count() here would run a driver-blocking job
@@ -11388,7 +11389,7 @@ def q_neighbor_jaccard(spark, sf_dir):
         # (measured: sf10 went from GC-crash to completing, wedge count
         # 128s; +1 exchange, within the pinned lineage budget)
         .repartition(spark.sparkContext.defaultParallelism * 8, "pa", "pb")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
         e.select(F.col("pb").alias("s"), F.col("pa").alias("d"))
@@ -11403,7 +11404,7 @@ def q_neighbor_jaccard(spark, sf_dir):
     # triage); the same untracked-buffer peak scales with spills PER TASK
     wedge_src = sym.repartition(
         spark.sparkContext.defaultParallelism * 8, "s"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     w1 = wedge_src.select(F.col("s").alias("mid"), F.col("d").alias("pa"))
     w2 = wedge_src.select(F.col("s").alias("mid"), F.col("d").alias("pb"))
     wedges = (
@@ -11854,7 +11855,7 @@ def q_stream_quantile_rollup(spark, sf_dir):
     # the sketch with its own rollup trips Spark's conflicting-reference
     # resolution on MemoryPlan); the checkpoint is sketch-bounded state,
     # a few hundred rows by construction
-    sk = spark.table(name).localCheckpoint(eager=True)
+    sk = spark.table(name).transform(materialize)
 
     qs = [("p50", 1, 2), ("p95", 19, 20)]
     sk_all = vq_merge(sk.withColumn("scope", F.lit("__all__")), ["scope"])
@@ -11905,7 +11906,7 @@ def q_graph_kcore_portable(spark, sf_dir):
         # semi-joins); without the barrier the lineage doubles per round
         # (plan-digested at 366 exchanges for two rounds) and the wedge
         # join recomputes the base self-join every branch
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def census(e, rnd):
@@ -11938,8 +11939,8 @@ def q_graph_kcore_portable(spark, sf_dir):
             .select("pa", "pb")
         )
 
-    e1 = peel(edges).localCheckpoint(eager=True)
-    e2 = peel(e1).localCheckpoint(eager=True)
+    e1 = peel(edges).transform(materialize)
+    e2 = peel(e1).transform(materialize)
     return (
         census(edges, 0)
         .unionByName(census(e1, 1))
@@ -13487,7 +13488,7 @@ def q_stream_benford_audit(spark, sf_dir):
         spark, src, os.path.join(base, "ckpt"), query_name=name
     )
     _drain_stream(q, "stream_benford_audit")
-    obs = spark.table(name).localCheckpoint(eager=True)
+    obs = spark.table(name).transform(materialize)
 
     ben = _benford_expected(spark)
     total = obs.agg(F.sum("n_obs").alias("n"))
@@ -13813,7 +13814,7 @@ def q_rfm_segments(spark, sf_dir):
         # the RFM table feeds SEVEN subtrees (six boundary selections +
         # the banding pass) — checkpoint once or the customer aggregate
         # recomputes per consumer (plan-digested at 26 exchanges)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def tercile_bounds(col):
@@ -15212,7 +15213,7 @@ def q_stream_value_skewness(spark, sf_dir):
         spark, src, os.path.join(base, "ckpt"), query_name=name
     )
     _drain_stream(q, "stream_value_skewness")
-    agg = spark.table(name).localCheckpoint(eager=True)
+    agg = spark.table(name).transform(materialize)
 
     a = (
         F.col("s3") * F.col("n") * F.col("n")
@@ -15270,7 +15271,7 @@ def q_stream_constraint_audit(spark, sf_dir):
         spark, src, o, os.path.join(base, "ckpt"), query_name=name
     )
     _drain_stream(q, "stream_constraint_audit")
-    agg = spark.table(name).localCheckpoint(eager=True)
+    agg = spark.table(name).transform(materialize)
 
     rule_names = [
         "discount_in_0_1",

@@ -139,6 +139,54 @@ def pin_oracle_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ship_package(spark: SparkSession) -> str:
+    """Ship this package's source to every executor via ``addPyFile``.
+
+    REQUIRED on any multi-JVM master (local-cluster, standalone, YARN,
+    K8s): module-level functions passed to ``applyInPandas`` /
+    ``mapInPandas`` (the GEMM tile kernels in
+    :mod:`operators.simsearch`, the multimodal decoders, ...) are
+    cloudpickled BY REFERENCE, so the executor-side python worker must
+    be able to ``import parquet_merger_spark`` — and executor JVMs run
+    in their own work directories where the repo is not importable.
+    Invisible in ``local[n]`` mode only because the forked worker daemon
+    inherits the driver JVM's cwd (the repo root), which is exactly the
+    kind of single-JVM accident the r09 local-cluster sweep exists to
+    catch (7 keys failed with ModuleNotFoundError before this helper).
+    Closure-defined kernels (the minhash/simhash signatures) pickle by
+    VALUE and never hit the import, which is why only the module-level
+    ones failed.
+
+    Zips the INSTALLED package (``.py`` sources only), calls
+    ``sc.addPyFile`` — Spark distributes the zip with the job and
+    prepends it to every worker's ``sys.path``.  Idempotent per session;
+    returns the zip path.  Local-mode sessions may call it harmlessly.
+    """
+    import tempfile
+    import zipfile
+
+    import parquet_merger_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(parquet_merger_spark.__file__))
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"parquet_merger_spark_pyfiles_{os.getpid()}.zip",
+    )
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, out)
+    spark.sparkContext.addPyFile(out)
+    return out
+
+
 def first_touch_canary_s(mb: int = 256) -> float:
     """Wall seconds to first-touch one page in every 4 KiB of a fresh
     ``mb``-MiB allocation — the host-health probe from BASELINE.md §3:

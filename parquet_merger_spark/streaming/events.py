@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from parquet_merger_spark.barrier import materialize, materialize_lazy
+
 
 def _windowed_agg(df: DataFrame, window: str, slide: str | None) -> DataFrame:
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
@@ -833,7 +835,7 @@ def near_dedup_batch_apply(
             # join, the survivor anti-join, and the new-seen write —
             # without this the minhash Arrow kernel (the per-batch hot
             # cost) re-executes for each consumer
-            .localCheckpoint(eager=False)
+            .transform(materialize_lazy)
         )
 
         # replay-safe: newest version strictly older than this batch, so a

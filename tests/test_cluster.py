@@ -1,0 +1,102 @@
+"""Multi-JVM execution pins (r09): real executor processes via Spark's
+``local-cluster`` master.
+
+Everything before r09 ran ``local[n]`` — one JVM — which HID a genuine
+cluster bug: module-level kernels passed to applyInPandas/mapInPandas
+(the GEMM tiles, the multimodal decoders) are cloudpickled BY REFERENCE,
+and executor python workers could not ``import parquet_merger_spark``
+(ModuleNotFoundError on 7 contract keys in the r09 local-cluster sweep).
+``session.ship_package`` is the fix; these tests pin it.
+
+local-cluster needs its own SparkContext (one per process), so the
+cluster session runs in a SUBPROCESS, not the shared pytest session.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_ship_package_zip_contents(spark):
+    """The shipped zip must contain the package's .py files under the
+    package name (importable from a sys.path zip root), no pycache."""
+    from parquet_merger_spark.session import ship_package
+
+    path = ship_package(spark)  # harmless no-op semantics in local mode
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+    assert "parquet_merger_spark/__init__.py" in names
+    assert "parquet_merger_spark/operators/simsearch.py" in names
+    assert not [n for n in names if "__pycache__" in n or not n.endswith(".py")]
+
+
+def test_module_level_kernel_on_real_executors():
+    """A module-referenced applyInPandas kernel (the exact shape that
+    failed pre-fix) must run on real executor JVMs once ship_package has
+    shipped the source.  Uses a minimal local-cluster (2 JVMs x 2 cores)
+    in a subprocess; asserts the GEMM pair kernel returns the right
+    pairs AND that >=2 executor block managers registered."""
+    code = f"""
+import sys, time
+sys.path.insert(0, {ROOT!r})
+import os
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local-cluster[2,2,1536]")
+    .appName("pm-cluster-pin")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.driver.memory", "2g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+deadline = time.time() + 120
+while spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() < 3:
+    assert time.time() < deadline, "executors never registered"
+    time.sleep(2)
+from parquet_merger_spark.session import ship_package
+ship_package(spark)
+from parquet_merger_spark.operators.simsearch import cosine_near_dup_pairs
+rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+got = sorted(
+    (r.id_a, r.id_b)
+    for r in cosine_near_dup_pairs(df, threshold=0.9).collect()
+)
+assert got == [(1, 2)], got
+
+# barrier.materialize reliable path: with a checkpoint dir set, the
+# iterative operators' lineage cuts go through FS checkpoints that
+# survive executor loss — prove the switch engages multi-JVM and the
+# result is unchanged
+import tempfile, glob, os
+from parquet_merger_spark.barrier import materialize, reliable_checkpoints_enabled
+assert not reliable_checkpoints_enabled(spark)
+ckpt = tempfile.mkdtemp(prefix="pm_ckpt_")
+spark.sparkContext.setCheckpointDir(ckpt)
+assert reliable_checkpoints_enabled(spark)
+from parquet_merger_spark.operators.dedup import dup_clusters
+edges = spark.createDataFrame(
+    [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+)
+clusters = set((r.doc_id, r.cluster_id) for r in dup_clusters(edges).collect())
+assert clusters == set([(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]), clusters
+assert glob.glob(os.path.join(ckpt, "*", "rdd-*")), "no FS checkpoint written"
+print("CLUSTER-PIN-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "CLUSTER-PIN-OK" in out.stdout

@@ -86,9 +86,22 @@ def main() -> None:
     from parquet_merger_spark.queries import ORACLE_SQL, QUERIES
     from parquet_merger_spark.session import pin_oracle_confs
 
+    from parquet_merger_spark.session import ship_package
+
     only = set(sys.argv[1:])
     spark = pin_oracle_confs(get_cluster_spark())
     spark.sparkContext.setLogLevel("ERROR")
+    # executors must be able to import the package: module-level
+    # applyInPandas/mapInPandas kernels pickle by reference (see
+    # session.ship_package — 7 keys failed without this)
+    ship_package(spark)
+    # optional: exercise the RELIABLE checkpoint path (barrier.materialize
+    # switches every iterative operator's lineage cut from localCheckpoint
+    # to FS checkpoint when a dir is set — the executor-loss-safe mode)
+    ckpt = os.environ.get("SPARK_GRAFT_RELIABLE_CKPT")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+        print(f"# reliable checkpoints -> {ckpt}")
     # the artifact must PROVE multi-JVM execution: wait until every
     # executor JVM has registered its block manager (the count includes
     # the driver's), and hard-fail rather than record a sweep that
