@@ -170,18 +170,51 @@ def merged_df(
     # part-number order within a single write job, and DETERMINISTIC
     # (same file set -> same order) even for appended datasets whose
     # uuid-bearing names don't sort in write order.
+    def _hadoop_leaves(p: str) -> list[str] | None:
+        # scheme-qualified inputs (s3a://, hdfs://, ...) can't be walked
+        # with os.* — list through the Hadoop FS API instead.  Returns
+        # None for a non-directory (plain file) input.
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(hconf)
+        if not fs.isDirectory(jp):
+            return None
+        base_depth = jp.toUri().getPath().rstrip("/").count("/")
+        it = fs.listFiles(jp, True)  # recursive
+        found = []
+        while it.hasNext():
+            st = it.next()
+            uri_path = st.getPath().toUri().getPath()
+            comps = uri_path.split("/")[base_depth + 1 :]
+            # the reader's listing rule: hidden/metadata entries
+            # (_SUCCESS, .crc, _tmp dirs, ...) are not data files, at
+            # ANY level under the input
+            if any(c.startswith(("_", ".")) for c in comps):
+                continue
+            found.append(st.getPath().toString())
+        return sorted(found)
+
     leaves: list[str] = []
     for p in paths:
-        if os.path.isdir(p):
+        if "://" in p or p.startswith("file:"):
+            expanded = _hadoop_leaves(p)
+            leaves.extend(expanded) if expanded is not None else leaves.append(p)
+        elif os.path.isdir(p):
+            collected = []
             for root, dirs, files in os.walk(p):
                 # match the reader's listing rule: hidden/metadata
                 # entries (_SUCCESS, .crc, ...) are not data files
-                dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
-                leaves.extend(
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                collected.extend(
                     os.path.join(root, f)
-                    for f in sorted(files)
+                    for f in files
                     if not f.startswith(("_", "."))
                 )
+            # ONE ordering rule for both listing branches: leaves sorted
+            # by full path string (equal to part-number order within a
+            # single write job; deterministic always)
+            leaves.extend(sorted(collected))
         else:
             leaves.append(p)
     uris = _qualified_uris(spark, leaves)

@@ -425,3 +425,28 @@ def test_ordered_merge_directory_inputs(spark, tmp_path):
             assert s not in seen, f"part {s} interleaved"
             seen.add(s)
             prev = s
+
+
+def test_ordered_merge_uri_directory_input(spark, tmp_path):
+    """r09: scheme-qualified directory inputs (object-store shape) expand
+    through the Hadoop FS API — same leaves, same order, same result as
+    the plain-path form of the identical directory."""
+    import pandas as pd
+
+    from parquet_merger_spark.operators.merge import merged_df_ordered
+
+    d0 = str(tmp_path / "ds")
+    spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    ).coalesce(1).write.mode("overwrite").parquet(d0)
+    spark.createDataFrame(
+        pd.DataFrame({"a": [3, 4], "b": ["z", "w"]})
+    ).coalesce(1).write.mode("append").parquet(d0)
+
+    def rows(paths):
+        df, cols = merged_df_ordered(spark, paths)
+        return [r.a for r in df.orderBy(*cols).drop(*cols).collect()]
+
+    plain = rows([d0])
+    via_uri = rows(["file:" + d0])
+    assert plain == via_uri and sorted(plain) == [1, 2, 3, 4]
