@@ -71,9 +71,11 @@ print("WALLS", walls, row.n_triangles)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
+    import ast
+
     line = [l for l in out.stdout.splitlines() if l.startswith("WALLS")][0]
     parts = line.split()
-    walls = eval(" ".join(parts[1:-1]))  # noqa: S307 — our own output
+    walls = ast.literal_eval(" ".join(parts[1:-1]))
     return {
         "cpus": cpus,
         "hint": hint,
