@@ -55,8 +55,20 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
-    """local[cpus] session with the engine's standard confs.
+    """Session with the engine's standard confs; ``local[cpus]`` unless
+    ``master`` names a cluster (local-cluster / spark:// / yarn / k8s).
+
+    On a NON-local master the package source is automatically shipped to
+    executors (:func:`ship_package`) — without it, every module-level
+    applyInPandas/mapInPandas kernel dies with ModuleNotFoundError in
+    the executor-side python worker (found by the r09 local-cluster
+    sweep).  Cluster deployments should also size
+    ``spark.executor.memory`` / instances via ``extra_conf`` and may
+    enable executor-loss-safe lineage cuts with ONE line:
+    ``spark.sparkContext.setCheckpointDir(...)`` (see
+    :mod:`parquet_merger_spark.barrier`).
 
     Driver heap defaults to an ADAPTIVE size (see _default_driver_mem):
     in local mode every executor thread shares the driver JVM, and the
@@ -66,8 +78,9 @@ def get_spark(
     Override with SPARK_GRAFT_DRIVER_MEM."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    resolved_master = master or f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(resolved_master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -120,7 +133,12 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if not resolved_master.startswith("local["):
+        # real executor processes: ship the package or module-level
+        # Python kernels cannot unpickle on the workers (r09 finding)
+        ship_package(spark)
+    return spark
 
 
 def pin_oracle_confs(spark: SparkSession) -> SparkSession:

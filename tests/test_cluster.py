@@ -100,3 +100,40 @@ print("CLUSTER-PIN-OK")
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "CLUSTER-PIN-OK" in out.stdout
+
+
+def test_get_spark_cluster_master_autoships():
+    """get_spark(master=<non-local>) must ship the package automatically
+    — a user building a cluster session through the library entry point
+    should never see the ModuleNotFoundError class of failure."""
+    code = f"""
+import sys, time
+sys.path.insert(0, {ROOT!r})
+import os
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+from parquet_merger_spark.session import get_spark
+spark = get_spark("pm-autoship-pin", cpus=4, master="local-cluster[2,2,1536]")
+spark.sparkContext.setLogLevel("ERROR")
+deadline = time.time() + 120
+while spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() < 3:
+    assert time.time() < deadline, "executors never registered"
+    time.sleep(2)
+from parquet_merger_spark.operators.simsearch import cosine_near_dup_pairs
+rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+got = sorted(
+    (r.id_a, r.id_b)
+    for r in cosine_near_dup_pairs(df, threshold=0.9).collect()
+)
+assert got == [(1, 2)], got
+print("AUTOSHIP-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "AUTOSHIP-OK" in out.stdout
