@@ -356,8 +356,29 @@ def main() -> None:
     # timed headline call below then measures the steady-state probe
     builds: dict[str, float] = {name: run_once(name) for name in INDEXED_PREBUILD}
 
+    # MID-sweep canaries (r09): the endpoint probes missed whole phase
+    # shifts twice — r08's 267.1s window had quiet endpoints, and r09's
+    # one fast window (185.0s) lost its record to a fault that arrived
+    # ONLY in the closing seconds.  A cheap stage probe every ~40 keys
+    # timestamps the host's health THROUGH the sweep (~0.5s each, ~2.5s
+    # total against a ~200s sweep).  Recorded alongside, not folded into
+    # canary_strict_ok, so r08/r09 windows stay comparable; from r10 on,
+    # prefer windows whose mid probes are also quiet.
+    mid_canaries: list[dict] = []
+    _mid_every = 40
+
+    def _mid_probe(position: str) -> None:
+        mid_canaries.append(
+            {
+                "at": position,
+                "stage_s": stage_latency_canary_s(spark, reps=5, warmup=1),
+            }
+        )
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i and i % _mid_every == 0:
+            _mid_probe(f"headline[{i}]")
         timings[name] = run_once(name)
 
     verification: dict[str, float] = {}
@@ -387,6 +408,7 @@ def main() -> None:
             "after": first_touch_canary_s(),
             "stage_before": stage_before,
             "stage_after": stage_latency_canary_s(spark),
+            "mid": mid_canaries,
         },
     }
     # r06 verdict ask #4: "canary-clean" must be COMPUTED, not asserted —
@@ -403,6 +425,12 @@ def main() -> None:
     c["canary_strict_ok"] = bool(
         max(c["before"], c["after"]) < 0.3
         and max(c["stage_before"], c["stage_after"]) < 0.15
+    )
+    # separate bit (not folded into strict — keeps r08/r09 windows
+    # comparable): quiet mid-sweep probes mean no phase shift happened
+    # INSIDE the timed window either
+    c["canary_mid_ok"] = bool(
+        all(m["stage_s"] < 0.15 for m in c["mid"])
     )
     # The driver captures stdout's one line and has truncated it from the
     # front before (BENCH_r02 lost the dedup/ANN head): print compact, and

@@ -39,6 +39,9 @@ def _canary_line(label: str, art: dict) -> str:
     parts.append(f"ok={c.get('canary_ok')}")
     if "canary_strict_ok" in c:
         parts.append(f"strict={c.get('canary_strict_ok')}")
+    if "canary_mid_ok" in c:
+        mids = [m.get("stage_s") for m in c.get("mid", [])]
+        parts.append(f"mid={c.get('canary_mid_ok')} {mids}")
     return f"  {label}: " + "  ".join(parts)
 
 
