@@ -362,8 +362,10 @@ def main() -> None:
     # ONLY in the closing seconds.  A cheap stage probe every ~40 keys
     # timestamps the host's health THROUGH the sweep (~0.5s each, ~2.5s
     # total against a ~200s sweep).  Recorded alongside, not folded into
-    # canary_strict_ok, so r08/r09 windows stay comparable; from r10 on,
-    # prefer windows whose mid probes are also quiet.
+    # canary_strict_ok, so r08/r09 windows stay comparable; since r10 the
+    # keep/divert decision classes on strict AND mid together, and an
+    # endpoint-only first-touch failure no longer diverts a window whose
+    # stage probes are quiet end-to-end (end_canary_note below).
     mid_canaries: list[dict] = []
     _mid_every = 40
 
@@ -432,6 +434,21 @@ def main() -> None:
     c["canary_mid_ok"] = bool(
         all(m["stage_s"] < 0.15 for m in c["mid"])
     )
+    # r10 (verdict #2, SURVEY §10.11 decision rule codified): the
+    # END-CANARY FALSE-FLAG pattern.  A closing first-touch spike with
+    # every STAGE probe quiet (before, all mids, after) and a quiet
+    # opening first-touch measures post-sweep guest-memory state (a
+    # fresh 256 MB allocation after the JVM churned tens of GB), not
+    # sweep health — it diverted r09's two fastest provably-healthy
+    # windows (185.0s and 206.2s).  Such a window is COMPARISON-GRADE
+    # WITH NOTE: kept above merely-ok windows, below fully-strict ones.
+    c["end_canary_note"] = bool(
+        not c["canary_strict_ok"]
+        and c["before"] < 0.3
+        and max(c["stage_before"], c["stage_after"]) < 0.15
+        and c["canary_mid_ok"]
+        and c["after"] >= 0.3
+    )
     # The driver captures stdout's one line and has truncated it from the
     # front before (BENCH_r02 lost the dedup/ANN head): print compact, and
     # ALSO persist the full result to a committed per-round artifact so
@@ -455,8 +472,19 @@ def main() -> None:
         local = os.path.join(here, f"BENCH_local_r{nxt - 1:02d}.json")
 
     def _canary_class(art: dict) -> int:
+        # r10 adjudication order (codifies SURVEY §10.11's rule):
+        #   3 = strict AND mid-quiet (the full seven-probe record)
+        #   2 = end-canary false-flag pattern (comparison-grade w/ note)
+        #   1 = merely canary_ok (endpoint first-touch < 1s)
+        #   0 = fault-dominated
+        # canary_mid_ok defaults True for pre-mid artifacts (r08 and
+        # earlier have no mid probes to consult).
         hc = art.get("host_canary_s") or {}
-        return 2 if hc.get("canary_strict_ok") else (1 if hc.get("canary_ok") else 0)
+        if hc.get("canary_strict_ok") and hc.get("canary_mid_ok", True):
+            return 3
+        if hc.get("end_canary_note"):
+            return 2
+        return 1 if hc.get("canary_ok") else 0
 
     # keep the BEST window of the round: a same-round refresh may only
     # replace the standing artifact when its canary class is strictly

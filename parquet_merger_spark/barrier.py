@@ -21,6 +21,21 @@ local otherwise — so a cluster deployment opts in with ONE line at
 session setup and every operator barrier in this package follows, no
 per-operator plumbing (r09; the caveat was documented at
 ``operators/dedup.py`` since r07 but nothing honored it).
+
+ACCUMULATION (r10, advisor finding): Spark never deletes reliable
+checkpoint files by default — with a dir set, every per-iteration cut
+(dedup_clusters / pagerank / k-core / BPE rounds) and every
+per-micro-batch cut (``near_dedup_batch_apply``) leaves an ``rdd-*``
+directory behind, growing the checkpoint dir without bound on long
+jobs.  ``session.get_spark`` therefore sets
+``spark.cleaner.referenceTracking.cleanCheckpoints=true``: the
+ContextCleaner deletes a checkpoint's files once its RDD becomes
+unreachable on the driver, which is one iteration later for every
+barrier in this package (each round's frame replaces the previous
+round's reference).  Sessions built elsewhere should set the same conf
+— it is a SparkConf (context-creation-time) setting, not a runtime SQL
+conf.  The final returned frame's checkpoint stays alive as long as the
+caller holds the DataFrame, exactly as intended.
 """
 
 from __future__ import annotations

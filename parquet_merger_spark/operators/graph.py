@@ -233,23 +233,17 @@ def triangle_count(
     partitions matched 16 cores at 16 partitions, while 32 partitions
     was measurably slower.  On a big cluster size this to ~cores/2 for
     the triangle stage rather than inheriting a large global default.
-    Applied by setting ``spark.sql.shuffle.partitions`` around the
-    internal materializations and restoring it afterwards — the setting
-    is SESSION-scoped for that window, so don't run concurrent queries
-    on the same session while counting with a hint.
+    Applied as explicit hash ``repartition(n, keys)`` on the operator's
+    own shuffle boundaries (dedup, degree agg, adjacency agg) — the
+    aggregations and downstream joins reuse that distribution, so no
+    extra exchange is introduced and NOTHING session-global is touched:
+    concurrent queries on the same session are unaffected (r10; the r09
+    version set/restored ``spark.sql.shuffle.partitions``, which leaked
+    to concurrent threads for the duration of the call).
     """
-    spark = edges.sparkSession
-    saved_sp = None
-    if shuffle_partitions is not None:
-        saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        return _triangle_count_body(
-            edges, src_col, dst_col, broadcast_edge_limit
-        )
-    finally:
-        if saved_sp is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+    return _triangle_count_body(
+        edges, src_col, dst_col, broadcast_edge_limit, shuffle_partitions
+    )
 
 
 def _triangle_count_body(
@@ -257,14 +251,27 @@ def _triangle_count_body(
     src_col: str,
     dst_col: str,
     broadcast_edge_limit: int,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
+    def _shard(df: DataFrame, *cols: str) -> DataFrame:
+        # the hint: pin THIS operator's shuffle width by hash-partitioning
+        # on the exact keys the next aggregation/join requires — Spark's
+        # EnsureRequirements sees the distribution is already satisfied
+        # and adds no further exchange (same shuffle count, chosen width)
+        if shuffle_partitions is None:
+            return df
+        return df.repartition(shuffle_partitions, *[F.col(c) for c in cols])
+
     u, v = F.col(src_col), F.col(dst_col)
     # canonical undirected edges (a < b), self-loops dropped
     e = (
-        edges.select(
-            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        _shard(
+            edges.select(
+                F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+            ).filter(F.col("a") != F.col("b")),
+            "a",
+            "b",
         )
-        .filter(F.col("a") != F.col("b"))
         .distinct()
         # persisted + eagerly materialized (NOT localCheckpoint):
         # degrees AND orientation both scan it and the upstream
@@ -282,8 +289,11 @@ def _triangle_count_body(
     # ReuseExchange, and concurrent broadcast builds race a cold cache
     # (the pagerank_int / dup_clusters pathology)
     deg = (
-        e.select(
-            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        _shard(
+            e.select(
+                F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+            ),
+            "node",
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -337,7 +347,8 @@ def _triangle_count_body(
     # projections defeat ReuseExchange and concurrent broadcast builds
     # race a cold cache (SURVEY §9.9)
     out_nbrs = (
-        oriented.groupBy("s")
+        _shard(oriented, "s")
+        .groupBy("s")
         .agg(
             F.sort_array(F.collect_list("t")).alias("nb"),
             F.count(F.lit(1)).alias("od"),

@@ -201,10 +201,30 @@ def merged_df(
             expanded = _hadoop_leaves(p)
             leaves.extend(expanded) if expanded is not None else leaves.append(p)
         elif os.path.isdir(p):
+            # LISTING RULE = Spark's reader rule (all non-hidden leaves),
+            # NOT the reference's folder-scan rule (*.parquet only,
+            # src/main.rs:140-172 — that rule lives in catalog.scan_folders,
+            # the discovery operator).  The seq map must cover exactly the
+            # files spark.read.parquet(dir) will list, or the null trap
+            # below false-fires; a stray non-parquet leaf fails the merge
+            # at read time either way (documented divergence: the
+            # reference never passes directories to its merge).
+            # followlinks=True because the reader's local-FS listing
+            # resolves symlinks too; cycle guard mirrors scan_folders.
             collected = []
-            for root, dirs, files in os.walk(p):
-                # match the reader's listing rule: hidden/metadata
-                # entries (_SUCCESS, .crc, ...) are not data files
+            seen_dirs: set[tuple[int, int]] = set()
+            for root, dirs, files in os.walk(p, followlinks=True):
+                try:
+                    st = os.stat(root)
+                except OSError:
+                    dirs[:] = []
+                    continue
+                if (st.st_dev, st.st_ino) in seen_dirs:
+                    dirs[:] = []  # cyclic symlink: already walked
+                    continue
+                seen_dirs.add((st.st_dev, st.st_ino))
+                # hidden/metadata entries (_SUCCESS, .crc, ...) are not
+                # data files, at any level
                 dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
                 collected.extend(
                     os.path.join(root, f)

@@ -130,6 +130,16 @@ def get_spark(
         # sequential IO, so the merge-throughput cost is noise next to
         # not OOMing exactly when memory is scarcest.
         .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+        # Reliable checkpoints (barrier.materialize with a checkpoint dir
+        # set) are PERMANENT by default: Spark never deletes rdd-* dirs,
+        # so per-iteration cuts in dedup_clusters/pagerank/BPE and the
+        # per-micro-batch cut in near_dedup_batch_apply grow the dir
+        # without bound on long jobs.  This flag has the ContextCleaner
+        # remove a checkpoint's files once its RDD is GC'd on the driver
+        # — exactly the lifecycle iterative barriers want (each round's
+        # cut is unreachable one round later).  No effect unless a
+        # checkpoint dir is set; documented in barrier.py.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -177,31 +187,70 @@ def ship_package(spark: SparkSession) -> str:
 
     Zips the INSTALLED package (``.py`` sources only), calls
     ``sc.addPyFile`` — Spark distributes the zip with the job and
-    prepends it to every worker's ``sys.path``.  Idempotent per session;
-    returns the zip path.  Local-mode sessions may call it harmlessly.
+    prepends it to every worker's ``sys.path``.  Returns the zip path.
+    Local-mode sessions may call it harmlessly.
+
+    The zip is named by a CONTENT DIGEST of the sources and written to a
+    fresh ``mkdtemp`` directory (mode 0700, unpredictable name), never a
+    guessable shared-tmp path (r09: the zip was
+    ``/tmp/..._pyfiles_<pid>.zip`` with an exists()-check — a stale file
+    from a recycled pid, or a pre-planted one on a multi-user host,
+    would have been shipped to every executor).  A changed source tree
+    therefore always produces a NEW zip path within the same process —
+    note that a session that already shipped the old digest keeps both
+    on its worker ``sys.path`` (Spark has no removePyFile), so
+    re-shipping into a LIVE session does not hot-swap code; restart the
+    session to pick up edits, like any Spark deployment.
     """
+    out = _zip_package()
+    spark.sparkContext.addPyFile(out)
+    return out
+
+
+# digest -> zip path, per process: rebuild only when the sources change
+_SHIPPED_ZIPS: dict[str, str] = {}
+
+
+def _zip_package(pkg_dir: str | None = None) -> str:
+    """Build (or reuse) the content-addressed source zip for
+    :func:`ship_package`.  Separated for testability: a source edit must
+    yield a different zip path (digest in the name)."""
+    import hashlib
     import tempfile
     import zipfile
 
-    import parquet_merger_spark
+    if pkg_dir is None:
+        import parquet_merger_spark
 
-    pkg_dir = os.path.dirname(os.path.abspath(parquet_merger_spark.__file__))
+        pkg_dir = os.path.dirname(os.path.abspath(parquet_merger_spark.__file__))
+    parent = os.path.dirname(pkg_dir)
+    sources: list[str] = []
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        sources.extend(
+            os.path.join(root, f) for f in sorted(files) if f.endswith(".py")
+        )
+    h = hashlib.sha256()
+    for full in sources:
+        h.update(os.path.relpath(full, parent).encode())
+        h.update(b"\0")
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\0")
+    digest = h.hexdigest()[:16]
+    cached = _SHIPPED_ZIPS.get(digest)
+    if cached and os.path.exists(cached):
+        return cached
+    # mkdtemp: random name, 0700, created with O_EXCL semantics — nothing
+    # to pre-plant, nothing stale to pick up
     out = os.path.join(
-        tempfile.gettempdir(),
-        f"parquet_merger_spark_pyfiles_{os.getpid()}.zip",
+        tempfile.mkdtemp(prefix="pm_spark_pyfiles_"),
+        f"parquet_merger_spark_{digest}.zip",
     )
-    if not os.path.exists(out):
-        tmp = out + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for root, dirs, files in os.walk(pkg_dir):
-                dirs[:] = sorted(d for d in dirs if d != "__pycache__")
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-        os.replace(tmp, out)
-    spark.sparkContext.addPyFile(out)
+    with zipfile.ZipFile(out, "w") as z:
+        for full in sources:
+            z.write(full, os.path.relpath(full, parent))
+    _SHIPPED_ZIPS[digest] = out
     return out
 
 

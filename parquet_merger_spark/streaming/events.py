@@ -21,6 +21,48 @@ from pyspark.sql.streaming import StreamingQuery
 
 from parquet_merger_spark.barrier import materialize, materialize_lazy
 
+# STREAM_LATENCY_r09 measured the per-batch addBatch wall of the
+# stream-stream interval join against the number of state partitions:
+# 539 ms @ 1, 533 @ 2, 518 @ 4, 688 @ 8, 1284 @ 16 — a flat floor through
+# 4 and a linear ~+50 ms/partition state-store commit tax beyond it.
+# Stateful queries take their state partition count from
+# spark.sql.shuffle.partitions AT FIRST START (pinned into the
+# checkpoint's offset log and reused on every restart), so inheriting the
+# session default (32 here, commonly 200+ on clusters) silently taxes
+# every micro-batch of the query's whole life.  The stateful constructors
+# below therefore default to the measured sweet spot; pass
+# ``state_partitions=None`` to inherit the session conf (appropriate when
+# per-key state is far larger than this engine's bench shapes — more
+# partitions then buy parallel commit + smaller per-store footprint).
+DEFAULT_STATE_PARTITIONS = 4
+
+
+class _pin_state_partitions:
+    """Set ``spark.sql.shuffle.partitions`` around a streaming query
+    START and restore it on exit.  Safe and narrow: ``start()`` clones
+    the SparkSession synchronously (StreamExecution's session-for-stream),
+    so the running query keeps the pinned value while the caller's
+    session conf is restored for concurrent work — the same
+    no-session-global contract as ``graph.triangle_count``'s hint, which
+    has no repartition-shaped alternative here because the state
+    partition count is only ever read from the session conf.  No-op when
+    ``n`` is None; a restart on an EXISTING checkpoint ignores the value
+    by Spark's own contract (state partitioning is immutable per
+    checkpoint)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
 
 def _windowed_agg(df: DataFrame, window: str, slide: str | None) -> DataFrame:
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
@@ -58,6 +100,7 @@ def windowed_event_counts_stream(
     query_name: str = "windowed_events",
     output_mode: str = "update",
     available_now: bool = False,
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """File-source streaming windowed aggregate -> memory sink.
 
@@ -95,7 +138,8 @@ def windowed_event_counts_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    with _pin_state_partitions(spark, state_partitions):
+        return writer.start()
 
 
 def session_window_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -135,6 +179,7 @@ def session_window_stream(
     watermark: str = "2 hours",
     query_name: str = "session_windows",
     output_mode: str = "append",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming sessionization: the native ``session_window`` aggregate
     over a file source, watermark-bounded state, memory sink.  Identical
@@ -153,13 +198,14 @@ def session_window_stream(
         .parquet(events_dir)
     )
     agg = session_window_agg(stream.withWatermark("ts", watermark), gap_minutes)
-    return (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def streaming_distinct_events(
@@ -169,6 +215,7 @@ def streaming_distinct_events(
     key_cols: list[str] | None = None,
     watermark: str = "2 hours",
     query_name: str = "distinct_events",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming dedup: drop re-deliveries of the same event (at-least-once
     sources re-emit) using ``dropDuplicatesWithinWatermark`` — state holds
@@ -185,13 +232,14 @@ def streaming_distinct_events(
     deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols or ["event_id"]
     )
-    return (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def enrich_with_dim_batch(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
@@ -276,6 +324,7 @@ def correlate_streams(
     horizon_minutes: int = 30,
     watermark: str = "2 hours",
     query_name: str = "correlated_events",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """STREAM-STREAM interval join: correlate each ``left_type`` event
     with the same user's ``right_type`` events in the following
@@ -318,13 +367,18 @@ def correlate_streams(
     joined = left.join(right, cond, "inner").select(
         "user_id", "left_id", "right_id", "left_ts", "right_ts"
     )
-    return (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    # this is the operator STREAM_LATENCY_r09 measured: 518 ms/batch at
+    # the 4-partition default vs 1284 ms at 16 — the knob is applied
+    # HERE, where the first checkpoint is created, because that is the
+    # only moment the state partition count is choosable
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def stream_to_parquet(
@@ -362,6 +416,7 @@ def user_running_totals_stream(
     events_dir: str,
     checkpoint_dir: str,
     query_name: str = "user_totals",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """CUSTOM stateful streaming operator via ``applyInPandasWithState``:
     per-user lifetime running totals (event count + value sum), emitted on
@@ -405,13 +460,14 @@ def user_running_totals_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def drift_cusum_stream(
@@ -420,6 +476,7 @@ def drift_cusum_stream(
     stats: dict,
     checkpoint_dir: str,
     query_name: str = "drift_cusum_stream",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """STREAMING CUSUM drift detection — the production shape of the
     batch ``drift_cusum`` key: per-event-type running sums of
@@ -510,13 +567,14 @@ def drift_cusum_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return (
-        scored.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -922,6 +980,7 @@ def cms_freq_stream(
     depth: int = 3,
     width: int = 256,
     query_name: str = "cms_counters",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming count-min maintenance: the counter matrix is a plain
     streaming aggregation over exploded (i, slot) probes, so Spark's
@@ -952,13 +1011,14 @@ def cms_freq_stream(
         .groupBy("i", "slot")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return (
-        counters.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            counters.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def mincount_distinct_stream(
@@ -969,6 +1029,7 @@ def mincount_distinct_stream(
     key_col: str = "user_id",
     k: int = 64,
     query_name: str = "mincount_registers",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming MinCount distinct-cardinality maintenance: the register
     matrix is a plain complete-mode streaming aggregation — one portable
@@ -1007,13 +1068,14 @@ def mincount_distinct_stream(
         .groupBy(group_col, "reg")
         .agg(F.min("val").alias("m"))
     )
-    return (
-        registers.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            registers.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def vq_sketch_stream(
@@ -1025,6 +1087,7 @@ def vq_sketch_stream(
     id_col: str = "event_id",
     rate_den: int = 8,
     query_name: str = "vq_sketch",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming QUANTILE-sketch maintenance — the order-statistics member
     of the streaming sketch family (count-min :func:`cms_freq_stream`,
@@ -1057,13 +1120,14 @@ def vq_sketch_stream(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        sketch.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            sketch.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def digit_counts_stream(
@@ -1072,6 +1136,7 @@ def digit_counts_stream(
     checkpoint_dir: str,
     cents_source_col: str = "o_totalprice",
     query_name: str = "digit_counts",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming first-significant-digit counter — the Benford monitor as
     a complete-mode aggregation whose state is bounded at NINE rows by
@@ -1097,13 +1162,14 @@ def digit_counts_stream(
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    return (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def moment_sums_stream(
@@ -1113,6 +1179,7 @@ def moment_sums_stream(
     group_col: str = "event_type",
     value_col: str = "value",
     query_name: str = "moment_sums",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming SUFFICIENT-STATISTICS maintenance: per-group exact moment
     sums (n int64, S1 int64 cents, S2/S3 decimal(38,0)) kept by a plain
@@ -1145,13 +1212,14 @@ def moment_sums_stream(
             ).alias("s3"),
         )
     )
-    return (
-        sums.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            sums.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
 
 
 def constraint_counts_stream(
@@ -1160,6 +1228,7 @@ def constraint_counts_stream(
     orders_static: DataFrame,
     checkpoint_dir: str,
     query_name: str = "constraint_counts",
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ) -> StreamingQuery:
     """Streaming CHECK-constraint maintenance: lineitem micro-batches
     stream-static join the orders dimension (the enrich_stream shape)
@@ -1194,10 +1263,11 @@ def constraint_counts_stream(
             for i, v in enumerate(rules.values())
         ],
     )
-    return (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    with _pin_state_partitions(spark, state_partitions):
+        return (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )

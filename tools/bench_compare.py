@@ -42,7 +42,25 @@ def _canary_line(label: str, art: dict) -> str:
     if "canary_mid_ok" in c:
         mids = [m.get("stage_s") for m in c.get("mid", [])]
         parts.append(f"mid={c.get('canary_mid_ok')} {mids}")
+    if c.get("end_canary_note"):
+        parts.append("end_canary_note=True")
     return f"  {label}: " + "  ".join(parts)
+
+
+def comparison_grade(art: dict) -> tuple[bool, str]:
+    """The r10 adjudication rule (SURVEY §10.11, codified with bench.py):
+    a window is comparison-grade when (a) strict endpoints AND quiet mid
+    probes, or (b) the end-canary false-flag pattern — ONLY the closing
+    first-touch failed while every stage probe (before/mid/after) was
+    quiet, which measures post-sweep guest-memory state, not sweep
+    health.  (b) carries a note.  Pre-mid artifacts (<= r08) grade on
+    strict alone."""
+    c = art.get("host_canary_s") or {}
+    if c.get("canary_strict_ok") and c.get("canary_mid_ok", True):
+        return True, "strict"
+    if c.get("end_canary_note"):
+        return True, "with-note (end-canary false-flag pattern)"
+    return False, "not comparison-grade"
 
 
 def _compare_tier(
@@ -95,13 +113,20 @@ def main() -> None:
         if tier == "queries" and "ratio" in head:
             summary_bits.append(head)
 
-    strict_a = (art_a.get("host_canary_s") or {}).get("canary_strict_ok")
-    strict_b = (art_b.get("host_canary_s") or {}).get("canary_strict_ok")
-    if strict_a is False or strict_b is False:
+    grade_a, why_a = comparison_grade(art_a)
+    grade_b, why_b = comparison_grade(art_b)
+    print(f"grade: A {why_a};  B {why_b}")
+    if not (grade_a and grade_b):
         print(
-            "NOTE: at least one window is not comparison-grade "
-            "(canary_strict_ok false) — the ratio above reflects host "
-            "state, not code."
+            "NOTE: at least one window is not comparison-grade under the "
+            "r10 rule — the ratio above reflects host state, not code."
+        )
+    elif "note" in why_a or "note" in why_b:
+        print(
+            "NOTE: a window carries the end-canary note (closing "
+            "first-touch spiked, all stage probes quiet) — ratio is "
+            "comparison-grade; the spike measures post-sweep guest "
+            "memory, not the sweep."
         )
     # the one-line SURVEY summary
     if summary_bits:

@@ -42,6 +42,13 @@ def write_cum(root: str, cum: dict) -> str:
     inputs deleted/corrupted), the standing file is preserved to a
     numbered ``_prev<N>`` slot instead of being silently degraded."""
     out = os.path.join(root, "CORRECTNESS_cum.json")
+
+    def _round_n(row: dict) -> int:
+        # NUMERIC round order, matching merge(): the string compare
+        # 'r100' < 'r99' would falsely flag degradation from round 100 on
+        m = re.match(r"r(\d+)$", row.get("round", "") or "")
+        return int(m.group(1)) if m else -1
+
     if os.path.exists(out):
         try:
             with open(out) as fh:
@@ -49,18 +56,18 @@ def write_cum(root: str, cum: dict) -> str:
         except ValueError:
             old = {}
         degraded = set(old) - set(cum) or any(
-            cum[k].get("round", "") < old[k].get("round", "")
-            for k in old
-            if k in cum
+            _round_n(cum[k]) < _round_n(old[k]) for k in old if k in cum
         )
         if degraded:
+            # same _prev<N>.json scheme as tools/artifact.write_artifact
+            base, ext = os.path.splitext(out)
             n = 1
-            while os.path.exists(f"{out}_prev{n}"):
+            while os.path.exists(f"{base}_prev{n}{ext}"):
                 n += 1
-            os.replace(out, f"{out}_prev{n}")
+            os.replace(out, f"{base}_prev{n}{ext}")
             print(
                 f"# cum coverage would degrade; previous preserved at "
-                f"{out}_prev{n}",
+                f"{base}_prev{n}{ext}",
                 file=sys.stderr,
             )
     with open(out, "w") as fh:

@@ -1,0 +1,280 @@
+#!/usr/bin/env python3
+"""Fault-injection proof for reliable checkpoints (r10 verdict ask #1).
+
+r09 wired ``barrier.materialize`` to switch every iterative lineage cut
+to RELIABLE FS checkpoints when the session sets a checkpoint dir, and
+CLUSTER_RELIABLE_CKPT_r09 proved the files get written — but nothing
+ever exercised the payoff.  This tool does: on a real multi-JVM
+``local-cluster`` session it SIGKILLs one executor JVM mid-iteration and
+records whether the job survives.
+
+Two arms per key, each in its own subprocess (one SparkContext per
+process):
+
+- **recovery** — checkpoint dir SET (all lineage cuts reliable).  A
+  watcher thread waits until >= ``--min-barriers`` ``rdd-*`` checkpoint
+  dirs exist (i.e. the iteration is genuinely mid-flight), then SIGKILLs
+  one ``CoarseGrainedExecutorBackend`` of this app.  Expected: the job
+  completes and the result HASH-MATCHES the same DuckDB oracle the
+  driver's correctness gate uses.
+- **control** — NO checkpoint dir (the ``localCheckpoint`` default:
+  executor-stored, non-replicated blocks).  Same kill, triggered by the
+  count of materialized storage RDDs.  Expected: the job DIES — the
+  severed lineage cannot recompute blocks lost with the executor.  The
+  failure mode is recorded verbatim.  (A control run can survive by
+  luck if every barrier block happens to live on the surviving executor;
+  the arm retries once and records ``survived`` honestly if so.)
+
+Writes ``FAULT_RECOVERY_r{N}.json`` through tools/artifact.write_artifact.
+
+Usage (repo root):
+
+    python tools/fault_recovery.py                 # both arms, both keys
+    python tools/fault_recovery.py --keys pagerank # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+DEFAULT_KEYS = ["dedup_clusters", "pagerank"]
+
+
+def _executor_pids(app_id: str) -> dict[str, int]:
+    """executor-id -> pid for this app's CoarseGrainedExecutorBackend
+    processes (matched on BOTH the backend class and the app id so a
+    concurrent cluster session can never be hit)."""
+    out: dict[str, int] = {}
+    for proc in glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            with open(proc, "rb") as fh:
+                argv = fh.read().split(b"\0")
+        except OSError:
+            continue
+        argl = [a.decode(errors="replace") for a in argv]
+        if not any("CoarseGrainedExecutorBackend" in a for a in argl):
+            continue
+        if app_id not in argl:
+            continue
+        try:
+            exec_id = argl[argl.index("--executor-id") + 1]
+        except (ValueError, IndexError):
+            exec_id = "?"
+        out[exec_id] = int(proc.split("/")[2])
+    return out
+
+
+def run_arm(arm: str, key: str, min_barriers: int, out_path: str) -> None:
+    """Subprocess body: one cluster session, one kill, one verdict."""
+    import duckdb
+
+    from cluster_correctness import get_cluster_spark
+    from parquet_merger_spark.oracle import canon_hash, register_views
+    from parquet_merger_spark.queries import ORACLE_SQL, QUERIES
+    from parquet_merger_spark.session import pin_oracle_confs, ship_package
+
+    spark = pin_oracle_confs(get_cluster_spark())
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    want = 2
+    deadline = time.time() + 120
+    while spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() < want + 1:
+        if time.time() > deadline:
+            raise RuntimeError("executors never registered")
+        time.sleep(1)
+
+    ckpt = None
+    if arm == "recovery":
+        ckpt = tempfile.mkdtemp(prefix="pm_fault_ckpt_")
+        spark.sparkContext.setCheckpointDir(ckpt)
+
+    app_id = spark.sparkContext.applicationId
+    sc_scala = spark.sparkContext._jsc.sc()
+    kill_info: dict = {"killed": False}
+    done = threading.Event()
+
+    def _barrier_count() -> int:
+        if arm == "recovery":
+            return len(glob.glob(os.path.join(ckpt, "*", "rdd-*")))
+        # control: count LOCALLY-CHECKPOINTED rdds specifically — plain
+        # persisted loop invariants also appear in storage but their
+        # lineage is intact (recomputable after a kill), so triggering
+        # on them would test nothing
+        try:
+            n = 0
+            it = sc_scala.getPersistentRDDs().valuesIterator()
+            while it.hasNext():
+                r = it.next()
+                if r.isLocallyCheckpointed():
+                    n += 1
+            return n
+        except Exception:
+            return 0
+
+    def _watcher() -> None:
+        while not done.is_set():
+            n = _barrier_count()
+            if n >= min_barriers:
+                pids = _executor_pids(app_id)
+                if pids:
+                    exec_id, pid = sorted(pids.items())[-1]
+                    try:
+                        os.kill(pid, signal.SIGKILL)
+                    except OSError:
+                        continue
+                    kill_info.update(
+                        killed=True,
+                        exec_id=exec_id,
+                        pid=pid,
+                        barriers_at_kill=n,
+                        t_kill_s=round(time.time() - t0, 3),
+                    )
+                    return
+            time.sleep(0.1)
+
+    t0 = time.time()
+    watcher = threading.Thread(target=_watcher, daemon=True)
+    watcher.start()
+    result: dict = {
+        "arm": arm,
+        "key": key,
+        "master": spark.sparkContext.master,
+        "checkpoint_dir_set": ckpt is not None,
+        "min_barriers": min_barriers,
+    }
+    try:
+        pdf = QUERIES[key](spark, SF_DIR).toPandas()
+        result["completed"] = True
+        result["rows"] = int(len(pdf))
+        con = duckdb.connect()
+        register_views(con, SF_DIR)
+        odf = con.execute(ORACLE_SQL[key]).df()
+        result["oracle_rows"] = int(len(odf))
+        result["hash_match"] = bool(
+            len(pdf) == len(odf)
+            and sorted(pdf.columns) == sorted(odf.columns)
+            and canon_hash(pdf) == canon_hash(odf)
+        )
+    except Exception as ex:  # noqa: BLE001 — the control arm EXPECTS this
+        result["completed"] = False
+        result["failure_mode"] = f"{type(ex).__name__}: {ex}"[:600]
+    finally:
+        done.set()
+        watcher.join(timeout=5)
+    result["wall_s"] = round(time.time() - t0, 3)
+    result.update(kill_info)
+    if ckpt:
+        result["reliable_ckpt_dirs"] = len(
+            glob.glob(os.path.join(ckpt, "*", "rdd-*"))
+        )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    # park the context so the subprocess exits cleanly even after a kill
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arm", choices=["recovery", "control"])
+    ap.add_argument("--key")
+    ap.add_argument("--min-barriers", type=int, default=2)
+    ap.add_argument("--out")
+    ap.add_argument("--keys", nargs="*", default=DEFAULT_KEYS)
+    args = ap.parse_args()
+
+    if args.arm:  # subprocess mode
+        run_arm(args.arm, args.key, args.min_barriers, args.out)
+        return
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    runs: list[dict] = []
+    for key in args.keys:
+        for arm in ("recovery", "control"):
+            attempts = 2 if arm == "control" else 1
+            for attempt in range(attempts):
+                out = tempfile.mktemp(suffix=".json", prefix="pm_fault_")
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--arm", arm, "--key", key,
+                    "--min-barriers", str(args.min_barriers), "--out", out,
+                ]
+                print(f"# {key}/{arm} (attempt {attempt + 1}) ...", flush=True)
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=900, cwd=ROOT
+                )
+                if not os.path.exists(out):
+                    runs.append({
+                        "arm": arm, "key": key, "completed": None,
+                        "failure_mode": "subprocess died before verdict: "
+                        + proc.stderr[-400:],
+                    })
+                    break
+                with open(out) as fh:
+                    row = json.load(fh)
+                os.unlink(out)
+                runs.append(row)
+                print(
+                    f"#   completed={row.get('completed')} "
+                    f"hash_match={row.get('hash_match')} "
+                    f"killed={row.get('killed')} wall={row.get('wall_s')}s",
+                    flush=True,
+                )
+                # a control run that survived by block-placement luck is
+                # retried once; a control run that DIED is the expected
+                # contrast and ends the arm
+                if arm == "control" and row.get("completed") is False:
+                    break
+                if arm == "recovery":
+                    break
+
+    from parquet_merger_spark.oracle import next_round
+
+    n = next_round(ROOT)
+    ok_recovery = [
+        r for r in runs
+        if r["arm"] == "recovery" and r.get("killed") and r.get("hash_match")
+    ]
+    died_control = [
+        r for r in runs
+        if r["arm"] == "control" and r.get("killed")
+        and r.get("completed") is False
+    ]
+    artifact = {
+        "sf_dir": SF_DIR,
+        "claim": (
+            "barrier.materialize reliable checkpoints survive executor "
+            "SIGKILL mid-iteration; localCheckpoint control arm dies"
+        ),
+        "recovery_proven_keys": sorted({r["key"] for r in ok_recovery}),
+        "control_death_keys": sorted({r["key"] for r in died_control}),
+        "runs": runs,
+    }
+    from artifact import write_artifact
+
+    path = os.path.join(ROOT, f"FAULT_RECOVERY_r{n:02d}.json")
+    moved = write_artifact(path, artifact, indent=1)
+    if moved:
+        print(f"# previous artifact preserved at {moved}")
+    print(f"{path}: recovery-proven={artifact['recovery_proven_keys']} "
+          f"control-died={artifact['control_death_keys']}")
+
+
+if __name__ == "__main__":
+    main()
