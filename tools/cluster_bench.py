@@ -207,7 +207,9 @@ def main() -> None:
     }
     from artifact import write_artifact
 
-    path = os.path.join(ROOT, f"CLUSTER_BENCH_r{n:02d}.json")
+    path = os.environ.get("SPARK_GRAFT_CLUSTER_BENCH_OUT") or os.path.join(
+        ROOT, f"CLUSTER_BENCH_r{n:02d}.json"
+    )
     moved = write_artifact(path, artifact, indent=1)
     if moved:
         print(f"# previous artifact preserved at {moved}")
