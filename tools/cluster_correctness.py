@@ -60,6 +60,14 @@ def get_cluster_spark():
     return (
         SparkSession.builder.master(MASTER)
         .appName("pm-cluster-correctness")
+        # the master string's third number sizes the WORKER's allotment,
+        # NOT the executor JVM: without this conf the executor heap is
+        # Spark's 1g default (verified empirically r10 — every executor
+        # reported ~434MB unified memory under local-cluster[2,16,16384]).
+        # Request the full worker allotment so the label means what it
+        # says.  Historical note: the r09 cluster sweeps therefore ran
+        # 1 GiB executor heaps — correctness held regardless.
+        .config("spark.executor.memory", f"{_mem}m")
         .config("spark.sql.shuffle.partitions", str(n_exec * cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

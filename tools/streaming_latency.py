@@ -86,16 +86,25 @@ def main() -> None:
     # Partition-count curve for the stream-stream interval join (r09 ask
     # #7).  The r08 decomposition attributed its ~1.2s addBatch to
     # per-partition state-store commit cost on top of the universal
-    # micro-batch floor, predicting ~0.74s at 1 state partition.  The
-    # state partition count is FIXED at first checkpoint creation by
-    # spark.sql.shuffle.partitions, and each run of the key uses a fresh
-    # checkpoint dir, so sweeping the conf sweeps the curve.
+    # micro-batch floor, predicting ~0.74s at 1 state partition.  Since
+    # r10 the stateful constructors PIN state_partitions=4 (the measured
+    # floor) around start(), so sweeping the session conf no longer moves
+    # the curve — the sweep passes state_partitions explicitly through
+    # the constructor instead (each run of the key uses a fresh
+    # checkpoint dir, so every point picks its own state topology).
     curve: dict[str, dict] = {}
     if "stream_interval_join" in Q.QUERIES:
-        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        import parquet_merger_spark.streaming.events as EV
+
+        orig_correlate = EV.correlate_streams
         try:
             for parts in (1, 2, 4, 8, 16):
-                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+                def _pinned(*a, _parts=parts, **kw):
+                    kw["state_partitions"] = _parts
+                    return orig_correlate(*a, **kw)
+
+                EV.correlate_streams = _pinned
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 Q.QUERIES["stream_interval_join"](spark, SF_DIR).count()
@@ -119,7 +128,7 @@ def main() -> None:
                     flush=True,
                 )
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
+            EV.correlate_streams = orig_correlate
 
     from parquet_merger_spark.oracle import next_round
 
