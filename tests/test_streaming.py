@@ -812,6 +812,12 @@ def test_stream_latency_artifact_drift():
         pytest.skip("needs two committed STREAM_LATENCY artifacts")
     (_, prev_f), (_, cur_f) = arts[-2], arts[-1]
     prev, cur = json.load(open(prev_f)), json.load(open(cur_f))
+    # artifact formats: pre-r08 put stream keys at TOP level; r08+ nests
+    # them under "keys" beside host_canary_s / the partition curve —
+    # compare the per-key maps, not the envelope (comparing envelopes
+    # KeyError'd the first time two nested-format artifacts met, r10)
+    prev = prev.get("keys", prev)
+    cur = cur.get("keys", cur)
 
     def steady(d, k):
         b = d[k]["batches"]
