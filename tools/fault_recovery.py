@@ -25,6 +25,14 @@ process):
   luck if every barrier block happens to live on the surviving executor;
   the arm retries once and records ``survived`` honestly if so.)
 
+A third arm covers STREAMING: ``--arm stream`` kills an executor
+mid-replay of a driven stream key (trigger: >=2 micro-batch offsets
+committed in the key's own checkpoint), with no ``setCheckpointDir`` —
+Structured Streaming state is always reliably checkpointed to the
+query's checkpointLocation, and the arm proves the stream keys' wiring
+(file-source replay, 4 state partitions, memory sink) delivers
+executor-loss recovery with the exactly-once oracle-matching result.
+
 Writes ``FAULT_RECOVERY_r{N}.json`` through tools/artifact.write_artifact.
 
 Usage (repo root):
@@ -101,6 +109,11 @@ def run_arm(arm: str, key: str, min_barriers: int, out_path: str) -> None:
     if arm == "recovery":
         ckpt = tempfile.mkdtemp(prefix="pm_fault_ckpt_")
         spark.sparkContext.setCheckpointDir(ckpt)
+    # arm == "stream": no setCheckpointDir — Structured Streaming state
+    # is ALWAYS reliably checkpointed to the query's checkpointLocation;
+    # the arm proves that the driven stream keys' wiring (file-source
+    # replay + 4 state partitions + memory sink) really delivers
+    # executor-loss recovery with the exactly-once result intact.
 
     app_id = spark.sparkContext.applicationId
     sc_scala = spark.sparkContext._jsc.sc()
@@ -110,6 +123,20 @@ def run_arm(arm: str, key: str, min_barriers: int, out_path: str) -> None:
     def _barrier_count() -> int:
         if arm == "recovery":
             return len(glob.glob(os.path.join(ckpt, "*", "rdd-*")))
+        if arm == "stream":
+            # committed micro-batch offsets of the key's own stream
+            # checkpoint (scratch layout: /tmp/pm_spark_<appId>/<key
+            # scratch>/ckpt/offsets/<n>); >=2 means batch 1 is underway
+            # mid-replay, with more batches still to arrive post-kill
+            return len(
+                glob.glob(
+                    os.path.join(
+                        tempfile.gettempdir(),
+                        f"pm_spark_{app_id}",
+                        "*", "ckpt", "offsets", "*",
+                    )
+                )
+            )
         # control: count LOCALLY-CHECKPOINTED rdds specifically — plain
         # persisted loop invariants also appear in storage but their
         # lineage is intact (recomputable after a kill), so triggering
@@ -192,11 +219,16 @@ def run_arm(arm: str, key: str, min_barriers: int, out_path: str) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arm", choices=["recovery", "control"])
+    ap.add_argument("--arm", choices=["recovery", "control", "stream"])
     ap.add_argument("--key")
     ap.add_argument("--min-barriers", type=int, default=2)
     ap.add_argument("--out")
     ap.add_argument("--keys", nargs="*", default=DEFAULT_KEYS)
+    ap.add_argument(
+        "--stream-keys",
+        nargs="*",
+        default=["stream_window_agg", "stream_interval_join"],
+    )
     args = ap.parse_args()
 
     if args.arm:  # subprocess mode
@@ -244,6 +276,37 @@ def main() -> None:
                 if arm == "recovery":
                     break
 
+    # streaming arm: state recovery is Spark's own contract once the
+    # checkpointLocation exists — one arm per key, no control variant
+    for key in args.stream_keys:
+        out = tempfile.mktemp(suffix=".json", prefix="pm_fault_")
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--arm", "stream", "--key", key,
+            "--min-barriers", "2", "--out", out,
+        ]
+        print(f"# {key}/stream ...", flush=True)
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900, cwd=ROOT
+        )
+        if not os.path.exists(out):
+            runs.append({
+                "arm": "stream", "key": key, "completed": None,
+                "failure_mode": "subprocess died before verdict: "
+                + proc.stderr[-400:],
+            })
+            continue
+        with open(out) as fh:
+            row = json.load(fh)
+        os.unlink(out)
+        runs.append(row)
+        print(
+            f"#   completed={row.get('completed')} "
+            f"hash_match={row.get('hash_match')} "
+            f"killed={row.get('killed')} wall={row.get('wall_s')}s",
+            flush=True,
+        )
+
     from parquet_merger_spark.oracle import next_round
 
     n = next_round(ROOT)
@@ -256,14 +319,21 @@ def main() -> None:
         if r["arm"] == "control" and r.get("killed")
         and r.get("completed") is False
     ]
+    ok_stream = [
+        r for r in runs
+        if r["arm"] == "stream" and r.get("killed") and r.get("hash_match")
+    ]
     artifact = {
         "sf_dir": SF_DIR,
         "claim": (
             "barrier.materialize reliable checkpoints survive executor "
-            "SIGKILL mid-iteration; localCheckpoint control arm dies"
+            "SIGKILL mid-iteration; localCheckpoint control arm dies; "
+            "driven streaming keys recover mid-replay with the "
+            "exactly-once result intact"
         ),
         "recovery_proven_keys": sorted({r["key"] for r in ok_recovery}),
         "control_death_keys": sorted({r["key"] for r in died_control}),
+        "stream_recovery_keys": sorted({r["key"] for r in ok_stream}),
         "runs": runs,
     }
     from artifact import write_artifact
@@ -273,7 +343,8 @@ def main() -> None:
     if moved:
         print(f"# previous artifact preserved at {moved}")
     print(f"{path}: recovery-proven={artifact['recovery_proven_keys']} "
-          f"control-died={artifact['control_death_keys']}")
+          f"control-died={artifact['control_death_keys']} "
+          f"stream-recovered={artifact['stream_recovery_keys']}")
 
 
 if __name__ == "__main__":
