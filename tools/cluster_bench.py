@@ -99,8 +99,16 @@ def run_cycle(master: str, keys: list[str]) -> dict:
     pin_oracle_confs(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # same warm-up as bench.py: JVM/IO path + python-worker spin-up
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # same warm-up as bench.py: JVM/IO path + python-worker spin-up.
+    # Smallest table present, not region by name — the generated sf10
+    # fixture carries only the elephant tables (documents/embeddings/
+    # lineitem)
+    import glob as _glob
+
+    warm = min(
+        _glob.glob(os.path.join(SF_DIR, "*.parquet")), key=os.path.getsize
+    )
+    spark.read.parquet(warm).count()
     n = spark.sparkContext.defaultParallelism
     spark.range(0, n, 1, n).mapInPandas(lambda it: it, "id long").count()
 
