@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_merger_spark.barrier import materialize, materialize_lazy
+from parquet_merger_spark.partitioning import fan_out
 
 
 def tokens_col(text: Column | str, sep: str = " ") -> Column:
@@ -115,8 +116,16 @@ def _distinct_shingle_hashes(
     ``__th`` is materialized as its own column on purpose: each gram
     references it ``shingle_words`` times, and CollapseProject keeps
     multi-referenced non-cheap aliases in their own projection — inlined,
-    the token array would be re-hashed once per gram."""
-    d = df.withColumn(
+    the token array would be re-hashed once per gram.
+
+    The input is :func:`~parquet_merger_spark.partitioning.fan_out`
+    spread first: gram hashing is the CPU-heavy row-local stage of every
+    consumer (minhash signatures, the exact-Jaccard inverted index, the
+    contamination probes), and a single-row-group corpus file otherwise
+    pins the whole build to ONE task (guide §2.5; measured at sf0.1:
+    6.3s -> 1.2s for the downstream signature stage).  At scale the
+    fan-out is a structural no-op (scan splits >= cores)."""
+    d = fan_out(df).withColumn(
         "__th", F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
     )
     th = F.col("__th")
@@ -325,10 +334,19 @@ def minhash_lsh_pairs(
     verified = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh_hashes": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh_hashes": "sh_b"}), "id_b")
+        # |A∪B| = |A| + |B| - |A∩B| for the distinct-hash sets: same
+        # integers (hence the identical IEEE quotient) as an explicit
+        # array_union, WITHOUT materializing a union array per pair —
+        # array_union allocates and hashes |A|+|B| elements per
+        # candidate, pure overhead next to three array-length reads
+        # (guide §1.2: cheaper per-task work, same plan shape)
+        .withColumn(
+            "__inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -494,10 +512,17 @@ def ngram_jaccard_pairs(
             sets.withColumnsRenamed({id_col: "id_a", "sh_hashes": "sh_a"}), "id_a"
         )
         .join(sets.withColumnsRenamed({id_col: "id_b", "sh_hashes": "sh_b"}), "id_b")
+        # |A∪B| via |A|+|B|-|A∩B| over the distinct-hash sets: identical
+        # integers (identical IEEE quotient) without allocating a union
+        # array per candidate pair — see the matching note in
+        # minhash_lsh_pairs
+        .withColumn(
+            "__inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("__inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -698,32 +723,35 @@ def dup_clusters(
     graphs (semdedup at cosine 0.4) were measured at diameter ~17, so
     per-step barriers dominate wall clock.
 
-    ``steps_per_round`` composes that many propagation steps into ONE
-    lazy plan between materialization barriers (a lazy ``localCheckpoint``
-    whose job is triggered by the convergence aggregate — one Spark job
-    per round, not two).  Measured at sf0.1 on the semdedup graph
-    (diameter 17): 17 rounds/7.8s (eager, 1 step) -> 7-9 rounds/~4s
-    (lazy, 2-3 steps).  Trade-off: an intermediate step's plan is
-    referenced twice by its successor (the propagation join and the
-    left-join back), so a k-step round re-executes intermediates up to
-    2^(k-1) times unless exchange reuse catches them — at true 100 TB
-    edge volumes set ``steps_per_round=1`` (every E-join paid exactly
-    once per step) and swap ``localCheckpoint`` for a checkpoint table.
-    Convergence is checked on round boundaries, so ``max_iters`` bounds
-    ROUNDS (``max_iters * steps_per_round`` propagation steps).
-    COMPATIBILITY NOTE: before the ``steps_per_round`` default moved to
-    2, ``max_iters`` bounded individual propagation steps — callers who
-    tuned ``max_iters`` against graph diameter now get twice the step
-    budget (and the 2^(k-1) intermediate-re-execution trade above)
-    unless they pin ``steps_per_round=1``.
-    Deterministic: pure min over a fixed edge set, any step grouping
-    yields the same fixpoint.
+    ``steps_per_round`` composes that many propagation steps — plus one
+    POINTER-JUMPING shortcut (label := label(label), Shiloach-Vishkin
+    style) — into ONE lazy plan between materialization barriers (a lazy
+    ``localCheckpoint`` whose job is triggered by the convergence
+    aggregate — one Spark job per round, not two).  The shortcut
+    composes the reach of whole frontiers, so rounds needed drop from
+    O(diameter / steps_per_round) to O(log diameter): measured at sf0.1
+    on the semdedup graph (diameter 17): 9 rounds (r09 shape) -> 4
+    rounds.  Per-step cost also fell (r10): self-loops are folded into
+    the persisted adjacency, so each step is ONE min-aggregate —
+    min(own, neighbors) in the same shuffle — with no label join-back,
+    and the E-volume side never re-shuffles (hash-partitioned once,
+    before the loop).  Intermediate steps are referenced exactly once by
+    their successor, so composing steps no longer re-executes
+    intermediates (the old 2^(k-1) caveat is gone).  Convergence is
+    checked on round boundaries, so ``max_iters`` bounds ROUNDS
+    (``max_iters * steps_per_round`` propagation steps, each round
+    further accelerated by the shortcut).
+    Deterministic: pure min over a fixed edge set — any step grouping,
+    with or without shortcutting, reaches the same unique fixpoint
+    (labels decrease monotonically to the component minimum).
 
     The symmetric edge list comes from ONE ``explode`` pass over
     ``pairs`` — the earlier self-union re-executed the (potentially
     expensive, un-persisted) upstream pair plan once per branch:
     measured 29.5s -> 10.0s on the un-persisted exact-Jaccard pair plan
-    at sf0.1.
+    at sf0.1.  The pair plan is materialized exactly once (the edge
+    persist), referenced by the self-loop-folded adjacency build, and
+    released as soon as the adjacency cache is up.
     """
     edges = (
         pairs.select(
@@ -740,42 +768,85 @@ def dup_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
-        # EAGERLY MATERIALIZED on purpose: the loop's first job
-        # references edges from several concurrent stages (label init +
-        # each propagation step); a lazy cache lets those stages RACE to
-        # materialize it, re-running the upstream pair plan once per
-        # branch (measured ~24s vs ~7s on the exact-Jaccard pair plan at
-        # sf0.1).  persist (not localCheckpoint) so the O(E) blocks are
-        # RELEASED at exit — checkpoint blocks wait on the async
-        # ContextCleaner and measurably poisoned later same-session
-        # queries at sf1 (see triangle_count)
+        # EAGERLY MATERIALIZED on purpose: adj below references this
+        # subtree THREE times (both union branches + the node set); a
+        # lazy cache would re-run the upstream (potentially expensive,
+        # un-persisted) pair plan once per branch (measured ~24s vs ~7s
+        # on the exact-Jaccard pair plan at sf0.1).  persist (not
+        # localCheckpoint) so the O(E) blocks are RELEASED at exit —
+        # checkpoint blocks wait on the async ContextCleaner and
+        # measurably poisoned later same-session queries at sf1 (see
+        # triangle_count)
         .persist()
     )
     edges.count()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # adjacency WITH SELF-LOOPS, hash-partitioned on the probe key ONCE:
+    # folding (v, v) into the edge set turns the per-step update into a
+    # single min-aggregate — min(own, neighbors) needs no left-join-back
+    # of the previous labels — and the persisted hash partitioning means
+    # the O(E) side NEVER re-shuffles inside the loop (the pagerank
+    # cached-invariant pattern): each step exchanges only the O(V) label
+    # frame into the join plus the one unavoidable E-volume aggregate
+    # shuffle.  The r09 shape re-shuffled E into the propagation join
+    # EVERY step and paid a third exchange for the label join-back —
+    # 3x the per-step exchange count of this form (guide §2.4).
+    adj = (
+        edges.unionAll(
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .repartition(F.col("src"))
+        .persist()
+    )
+    adj.count()
+    # adj is materialized; the loop never touches the pair plan again
+    edges.unpersist()
+    # initial labels from the CACHED adjacency (self-loops guarantee
+    # every node appears as src), so label init costs a cache scan with
+    # no extra exchange (hash(src) already satisfies the distinct)
     labels = (
-        edges.select(F.col("src").alias("node"))
+        adj.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
 
     def _step(lab: DataFrame) -> DataFrame:
-        neighbor_min = (
-            edges.join(lab, edges.src == lab.node)
+        # one E-volume shuffle (the aggregate).  Join strategy stays
+        # AQE's choice: small label frames ride a runtime broadcast
+        # (zero exchange against cached adj); at scale the co-partitioned
+        # shuffle join exchanges only the O(V) label side — the cached
+        # hash(src) partitioning means adj itself never re-shuffles.
+        return (
+            adj.join(lab, adj.src == lab.node)
             .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("dst", "node")
         )
-        new_label = F.least(
-            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+
+    def _shortcut(lab: DataFrame) -> DataFrame:
+        # pointer jumping: label := label(label) — composes the reach of
+        # two propagation frontiers, so rounds needed drop from
+        # O(diameter / steps_per_round) to O(log diameter) (Shiloach-
+        # Vishkin style shortcutting).  Labels are always ids of live
+        # nodes (min over ids), so the self-join hits every row; the
+        # left-join + coalesce form costs the same and stays total even
+        # if that invariant were ever perturbed.  Monotone (label(u) <=
+        # u), so convergence detection below is unaffected.
+        nxt = lab.select(
+            F.col("node").alias("__sn"), F.col("label").alias("__sl")
         )
-        return lab.join(
-            neighbor_min, lab.node == neighbor_min.dst, "left"
-        ).select("node", new_label.alias("label"))
+        return lab.join(nxt, lab.label == F.col("__sn"), "left").select(
+            "node", F.coalesce(F.col("__sl"), F.col("label")).alias("label")
+        )
 
     converged = False
     for _ in range(max_iters):
         cur = labels
         for _ in range(max(1, steps_per_round)):
             cur = _step(cur)
+        cur = _shortcut(cur)
         prev = labels.select(
             F.col("node").alias("__pnode"), F.col("label").alias("__plabel")
         )
@@ -796,7 +867,7 @@ def dup_clusters(
             converged = True
             break
     if not converged:
-        edges.unpersist()
+        adj.unpersist()
         # Returning silently would split one true component into several
         # "clusters" — and the survivor pass downstream would then keep
         # multiple copies of the same duplicate.  Fail loudly instead.
@@ -807,8 +878,8 @@ def dup_clusters(
         )
     # the final labels checkpoint is already materialized (the last
     # convergence aggregate ran it), so the result no longer needs the
-    # edge cache — release the O(E) blocks now
-    edges.unpersist()
+    # adjacency cache — release the O(E) blocks now
+    adj.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -951,9 +1022,15 @@ def semdedup(
     pairs = g.filter(F.col("cosine") >= threshold).select(
         F.col("id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
-    clusters = dup_clusters(pairs, max_iters=max_iters).withColumnRenamed(
-        "doc_id", "__cid"
-    )
+    # steps_per_round=4: low-threshold semantic graphs are HIGH-DIAMETER
+    # by construction (measured ~17 at cosine 0.4, vs 2-3 for the
+    # clique-like LSH/Jaccard graphs) — composing 4 propagation steps
+    # per barrier cuts rounds 7 -> 4 on the sf0.1 graph (6.1s vs 7.1s
+    # wall) and is free since r10's single-reference steps; at worst
+    # k-1 steps run past convergence, cheap next to 3 extra barriers.
+    clusters = dup_clusters(
+        pairs, max_iters=max_iters, steps_per_round=4
+    ).withColumnRenamed("doc_id", "__cid")
     out = df.select(F.col(id_col)).join(
         clusters, F.col(id_col) == F.col("__cid"), "left"
     )
@@ -1059,7 +1136,11 @@ def simhash_near_dup_pairs(
         )
     if bits % bands != 0:
         raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
-    sigs = simhash_signatures(df, id_col, text_col, bits=bits).persist(
+    # input spread BEFORE the signature kernel (guide §2.5): a single-
+    # row-group corpus otherwise computes every simhash on one task.
+    # The fan-out lives here, not in simhash_signatures, so the
+    # signature operator itself stays zero-Exchange as plan-pinned.
+    sigs = simhash_signatures(fan_out(df), id_col, text_col, bits=bits).persist(
         storage_level or StorageLevel.MEMORY_AND_DISK
     )
     chunk_bits = bits // bands
@@ -1138,6 +1219,9 @@ def dup_passage_coverage(
     repetition is :func:`with_repetition_stats`'s job.
     """
     toks = tokens_col(text_col)
+    # fan_out (guide §2.5): the positional-gram build below is the CPU
+    # stage; a single-row-group corpus would run it on one task
+    df = fan_out(df)
     nt = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
 
     # Positional gram hashes for docs long enough to have one.  Pre-filter

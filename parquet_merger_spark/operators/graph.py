@@ -299,7 +299,10 @@ def _triangle_count_body(
         .agg(F.count(F.lit(1)).alias("deg"))
         .persist()
     )
-    deg.count()
+    # the eager materialization count IS the vertex census — reuse it as
+    # a literal below instead of re-aggregating cached deg in the final
+    # job (one aggregate subtree fewer; same number by construction)
+    n_vertices = deg.count()
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
     # orient low-(deg, id) -> high-(deg, id)
@@ -320,7 +323,9 @@ def _triangle_count_body(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
         )
-        # persist, not checkpoint — released on exit (see `e` above)
+        # persist, not checkpoint — released on exit (see `e` above);
+        # materialized by out_nbrs.count() below (its only consumer until
+        # then, so there is no concurrent-build race to guard against)
         .persist()
     )
     # EDGE-ITERATOR counting (compact-forward's DataFrame shape): build
@@ -333,13 +338,16 @@ def _triangle_count_body(
     # materialized at all: the earlier explicit wedge join pushed 41M
     # rows through a join at sf0.1 (8.8s warm); this shape keeps the
     # pipeline at |E| rows with O(deg) row-local work (~2s).
-    # the checkpoint makes this count a cheap cached scan; it decides the
-    # broadcast-vs-shuffle strategy for the adjacency joins below (above
-    # the limit both become shuffle equi-joins on the vertex key — the
-    # sharded regime; orientation still bounds every array at O(sqrt E))
-    n_oriented = oriented.count()
+    # |oriented| == |e| exactly (orientation maps each undirected edge to
+    # ONE directed edge — the join is key-preserving and lower_first is
+    # total), so the broadcast-vs-shuffle decision for the adjacency
+    # joins reuses n_edges and the r09 oriented.count() barrier job is
+    # gone (guide §1.2: don't pay for a number you already have); above
+    # the limit both joins become shuffle equi-joins on the vertex key —
+    # the sharded regime; orientation still bounds every array at
+    # O(sqrt E)
     maybe_b = (
-        F.broadcast if n_oriented <= broadcast_edge_limit else (lambda df: df)
+        F.broadcast if n_edges <= broadcast_edge_limit else (lambda df: df)
     )
     # persisted + eagerly materialized: THREE consumers (the wedge-count
     # aggregate and the differently-aliased ns/nt broadcast projections)
@@ -384,16 +392,17 @@ def _triangle_count_body(
             F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n_triangles")
         )
     )
-    counts = (
-        e.agg(
-            F.count(F.lit(1)).alias("n_edges"),
-        )
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
-        .crossJoin(wedge_count)
-        .crossJoin(tri_count)
-    )
+    # n_vertices / n_edges ride in as literals: both were ALREADY counted
+    # driver-side by the eager cache materializations above (jobs inside
+    # this operator's own wall), so the final census job no longer
+    # re-scans the e/deg caches through two aggregate subtrees + cross
+    # joins — it is just the wedge aggregate x the triangle aggregate
+    counts = wedge_count.crossJoin(tri_count)
     result = counts.select(
-        "n_vertices", "n_edges", "n_oriented_wedges", "n_triangles"
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "n_oriented_wedges",
+        "n_triangles",
     )
     # 1-row census: materialize it, then release EVERY persisted
     # intermediate so nothing pins block-manager memory across calls
