@@ -71,6 +71,13 @@ def curate_corpus(
     only the documented output columns survive.
     """
     base_cols = df.columns
+    # fan_out (guide §2.5): the whole pass is row-local by design, which
+    # also means a single-row-group corpus runs it on ONE task; spread
+    # first so the signal projections and the repetition UDF parallelize
+    # (structural no-op on real at-scale scans)
+    from parquet_merger_spark.partitioning import fan_out
+
+    df = fan_out(df)
     d = quality_score(df, text_col).select(*base_cols, "quality")
     d = language_scores(d, text_col).select(*base_cols, "quality", "predicted_lang")
     d = with_repetition_stats(d, text_col)

@@ -465,9 +465,21 @@ def ngram_jaccard_pairs(
         prefix_len = (
             F.floor((1.0 - threshold) * F.col("n") + F.lit(1e-9)).cast("int") + 1
         )
-        prefix = ranked.filter(F.col("rn") <= prefix_len).select(
-            id_col, "n", "gram", "rn"
+        # persisted + EAGERLY materialized: the candidate join references
+        # prefix from BOTH aliased sides, and differently-aliased
+        # projections defeat ReuseExchange — un-persisted, the whole
+        # inverted-index + document-frequency + rarity-window pipeline
+        # executed twice inside the one candidate job (measured ~1-2.5s
+        # per extra pass at sf0.1).  The prefix table is small by
+        # construction (floor((1-t)*n)+1 grams per doc, ~1/5 of the
+        # inverted index at t=0.8); same persist-hygiene contract as
+        # ``sh`` above (lives until clearCache / session end).
+        prefix = (
+            ranked.filter(F.col("rn") <= prefix_len)
+            .select(id_col, "n", "gram", "rn")
+            .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
         )
+        prefix.count()
 
         # Minimum overlap required for jaccard >= t (epsilon guards FP
         # landing infinitesimally ABOVE the exact rational, which would

@@ -252,7 +252,21 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         return pd.Series(out)
 
-    d = df.withColumn("__rep", _rep_counts(F.col(text_col)))
+    # asNondeterministic (guide §4.4): without it the optimizer pushes a
+    # downstream filter on these columns BELOW the Python eval and keeps
+    # a second eval above for the projection — curate_corpus' plan showed
+    # TWO ArrowEvalPython nodes for this one UDF (every row paid the
+    # Counter pass twice).  Marking it non-det also makes the eval node a
+    # hard pushdown fence for ALL predicates, which pins curate's
+    # quality/language gates ABOVE the signal projections instead of
+    # textually inlining their ~7KB HOF expression trees into a
+    # scan-level filter (the module-docstring pathology, now closed on
+    # the filter side too: quality + language expressions evaluate once
+    # per row, not once in the pushed filter plus once for survivors).
+    # Trade-off (documented in the guide): no caller may rely on filters
+    # pushing below this operator — none does; the callers filter only
+    # on the computed signals.
+    d = df.withColumn("__rep", _rep_counts.asNondeterministic()(F.col(text_col)))
     n = F.col("__rep")[0]
     distinct = F.col("__rep")[1]
     nb = F.greatest(n - 1, F.lit(0))

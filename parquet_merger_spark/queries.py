@@ -13245,23 +13245,32 @@ def q_near_dup_threshold_curve(spark, sf_dir):
     on LSH candidates instead (same banding downstream).  Scale: one
     gram-keyed shuffle; posting lists bound the pair fan-out."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda x, y: F.concat(x, F.lit(" "), y),
-                ),
-            ).otherwise(F.array())
-        ).alias("gram"),
-    ).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    # r10: the gram sets ride the HASHED-shingle kernel (xxhash64 token
+    # chain — the same identity contract as dedup_ngram_jaccard: set
+    # operations over distinct gram hashes equal string-gram set
+    # operations up to ~2^-64 collisions, and only COUNTS leave this
+    # query).  The old form built string bigrams inline and the aliased
+    # self-join + sizes aggregate re-ran that build THREE times (aliased
+    # projections defeat ReuseExchange); now the per-doc distinct happens
+    # row-locally inside the array (no corpus-wide distinct shuffle),
+    # sizes are F.size() lookups instead of a groupBy, the build is
+    # fan_out-parallel, and the persisted table is narrow longs.
+    from parquet_merger_spark.operators.dedup import (
+        _distinct_shingle_hashes,
+        tokens_col,
+    )
+
+    sh_t = (
+        _distinct_shingle_hashes(
+            d.filter(F.size(tokens_col("text")) >= 2), "doc_id", "text", 2
+        )
+        .select("doc_id", "sh_hashes", F.size("sh_hashes").alias("n"))
+        .persist()
+    )
+    sh_t.count()  # barrier: both self-join sides + the size projections
+    inv = sh_t.select("doc_id", F.explode("sh_hashes").alias("gram"))
+    a = inv.alias("a")
+    b = inv.alias("b")
     shared = (
         a.join(
             b,
@@ -13273,8 +13282,8 @@ def q_near_dup_threshold_curve(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("sh"))
     )
-    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"})
-    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"})
+    sa = sh_t.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sh_t.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     j = shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
     banded = j.select(
         F.expr("(10 * sh) div (na + nb - sh)").alias("band")
