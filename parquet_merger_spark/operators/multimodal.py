@@ -29,6 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# fan_out (guide §2.5): binary fixtures often arrive as one split, which
+# would run every Arrow decode kernel below on a single task; the spread
+# is a structural no-op on real many-split inputs
+from parquet_merger_spark.partitioning import fan_out
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("n_bytes", T.LongType()),
@@ -95,7 +100,7 @@ def extract_payload_meta(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(meta_batches, out_schema)
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(meta_batches, out_schema)
 
 
 def extract_payload_meta_expr(
@@ -363,7 +368,7 @@ def decode_image(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(decode_batches, out_schema)
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(decode_batches, out_schema)
 
 
 def decode_audio(
@@ -418,7 +423,7 @@ def decode_audio(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(decode_batches, out_schema)
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(decode_batches, out_schema)
 
 
 def payload_byte_histogram(
@@ -453,7 +458,7 @@ def payload_byte_histogram(
                 feats.append((h / total if total else h).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, payload_col).mapInPandas(hist_batches, out_schema)
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(hist_batches, out_schema)
 
 
 def frame_sample_plan(

@@ -123,11 +123,12 @@ def _report(evdir: str, app_id: str, t0_wall: float) -> None:
                 sid = si["Stage ID"]
                 if "Completion Time" not in si:
                     continue
-                stages[sid] = {
-                    "name": si["Stage Name"].split("\n")[0][:70],
-                    "n_tasks": si["Number of Tasks"],
-                    "ms": si["Completion Time"] - si.get("Submission Time", si["Completion Time"]),
-                }
+                st = stages.setdefault(sid, {})
+                st["name"] = si["Stage Name"].split("\n")[0][:70]
+                st["n_tasks"] = si["Number of Tasks"]
+                st["ms"] = si["Completion Time"] - si.get(
+                    "Submission Time", si["Completion Time"]
+                )
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 st = stages.setdefault(sid, {})
