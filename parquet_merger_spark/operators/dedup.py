@@ -102,7 +102,11 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 
 def _distinct_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, shingle_words: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int,
+    fan_out_input: bool = True,
 ) -> DataFrame:
     """(id, sh_hashes): distinct word-shingle identities as LONGS, built
     WITHOUT materializing shingle strings — hash each token once, then
@@ -124,8 +128,12 @@ def _distinct_shingle_hashes(
     contamination probes), and a single-row-group corpus file otherwise
     pins the whole build to ONE task (guide §2.5; measured at sf0.1:
     6.3s -> 1.2s for the downstream signature stage).  At scale the
-    fan-out is a structural no-op (scan splits >= cores)."""
-    d = fan_out(df).withColumn(
+    fan-out is a structural no-op (scan splits >= cores).
+    ``fan_out_input=False`` opts out for callers where the input is
+    latency-bound rather than throughput-bound (the streaming
+    micro-batch dedup: a per-batch repartition added ~300ms/batch for
+    batch-sized kernels — measured in STREAM_LATENCY)."""
+    d = (fan_out(df) if fan_out_input else df).withColumn(
         "__th", F.transform(tokens_col(text_col), lambda t: F.xxhash64(t))
     )
     th = F.col("__th")
@@ -168,6 +176,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_words: int = 2,
+    fan_out_input: bool = True,
 ) -> DataFrame:
     """(id, sh_hashes, sig): sh_hashes = distinct shingle-identity longs,
     sig[i] = min over shingles of the i-th universal hash of the shingle
@@ -226,7 +235,9 @@ def minhash_signatures(
         signed = out.astype(np.int64)
         return pd.Series(list(signed))
 
-    sh = _distinct_shingle_hashes(df, id_col, text_col, shingle_words)
+    sh = _distinct_shingle_hashes(
+        df, id_col, text_col, shingle_words, fan_out_input=fan_out_input
+    )
     return sh.select(id_col, "sh_hashes", _sig("sh_hashes").alias("sig"))
 
 

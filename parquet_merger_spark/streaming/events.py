@@ -860,8 +860,12 @@ def near_dedup_batch_apply(
         sess = batch_df.sparkSession
         n_tokens = F.size(tokens_col(text_col))
         eligible = batch_df.filter(n_tokens >= shingle_words)
+        # fan_out_input=False: a micro-batch is latency-bound — the
+        # per-batch repartition cost (~300ms/batch measured) outweighs
+        # parallelizing a batch-sized signature kernel
         sigs = minhash_signatures(
-            eligible, id_col, text_col, num_hashes, shingle_words
+            eligible, id_col, text_col, num_hashes, shingle_words,
+            fan_out_input=False,
         )
         # Documents too short to shingle still get a novelty key — the
         # EXACT-text hash on a reserved band — so re-deliveries of the
