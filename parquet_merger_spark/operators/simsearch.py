@@ -1187,11 +1187,89 @@ def pq_encode(
     m nearest-codeword ids, plus the reconstruction's exact integer self-
     dot (used as the ADC denominator).
 
-    The codebook model arrives as a broadcast one-row cross join (see
-    :func:`_books_df`), so encoding is row-local — no shuffle, no
-    Python: a 100 TB encode is one narrow map stage writing m-byte
-    codes.
-    """
+    Row-local at any scale: quantization happens JVM-side (the exact
+    HALF_UP grid snap of :func:`quantize`, shared with every other
+    consumer), then ONE Arrow-batched kernel assigns all m subspace
+    codes per batch as numpy GEMMs over the integer grid — the same
+    sanctioned-Python shape as the kNN tiles, replacing the per-row
+    interpreted m x n_codes ``quantized_dot`` lambda tree that cost
+    ~1.3s per 2k rows at sf0.1 (r10; the kernel is ~0.1s).  Exactness
+    is unchanged: distances are sums/products of grid integers < 2^53
+    (exact in float64), ``argmin`` takes the FIRST minimum = the
+    smallest code, matching the expression path's (dist, code)
+    ``array_min`` tie-break bit for bit — equivalence is pinned by
+    ``tests/test_recall.py::test_pq_encode_kernel_matches_expression``
+    against :func:`_pq_encode_expr`.  NULL or too-short vectors encode
+    as NULL codes/recon2 (the expression path's NULL-propagation
+    contract).  The input is :func:`fan_out`-spread first (guide §2.5 —
+    a single-row-group corpus would otherwise encode on one task;
+    structural no-op on real at-scale scans)."""
+    import numpy as np
+
+    from parquet_merger_spark.partitioning import fan_out
+
+    m = len(books)
+    sub_dim = len(books[0][0])
+    dim = m * sub_dim
+    B = [np.array(sub, dtype=np.float64) for sub in books]  # (n_codes, sub_dim)
+    B2 = [(b * b).sum(axis=1) for b in B]
+    # exact integer self-dots per codeword, for the recon2 sum
+    CV2 = [
+        np.array([sum(x * x for x in cv) for cv in sub], dtype=np.int64)
+        for sub in books
+    ]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def encode_batches(batches):
+        for pdf in batches:
+            qs = pdf["__q"]
+            n = len(pdf)
+            valid = np.array(
+                [q is not None and len(q) >= dim for q in qs], dtype=bool
+            )
+            codes_col: list = [None] * n
+            recon_col: list = [None] * n
+            idx = np.flatnonzero(valid)
+            if idx.size:
+                Q = np.stack([np.asarray(qs.iat[i][:dim], dtype=np.float64) for i in idx])
+                codes = np.empty((idx.size, m), dtype=np.int32)
+                recon2 = np.zeros(idx.size, dtype=np.int64)
+                for s in range(m):
+                    S = Q[:, s * sub_dim : (s + 1) * sub_dim]
+                    dist = (
+                        (S * S).sum(axis=1)[:, None]
+                        - 2.0 * (S @ B[s].T)
+                        + B2[s][None, :]
+                    )
+                    c = np.argmin(dist, axis=1)  # first min = smallest code
+                    codes[:, s] = c
+                    recon2 += CV2[s][c]
+                for j, i in enumerate(idx):
+                    codes_col[i] = codes[j].tolist()
+                    recon_col[i] = int(recon2[j])
+            out = pdf[[id_col]].copy()
+            out["codes"] = codes_col
+            out["recon2"] = recon_col
+            yield out
+
+    return fan_out(
+        corpus.select(F.col(id_col), quantize(F.col(vec_col)).alias("__q"))
+    ).mapInPandas(
+        encode_batches, f"{id_col} {id_type}, codes array<int>, recon2 bigint"
+    )
+
+
+def _pq_encode_expr(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pure-expression encode (the pre-r10 :func:`pq_encode` body):
+    codebook as a broadcast one-row cross join, per-subspace argmin via
+    ``array_min`` over (dist, code) structs.  Kept as the EQUIVALENCE
+    REFERENCE the kernel path is test-pinned against — two independent
+    spellings of the same exact-integer assignment."""
     sub_dim = len(books[0][0])
     d = (
         corpus.withColumn("__q", quantize(F.col(vec_col)))

@@ -573,3 +573,43 @@ def test_mixture_sample_degenerate_stratum_totals(spark):
     langs = {r.lang for r in kept}
     assert "zz" not in langs and "nn" not in langs
     assert {r.doc_id for r in kept} <= {1, 2}
+
+
+def test_pq_encode_kernel_matches_expression(spark):
+    """r10: pq_encode moved from the interpreted m x n_codes expression
+    tree to an Arrow-batched numpy kernel.  The two are independent
+    spellings of the same exact-integer assignment (grid distances
+    < 2^53 exact in float64; argmin-first == array_min's (dist, code)
+    tie-break), so the encodings must be IDENTICAL row for row —
+    including the NULL-vector contract."""
+    from pyspark.sql import Row, functions as F
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from parquet_merger_spark.operators.simsearch import (
+        _pq_encode_expr,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=1)
+    kern = {r["vec_id"]: (r["codes"], r["recon2"]) for r in pq_encode(e, books).collect()}
+    expr = {r["vec_id"]: (r["codes"], r["recon2"]) for r in _pq_encode_expr(e, books).collect()}
+    assert kern == expr
+
+    # NULL-vector contract: the kernel encodes NULL -> NULL codes/recon2
+    # (a deliberate divergence from the expression path, which encoded a
+    # NULL vector as all-code-0 with a positive recon2 — null dist sorts
+    # first in array_min — letting a vector with no data be ADC-scored
+    # as a real point; downstream pq_topk's recon2>0 guard now ranks it
+    # last instead).  No fixture carries null embeddings, so no declared
+    # query's output moves.
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    nulls = spark.createDataFrame([Row(vec_id=1, embedding=None)], schema)
+    krow = pq_encode(nulls, books).collect()[0]
+    assert krow["codes"] is None and krow["recon2"] is None
