@@ -554,13 +554,26 @@ def main() -> None:
     except Exception:
         pass  # diagnostics must never break the bench contract line
     print(json.dumps(out, separators=(",", ":")))
-    # FINAL short line: the driver's capture has front-truncated the big
-    # line every round (parsed: null in BENCH_r02-r04) — a trailing
-    # <200-char complete JSON object survives any front-truncation and
-    # parses on its own if the capture keeps the tail / last line.
+    # FINAL line: the driver's capture has front-truncated the big line
+    # before (parsed: null in BENCH_r02-r04), so a trailing complete JSON
+    # object is printed last and parses on its own if the capture keeps
+    # the tail / last line.  r10 verdict #1: the driver builds its
+    # per-query comparison, geomean and scaling block from THIS parsed
+    # line — two rounds of PERF came up with `per_query: {}` because the
+    # short line carried only scalars.  The per-key seconds map now rides
+    # here too (~211 floats, ~7KB — far under any line-capture limit that
+    # matters; the front-truncation victim was the ~12KB canary-laden
+    # full-artifact line above, which remains the redundant copy).  The
+    # map keys are exactly the headline set whose sum is `value`; the
+    # separately-timed sections ride along under their artifact names.
+    # Key order keeps the repo's truncation convention (big maps first,
+    # small scalars last, matching the full-artifact line above).
     print(
         json.dumps(
             {
+                "queries": timings,
+                "index_build_s": builds,
+                "verification_tier_s": out["verification_tier_s"],
                 "metric": out["metric"],
                 "value": out["value"],
                 "unit": out["unit"],
