@@ -65,6 +65,7 @@ from parquet_merger_spark.operators.export import drop_internal_columns
 from parquet_merger_spark.functions.strings import sanitize_filename_col
 from parquet_merger_spark.session import pin_oracle_confs
 from parquet_merger_spark.barrier import materialize, materialize_lazy
+from parquet_merger_spark.partitioning import scaled_partitions
 from parquet_merger_spark.streaming.events import (
     session_window_agg,
     sessionize_batch,
@@ -11377,18 +11378,29 @@ def q_neighbor_jaccard(spark, sf_dir):
     standard mitigation (cap or split high-degree hubs before the
     self-join, as two_hop_neighbors documents); degrees join in
     model-sized broadcasts."""
+    # Scale-adaptive wedge parallelism (r10 verdict #7): the r08-r10
+    # shape pinned BOTH repartitions at defaultParallelism*8 — an
+    # sf10-OOM patch (at 32 shuffle partitions the sf10 edge list (30M
+    # rows) stored ~128 MB checkpoint blocks and the 900M-row wedge
+    # shuffle ran 32 reduce tasks; finishAggregate's per-spill-file
+    # reader buffers then OOMed the 6g heap, MEM_SCALING_r08 triage).
+    # The constant was simultaneously 8x too many tasks at sf0.1 (two
+    # 256-task barrier stages + a 256-block checkpoint for a ~300k-row
+    # edge list made this the most host-phase-sensitive key) and a
+    # ceiling at 100x that scale.  A bytes-per-partition target on the
+    # SOURCE table reproduces the sf10 shape (~1.1 GB lineitem / 4 MB
+    # -> ~275 tasks, vs the 256 that fixed the OOM) while collapsing to
+    # defaultParallelism at sf0.1 and keeping growth linear beyond sf10.
+    n_wedge = scaled_partitions(
+        _t(spark, sf_dir, "lineitem"), bytes_per_partition=4 << 20
+    )
     e = (
         _copurchase_edges(spark, sf_dir)
         # one barrier: the edge list feeds four subtrees (degree pass and
         # both wedge sides); without it each reference recomputes the
         # lineitem self-join.  Re-partition BEFORE the eager checkpoint:
-        # at 32 shuffle partitions the sf10 edge list (30M rows) stored
-        # ~128 MB checkpoint blocks and the 900M-row wedge shuffle ran 32
-        # reduce tasks — the single-allocation GC death the r07 sweep
-        # hit; 8x parallelism bounds block size and wedge task input
-        # (measured: sf10 went from GC-crash to completing, wedge count
-        # 128s; +1 exchange, within the pinned lineage budget)
-        .repartition(spark.sparkContext.defaultParallelism * 8, "pa", "pb")
+        # bounds checkpoint block size (see above)
+        .repartition(n_wedge, "pa", "pb")
         .transform(materialize)
     )
     sym = e.select(F.col("pa").alias("s"), F.col("pb").alias("d")).unionAll(
@@ -11396,15 +11408,11 @@ def q_neighbor_jaccard(spark, sf_dir):
     )
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("dg")).withColumnRenamed("s", "v")
     # pre-partition the wedge join's BOTH sides on the join key at the
-    # checkpoint's 8x parallelism: the join then runs at 256 tasks, not
-    # spark.sql.shuffle.partitions=32, so each task's share of the
+    # checkpoint parallelism: the join then runs at n_wedge tasks, not
+    # spark.sql.shuffle.partitions, so each task's share of the
     # O(sum deg^2) wedge stream — and the partial-aggregation spill count
-    # riding on it — drops 8x.  At sf10/6g the 32-task shape OOMed in
-    # finishAggregate's per-spill-file reader buffers (MEM_SCALING_r08
-    # triage); the same untracked-buffer peak scales with spills PER TASK
-    wedge_src = sym.repartition(
-        spark.sparkContext.defaultParallelism * 8, "s"
-    ).transform(materialize)
+    # riding on it — stays bounded as the graph grows
+    wedge_src = sym.repartition(n_wedge, "s").transform(materialize)
     w1 = wedge_src.select(F.col("s").alias("mid"), F.col("d").alias("pa"))
     w2 = wedge_src.select(F.col("s").alias("mid"), F.col("d").alias("pb"))
     wedges = (
