@@ -727,6 +727,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iters: int = 50,
     steps_per_round: int = 2,
+    checks_every: int = 1,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into CLUSTERS: connected components by
     iterative min-label propagation.  Returns (doc_id, cluster_id) for
@@ -761,9 +762,13 @@ def dup_clusters(
     before the loop).  Intermediate steps are referenced exactly once by
     their successor, so composing steps no longer re-executes
     intermediates (the old 2^(k-1) caveat is gone).  Convergence is
-    checked on round boundaries, so ``max_iters`` bounds ROUNDS
-    (``max_iters * steps_per_round`` propagation steps, each round
-    further accelerated by the shortcut).
+    checked on round-GROUP boundaries: ``checks_every`` composes that
+    many full (steps + shortcut) rounds per convergence check (r11 —
+    fewer barriers/collect jobs where the loop is job-count-bound, up
+    to ``checks_every - 1`` wasted composed rounds where E-shuffles
+    dominate; see the loop comment), and ``max_iters`` bounds CHECKS
+    (``max_iters * checks_every * steps_per_round`` propagation steps,
+    each round further accelerated by the shortcut).
     Deterministic: pure min over a fixed edge set — any step grouping,
     with or without shortcutting, reaches the same unique fixpoint
     (labels decrease monotonically to the component minimum).
@@ -867,9 +872,21 @@ def dup_clusters(
     converged = False
     for _ in range(max_iters):
         cur = labels
-        for _ in range(max(1, steps_per_round)):
-            cur = _step(cur)
-        cur = _shortcut(cur)
+        # ``checks_every`` > 1 composes that many full (steps + shortcut)
+        # rounds into ONE lazy plan per convergence check (r10 verdict
+        # #5's "propagate k, check every other round" schedule): each
+        # skipped check saves a materialization barrier + a collect job —
+        # the binding cost at small scale where the loop is job-count-
+        # bound — at the risk of up to (checks_every - 1) composed rounds
+        # of wasted E-volume aggregates when convergence lands mid-group
+        # (the binding cost at cluster scale).  Same unique fixpoint
+        # either way (monotone min); ``max_iters`` bounds CHECKS, so the
+        # propagation-step budget is max_iters * checks_every *
+        # steps_per_round.
+        for _g in range(max(1, checks_every)):
+            for _ in range(max(1, steps_per_round)):
+                cur = _step(cur)
+            cur = _shortcut(cur)
         prev = labels.select(
             F.col("node").alias("__pnode"), F.col("label").alias("__plabel")
         )

@@ -1218,6 +1218,22 @@ def pq_encode(
         np.array([sum(x * x for x in cv) for cv in sub], dtype=np.int64)
         for sub in books
     ]
+    # Exactness bound (r10 advice): every squared term and GEMM partial
+    # sum must stay < 2^53 for the float64 distances to be the exact
+    # integers the expression path computes — beyond it a rounded dist
+    # can flip an argmin tie against the int64 arithmetic.  Each dist
+    # term is a sum of sub_dim products of two grid values, so grid
+    # magnitudes up to sqrt(2^53 / sub_dim) are provably safe.  The
+    # codebook side is checked once here; the per-batch query side is
+    # checked in the kernel (raise, never silently diverge).
+    _grid_bound = float(np.sqrt(2.0**53 / max(1, sub_dim)))
+    _b_max = max((float(np.abs(b).max()) if b.size else 0.0) for b in B)
+    if _b_max > _grid_bound:
+        raise ValueError(
+            f"pq_encode: codebook grid magnitude {_b_max:.3e} exceeds the "
+            f"float64-exactness bound {_grid_bound:.3e} for sub_dim="
+            f"{sub_dim}; distances would not be exact integers"
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
 
     def encode_batches(batches):
@@ -1232,6 +1248,29 @@ def pq_encode(
             idx = np.flatnonzero(valid)
             if idx.size:
                 Q = np.stack([np.asarray(qs.iat[i][:dim], dtype=np.float64) for i in idx])
+                # r10 advice: a vector with null ELEMENTS arrives as NaN
+                # (None -> nan in the float64 view); NaN distances make
+                # argmin pick the first NaN position and the row would
+                # get arbitrary-but-plausible codes.  The expression
+                # path's zip_with/aggregate propagates element nulls to a
+                # NULL dist for EVERY codeword, so array_min picks the
+                # (null, code 0) struct and the row encodes all-zero
+                # codes with recon2 = sum of code-0 self-dots — but such
+                # a row's ADC score is then built from codewords the
+                # vector never matched.  Encode it as NULL per the
+                # documented contract instead (no fixture contains one;
+                # the contract is pinned by test_pq_encode_null_elements).
+                finite = np.isfinite(Q).all(axis=1)
+                if Q.size and float(np.abs(Q[finite]).max(initial=0.0)) > _grid_bound:
+                    raise ValueError(
+                        "pq_encode: query grid magnitude exceeds the "
+                        f"float64-exactness bound {_grid_bound:.3e} for "
+                        f"sub_dim={sub_dim}"
+                    )
+                if not finite.all():
+                    keep = np.flatnonzero(finite)
+                    idx = idx[keep]
+                    Q = Q[keep]
                 codes = np.empty((idx.size, m), dtype=np.int32)
                 recon2 = np.zeros(idx.size, dtype=np.int64)
                 for s in range(m):
@@ -1292,41 +1331,142 @@ def _pq_encode_expr(
     )
 
 
-def pq_topk(
+def _adc_scores(
     encoded: DataFrame,
     queries: DataFrame,
     books: list[list[list[int]]],
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    rerank: DataFrame | None = None,
-    shortlist: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k over PQ codes via ADC: (query_id, vec_id,
-    pq_cosine, rank).
+    """(query_id, vec_id, pq_cosine) for EVERY (query, corpus-row) pair —
+    the ADC scan as ONE Arrow kernel over the code table (guide §4.2,
+    the same recipe as :func:`pq_encode`'s r10 kernel).
 
-    Each query builds its m x n_codes lookup table ROW-LOCALLY (the
-    codebook arrives as a broadcast one-row cross join, see
-    :func:`_books_df` — no shuffle, no literal bloat), broadcasts, and
-    every corpus row scores with m array lookups + one add chain over
-    integers: the scan is exhaustive but touches only the compressed
-    codes, never the original vectors.  Scores are approximate
-    (quantization error); ranking is total-ordered (score desc, id asc)
-    and bit-stable.  Compose with assign_buckets() upstream to scan only
-    nprobe buckets (IVF-PQ).
+    The r10 shape evaluated an interpreted per-(query, row) expression —
+    m ``element_at`` lookups + an ``aggregate`` add chain inside a
+    broadcast cross join; HOF expressions never enter codegen, so a real
+    query load paid interpreter cost per pair.  Now the per-query lookup
+    tables are built ONCE driver-side (the queries frame is a probe set
+    — model-sized by the same contract that already let the old plan
+    BROADCAST it; quantization happens IN SPARK via the same
+    TakeOrdered-free one-job collect, so grid values are bit-identical),
+    and each batch scores all queries as numpy fancy-gather + row sums.
 
-    ``rerank`` (the original-vector table, keyed by ``id_col``) enables
-    the production two-stage shape: ADC keeps a per-query ``shortlist``
-    (default 5k) of candidates, an equi-join fetches ONLY those rows'
-    true vectors, and exact quantized cosine re-ranks to k.  The
-    expensive float data is touched for shortlist rows per query instead
-    of the whole corpus, and recall jumps because ADC only has to get
-    the true neighbors into the shortlist, not rank them perfectly.
-    """
+    Exactness: LUT entries and the m-term ADC sums are integers < 2^53
+    (bound checked — raise, never silently diverge), exact in float64;
+    the cosine divides the same integer by the same
+    ``sqrt(qq2) * sqrt(recon2)`` product in the same IEEE order as the
+    expression path, so every double is bit-identical
+    (pinned by ``tests/test_recall.py::test_pq_adc_kernel_matches_expression``
+    against :func:`_adc_scores_expr`).  NULL codes / non-positive norms
+    score -2.0 in both paths.  The code table is :func:`fan_out`-spread
+    (a single-row-group persisted index would otherwise scan on one
+    task)."""
+    import numpy as np
+
+    from parquet_merger_spark.partitioning import fan_out
+
     m = len(books)
     sub_dim = len(books[0][0])
+    B = [np.array(sub, dtype=np.float64) for sub in books]  # (n_codes, sub_dim)
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            quantize(F.col(vec_col)).alias("__q"),
+        )
+        .withColumn("__q2", quantized_dot(F.col("__q"), F.col("__q")))
+        .collect()
+    )
+    _grid_bound = float(np.sqrt(2.0**53 / max(1, sub_dim)))
+    _b_max = max((float(np.abs(b).max()) if b.size else 0.0) for b in B)
+    qids: list = []
+    luts: list = []  # (m, n_codes) float64 exact-integer LUT per query
+    qq2s: list = []
+    for r in qrows:
+        qids.append(r["qid"])
+        q = r["__q"]
+        if q is None or len(q) < m * sub_dim:
+            luts.append(None)  # NULL lut -> every pair scores -2.0
+            qq2s.append(None)
+            continue
+        qv = np.asarray(q[: m * sub_dim], dtype=np.float64)
+        if qv.size and max(float(np.abs(qv).max()), _b_max) > _grid_bound:
+            raise ValueError(
+                "pq_topk: grid magnitude exceeds the float64-exactness "
+                f"bound {_grid_bound:.3e} for sub_dim={sub_dim}"
+            )
+        lut = np.stack(
+            [B[s] @ qv[s * sub_dim : (s + 1) * sub_dim] for s in range(m)]
+        )  # (m, n_codes), exact integers in float64
+        if float(np.abs(lut).max(initial=0.0)) * m >= 2.0**53:
+            raise ValueError(
+                "pq_topk: ADC partial sums exceed the float64-exactness "
+                "bound 2^53"
+            )
+        luts.append(lut)
+        qq2s.append(int(r["__q2"]) if r["__q2"] is not None else None)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = encoded.schema[id_col].dataType.simpleString()
+    rng_m = np.arange(m)
 
+    def adc_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = pdf["codes"]
+            rec = pdf["recon2"]
+            ok = np.array(
+                [c is not None and len(c) == m for c in codes], dtype=bool
+            )
+            rec_np = rec.to_numpy(dtype=np.float64, na_value=np.nan)
+            ok &= np.isfinite(rec_np) & (rec_np > 0)
+            idx = np.flatnonzero(ok)
+            C = (
+                np.stack([np.asarray(codes.iat[i], dtype=np.int64) for i in idx])
+                if idx.size
+                else np.empty((0, m), dtype=np.int64)
+            )
+            rden = np.sqrt(rec_np[idx])  # sqrt of exact ints, IEEE-identical
+            ids = pdf[id_col]
+            for j, qid in enumerate(qids):
+                cos = np.full(n, -2.0)
+                if luts[j] is not None and qq2s[j] and qq2s[j] > 0 and idx.size:
+                    adc = luts[j][rng_m[None, :], C].sum(axis=1)
+                    cos[idx] = adc / (np.sqrt(float(qq2s[j])) * rden)
+                out = pd.DataFrame(
+                    {
+                        query_id_col: [qid] * n,
+                        id_col: ids.to_numpy(),
+                        "pq_cosine": cos,
+                    }
+                )
+                yield out
+
+    return fan_out(encoded.select(id_col, "codes", "recon2")).mapInPandas(
+        adc_batches,
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, pq_cosine double",
+    )
+
+
+def _adc_scores_expr(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The pure-expression ADC scan (the pre-r11 :func:`pq_topk` body):
+    per-query LUT via a broadcast one-row codebook cross join, per-pair
+    score as m ``element_at`` lookups + an ``aggregate`` add chain.  Kept
+    as the EQUIVALENCE REFERENCE the kernel path is test-pinned against —
+    two independent spellings of the same exact-integer scan."""
+    m = len(books)
+    sub_dim = len(books[0][0])
     qd = (
         queries.withColumn("__q", quantize(F.col(vec_col)))
         .withColumn("__q2", quantized_dot(F.col("__q"), F.col("__q")))
@@ -1352,9 +1492,8 @@ def pq_topk(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = (
+    return (
         encoded.crossJoin(F.broadcast(probes))
-        .filter(F.col(query_id_col) != F.col(id_col))
         .withColumn(
             "pq_cosine",
             F.when(
@@ -1362,7 +1501,46 @@ def pq_topk(
                 adc / (F.sqrt(F.col("qq2")) * F.sqrt(F.col("recon2"))),
             ).otherwise(F.lit(-2.0)),
         )
+        .select(query_id_col, id_col, "pq_cosine")
     )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over PQ codes via ADC: (query_id, vec_id,
+    pq_cosine, rank).
+
+    The ADC scan runs as ONE Arrow kernel over the code table
+    (:func:`_adc_scores`, guide §4.2): per-query m x n_codes lookup
+    tables are built once driver-side from the Spark-quantized probe
+    vectors, and each batch scores all queries as numpy gathers + row
+    sums — the scan is exhaustive but touches only the compressed codes,
+    never the original vectors (the r10 interpreted per-pair expression
+    is kept as :func:`_adc_scores_expr`, test-pinned bit-identical).
+    Scores are approximate (quantization error); ranking is
+    total-ordered (score desc, id asc) and bit-stable.  Compose with
+    assign_buckets() upstream to scan only nprobe buckets (IVF-PQ).
+
+    ``rerank`` (the original-vector table, keyed by ``id_col``) enables
+    the production two-stage shape: ADC keeps a per-query ``shortlist``
+    (default 5k) of candidates, an equi-join fetches ONLY those rows'
+    true vectors, and exact quantized cosine re-ranks to k.  The
+    expensive float data is touched for shortlist rows per query instead
+    of the whole corpus, and recall jumps because ADC only has to get
+    the true neighbors into the shortlist, not rank them perfectly.
+    """
+    scored = _adc_scores(
+        encoded, queries, books, id_col, vec_col, query_id_col
+    ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("pq_cosine"), F.col(id_col))
     if rerank is None:
         return (

@@ -613,3 +613,68 @@ def test_pq_encode_kernel_matches_expression(spark):
     nulls = spark.createDataFrame([Row(vec_id=1, embedding=None)], schema)
     krow = pq_encode(nulls, books).collect()[0]
     assert krow["codes"] is None and krow["recon2"] is None
+
+
+def test_pq_encode_null_elements(spark):
+    """r11 (advice fix): a vector with null ELEMENTS becomes NaN in the
+    kernel's float64 view; NaN distances would make argmin return the
+    first NaN position — arbitrary-but-plausible codes plus a finite
+    recon2 for a vector with missing data.  The mask now folds
+    ``isfinite`` in, so such rows encode as NULL per the documented
+    contract (same as whole-NULL vectors).  No fixture carries them."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from parquet_merger_spark.operators.simsearch import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=1)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    holey = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[None] + [0.25] * 63),
+            Row(vec_id=2, embedding=[0.25] * 64),
+        ],
+        schema,
+    )
+    rows = {r["vec_id"]: r for r in pq_encode(holey, books).collect()}
+    assert rows[1]["codes"] is None and rows[1]["recon2"] is None
+    assert rows[2]["codes"] is not None and rows[2]["recon2"] is not None
+
+
+def test_pq_adc_kernel_matches_expression(spark):
+    """r11: the pq_topk ADC scan moved from the interpreted per-(query,
+    row) expression (m element_at lookups + aggregate add chain inside a
+    broadcast cross join) to an Arrow kernel with driver-built LUTs.
+    Same exact-integer arithmetic (LUT entries and m-term sums < 2^53,
+    bound-guarded), same IEEE division order — every pq_cosine double
+    must be BIT-IDENTICAL pair for pair."""
+    from parquet_merger_spark.operators.simsearch import (
+        _adc_scores,
+        _adc_scores_expr,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    books = train_pq_codebooks(e, m=32, n_codes=16, iters=1)
+    enc = pq_encode(e, books).persist()
+    kern = {
+        (r["query_id"], r["vec_id"]): r["pq_cosine"]
+        for r in _adc_scores(enc, queries, books).collect()
+    }
+    expr = {
+        (r["query_id"], r["vec_id"]): r["pq_cosine"]
+        for r in _adc_scores_expr(enc, queries, books).collect()
+    }
+    enc.unpersist()
+    assert kern == expr

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Root-cause rig for the FIRST-HEAVY-KEY session tax (r10 verdict #2).
+
+Runs a fresh session, an optional extra warm-up stage, then the given
+keys once each in order (bench.py methodology: clearCache, build +
+noop-sink timed together), printing per-key seconds plus first-touch /
+stage-latency canaries around the sweep.  Compare:
+
+    python tools/firstkey_probe.py dedup_ngram_jaccard dedup_clusters
+    python tools/firstkey_probe.py dedup_clusters dedup_ngram_jaccard
+    SPARK_GRAFT_WARMUP=heavy python tools/firstkey_probe.py dedup_ngram_jaccard ...
+    SPARK_GRAFT_THP=1 python tools/firstkey_probe.py ...   (adds
+        -XX:+UseTransparentHugePages to the driver JVM)
+
+to separate key-independent session costs (JIT, page re-fault) from
+key-specific plan costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def heavy_warmup(spark, cpus: int) -> float:
+    """A shuffle+sort+hash-agg+window+Arrow round-trip over a few M
+    synthetic rows: exercises the shared shuffle/sort/agg runtime (C2
+    JIT candidates) and faults executor-side working memory once,
+    outside any timed window."""
+    t0 = time.perf_counter()
+    df = spark.range(0, 4_000_000, 1, cpus).selectExpr(
+        "id", "id % 1000 as k", "cast(id as string) as s"
+    )
+    agg = df.groupBy("k").count()
+    j = df.join(agg, "k")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("id"))
+    out = j.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
+    out.write.format("noop").mode("overwrite").save()
+    # Arrow/pandas boundary at volume (all workers, real batches)
+    spark.range(0, 2_000_000, 1, cpus).selectExpr(
+        "id", "cast(id as double) as x"
+    ).mapInPandas(lambda it: it, "id long, x double").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    keys = sys.argv[1:]
+    if not keys:
+        sys.exit("usage: firstkey_probe.py key [key ...]")
+
+    extra_conf = None
+    if os.environ.get("SPARK_GRAFT_THP"):
+        extra_conf = {
+            "spark.driver.extraJavaOptions": (
+                "-XX:+AlwaysPreTouch -XX:+UnlockDiagnosticVMOptions"
+                " -XX:GCLockerRetryAllocationCount=64"
+                " -XX:+UseTransparentHugePages"
+            )
+        }
+
+    from parquet_merger_spark.queries import QUERIES
+    from parquet_merger_spark.session import (
+        first_touch_canary_s,
+        get_spark,
+        stage_latency_canary_s,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    t_sess = time.perf_counter()
+    spark = get_spark("pm-firstkey", cpus=cpus, extra_conf=extra_conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    sess_s = round(time.perf_counter() - t_sess, 3)
+
+    # bench.py's standard warm-up
+    warm = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    warm.count()
+    spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
+
+    warm_s = 0.0
+    if os.environ.get("SPARK_GRAFT_WARMUP") == "heavy":
+        warm_s = heavy_warmup(spark, cpus)
+
+    out: dict = {
+        "session_s": sess_s,
+        "heavy_warmup_s": warm_s,
+        "canary_before": first_touch_canary_s(),
+        "stage_before": stage_latency_canary_s(spark),
+        "keys": {},
+    }
+    for name in keys:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out["keys"][name] = round(time.perf_counter() - t0, 3)
+    out["canary_after"] = first_touch_canary_s()
+    out["stage_after"] = stage_latency_canary_s(spark)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
