@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from parquet_merger_spark.queries import QUERIES  # noqa: E402
-from parquet_merger_spark.session import get_spark  # noqa: E402
+from parquet_merger_spark.session import get_spark, warm_engine  # noqa: E402
 
 # Ordering note (BENCH_r02 post-mortem): the driver's capture of the one
 # JSON line can truncate from the FRONT, keeping only the tail — so the
@@ -320,6 +320,13 @@ def main() -> None:
     spark.range(0, cpus, 1, cpus).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # r11: full engine warm-up (shuffle/sort/window/Arrow/parquet-write
+    # JIT + executor memory first-touch) — kills the first-heavy-key
+    # session tax that landed ~2-15s on ONE key per window (r10 verdict
+    # #2; measurement + A/B in session.warm_engine's docstring).  Runs
+    # BEFORE the canaries and the index prebuilds, outside every timed
+    # window; the per-key timed region below is byte-identical to r03+.
+    warm_engine(spark, cpus)
 
     def run_once(name: str) -> float:
         # per-query cache isolation: earlier queries' persisted frames

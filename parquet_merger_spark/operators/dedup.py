@@ -1068,8 +1068,13 @@ def semdedup(
     # per barrier cuts rounds 7 -> 4 on the sf0.1 graph (6.1s vs 7.1s
     # wall) and is free since r10's single-reference steps; at worst
     # k-1 steps run past convergence, cheap next to 3 extra barriers.
+    # checks_every=2 (r11): two full rounds per convergence check — the
+    # 4-check loop was job-count-bound (each check = a materialization
+    # barrier + a collect), and with the pointer-jumping shortcut the
+    # graph converges within 2 round-GROUPS, so the second check is the
+    # zero-changes confirmation and none of the composed work is wasted.
     clusters = dup_clusters(
-        pairs, max_iters=max_iters, steps_per_round=4
+        pairs, max_iters=max_iters, steps_per_round=4, checks_every=2
     ).withColumnRenamed("doc_id", "__cid")
     out = df.select(F.col(id_col)).join(
         clusters, F.col(id_col) == F.col("__cid"), "left"

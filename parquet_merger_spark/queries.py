@@ -15023,13 +15023,21 @@ QUERIES["bot_user_detector"] = q_bot_user_detector
 def q_asof_join_nearest(spark, sf_dir):
     """NEAREST point-in-time join (pandas merge_asof direction='nearest'):
     each order gains the customer event with the smallest absolute time
-    gap — backward on ties — composed from the two certified one-sided
-    as-of plans (backward carries the latest <=, forward the earliest
-    >=; a row-local CASE picks the closer).  Completes the as-of family
-    (backward / forward / tolerance / nearest).  Two key shuffles, no
-    range-join blowup, gap arithmetic exact epoch seconds."""
-    from parquet_merger_spark.operators.asof import asof_join, asof_join_forward
-
+    gap — backward on ties.  ONE union + window pass (r11): orders and
+    the per-(customer, epoch) event extrema ride a single shuffle on the
+    customer key; RANGE frames make both directions inclusive of
+    equal-epoch events regardless of peer order (last(<=) carries the
+    latest event payload backward, first(>=) the earliest forward), and
+    a row-local CASE picks the closer.  Replaces the r10 shape — two
+    one-sided as-of plans (a window shuffle each) re-joined on orderkey
+    — with identical results: the per-epoch extremum structs reproduce
+    eb's max-event_id / ef's min-event_id dedup (struct order compares
+    event_id first; epoch is constant within the group), events are
+    unique per (customer, epoch) after the aggregate so both ignorenulls
+    picks are deterministic, and the gap CASE is unchanged.  5 exchanges
+    + 5 sorts -> 2 exchanges + 2 sorts, no orderkey join.  Scale: the
+    same single-shuffle shape at 100 TB, skew bounded by events-per-
+    customer like every as-of plan here."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -15041,58 +15049,63 @@ def q_asof_join_nearest(spark, sf_dir):
         "event_id",
         "value",
     )
-    wb = Window.partitionBy("o_custkey", "event_epoch").orderBy(F.desc("event_id"))
-    eb = (
-        e.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    # per-(customer, epoch) extrema replace the two row_number dedups:
+    # max(struct) == the DESC-event_id survivor, min(struct) == the ASC
+    # one (event_id leads the struct; epoch rides along for the output)
+    ev = e.groupBy("o_custkey", "event_epoch").agg(
+        F.max(F.struct("event_id", "value", "event_epoch")).alias("__rb"),
+        F.min(F.struct("event_id", "value", "event_epoch")).alias("__rf"),
     )
-    wf = Window.partitionBy("o_custkey", "event_epoch").orderBy("event_id")
-    ef = (
-        e.withColumn("__rn", F.row_number().over(wf))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    combined = o.withColumn("__t", F.col("order_epoch")).unionByName(
+        ev.select("o_custkey", F.col("event_epoch").alias("__t"), "__rb", "__rf"),
+        allowMissingColumns=True,
     )
-    back = asof_join(
-        o, eb, on="o_custkey", left_ts="order_epoch", right_ts="event_epoch",
-        right_cols=["event_id", "event_epoch", "value"],
-    ).select(
-        "o_orderkey", "o_custkey", "order_epoch",
-        F.col("event_id").alias("b_id"),
-        F.col("event_epoch").alias("b_epoch"),
-        F.col("value").alias("b_value"),
+    # RANGE frames (orderBy is the bare epoch long): peers at the current
+    # epoch are in-frame on BOTH sides, so an equal-epoch event is
+    # carried inclusively in each direction — the row-frame trick of
+    # asof.py needs a side tag and therefore one pass per direction;
+    # range frames buy both directions from one sort.
+    wb = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__t")
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
-    fwd = asof_join_forward(
-        o, ef, on="o_custkey", left_ts="order_epoch", right_ts="event_epoch",
-        right_cols=["event_id", "event_epoch", "value"],
-    ).select(
-        "o_orderkey",
-        F.col("event_id").alias("f_id"),
-        F.col("event_epoch").alias("f_epoch"),
-        F.col("value").alias("f_value"),
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("__t")
+        .rangeBetween(0, Window.unboundedFollowing)
     )
-    j = back.join(fwd, "o_orderkey")
-    b_gap = F.col("order_epoch") - F.col("b_epoch")
-    f_gap = F.col("f_epoch") - F.col("order_epoch")
-    take_back = F.col("f_epoch").isNull() | (
-        F.col("b_epoch").isNotNull() & (b_gap <= f_gap)
+    j = (
+        combined.select(
+            "o_orderkey",
+            "o_custkey",
+            "order_epoch",
+            F.last("__rb", ignorenulls=True).over(wb).alias("__b"),
+            F.first("__rf", ignorenulls=True).over(wf).alias("__f"),
+        )
+        # order rows only (event rows carry a null-filled orderkey)
+        .filter(F.col("o_orderkey").isNotNull())
     )
+    b_epoch = F.col("__b.event_epoch")
+    f_epoch = F.col("__f.event_epoch")
+    b_gap = F.col("order_epoch") - b_epoch
+    f_gap = f_epoch - F.col("order_epoch")
+    take_back = f_epoch.isNull() | (b_epoch.isNotNull() & (b_gap <= f_gap))
     return j.select(
         "o_orderkey",
         "o_custkey",
         "order_epoch",
-        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
-            "nearest_event_id"
-        ),
-        F.when(take_back, F.col("b_epoch")).otherwise(F.col("f_epoch")).alias(
+        F.when(take_back, F.col("__b.event_id"))
+        .otherwise(F.col("__f.event_id"))
+        .alias("nearest_event_id"),
+        F.when(take_back, b_epoch).otherwise(f_epoch).alias(
             "nearest_event_epoch"
         ),
         F.round(
-            F.when(take_back, F.col("b_value")).otherwise(F.col("f_value")), 2
+            F.when(take_back, F.col("__b.value")).otherwise(F.col("__f.value")),
+            2,
         ).alias("nearest_event_value"),
-        F.when(
-            F.col("b_epoch").isNull() & F.col("f_epoch").isNull(), F.lit(None)
-        )
+        F.when(b_epoch.isNull() & f_epoch.isNull(), F.lit(None))
         .when(take_back, F.lit("backward"))
         .otherwise(F.lit("forward"))
         .alias("direction"),

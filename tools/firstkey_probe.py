@@ -29,32 +29,6 @@ sys.path.insert(0, ROOT)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def heavy_warmup(spark, cpus: int) -> float:
-    """A shuffle+sort+hash-agg+window+Arrow round-trip over a few M
-    synthetic rows: exercises the shared shuffle/sort/agg runtime (C2
-    JIT candidates) and faults executor-side working memory once,
-    outside any timed window."""
-    t0 = time.perf_counter()
-    df = spark.range(0, 4_000_000, 1, cpus).selectExpr(
-        "id", "id % 1000 as k", "cast(id as string) as s"
-    )
-    agg = df.groupBy("k").count()
-    j = df.join(agg, "k")
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("k").orderBy(F.desc("id"))
-    out = j.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
-    out.write.format("noop").mode("overwrite").save()
-    # Arrow/pandas boundary at volume (all workers, real batches)
-    spark.range(0, 2_000_000, 1, cpus).selectExpr(
-        "id", "cast(id as double) as x"
-    ).mapInPandas(lambda it: it, "id long, x double").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
-
-
 def main() -> None:
     keys = sys.argv[1:]
     if not keys:
@@ -75,6 +49,7 @@ def main() -> None:
         first_touch_canary_s,
         get_spark,
         stage_latency_canary_s,
+        warm_engine,
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -90,21 +65,23 @@ def main() -> None:
 
     warm_s = 0.0
     if os.environ.get("SPARK_GRAFT_WARMUP") == "heavy":
-        warm_s = heavy_warmup(spark, cpus)
+        warm_s = warm_engine(spark, cpus)
 
     out: dict = {
         "session_s": sess_s,
         "heavy_warmup_s": warm_s,
         "canary_before": first_touch_canary_s(),
         "stage_before": stage_latency_canary_s(spark),
-        "keys": {},
+        # ordered (key, seconds) pairs: repeated keys stay distinct so the
+        # run1-vs-warm-floor gap is visible (a dict silently overwrote them)
+        "keys": [],
     }
     for name in keys:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        out["keys"][name] = round(time.perf_counter() - t0, 3)
+        out["keys"].append([name, round(time.perf_counter() - t0, 3)])
     out["canary_after"] = first_touch_canary_s()
     out["stage_after"] = stage_latency_canary_s(spark)
     print(json.dumps(out))
