@@ -273,6 +273,30 @@ def lsh_band_buckets(
     ).select(id_col, "bb.band", "bb.bucket")
 
 
+def _wide_pair_distinct(pairs: DataFrame, *cols: str) -> DataFrame:
+    """Dedup candidate pairs at EXPLICIT defaultParallelism width: the
+    plain ``.distinct()`` exchange is ENSURE_REQUIREMENTS, which AQE
+    coalesces by BYTES — and 16-byte id pairs coalesce to a handful of
+    partitions while the stage directly above them is the CPU-heavy
+    exact verify (array_intersect over the full gram sets, with both
+    set joins broadcast, so the verify inherits THIS exchange's width).
+    Measured at sf0.1 on dedup_containment: the verify stage ran 7.5s of
+    CPU over 4 AQE-coalesced tasks (1.9s wall on a 32-core session).
+    ``repartition(n, cols)`` is REPARTITION_BY_NUM — exempt from AQE
+    coalescing — and hash-clusters exactly on the dedup keys, so
+    ``dropDuplicates`` adds NO second exchange.  Trade-off: no map-side
+    partial dedup (duplicate candidates ride the shuffle) — at 16 bytes
+    a pair that is noise against the verify CPU it buys back.  At scale
+    the exchange is large enough that AQE would not have coalesced it,
+    and defaultParallelism tracks the cluster; the verification tier's
+    documented contract (run on LSH candidates / audit samples at
+    100 TB) bounds the volume either way."""
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n, *[F.col(c) for c in cols]).dropDuplicates(
+        list(cols)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -338,7 +362,7 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
-        .distinct()
+        .transform(lambda p: _wide_pair_distinct(p, "id_a", "id_b"))
     )
 
     sh = sigs.select(F.col(id_col), F.col("sh_hashes"))
@@ -526,7 +550,7 @@ def ngram_jaccard_pairs(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
             )
-            .distinct()
+            .transform(lambda p: _wide_pair_distinct(p, "id_a", "id_b"))
         )
 
     sets = sh.select(F.col(id_col), "sh_hashes")
@@ -1068,13 +1092,19 @@ def semdedup(
     # per barrier cuts rounds 7 -> 4 on the sf0.1 graph (6.1s vs 7.1s
     # wall) and is free since r10's single-reference steps; at worst
     # k-1 steps run past convergence, cheap next to 3 extra barriers.
-    # checks_every=2 (r11): two full rounds per convergence check — the
-    # 4-check loop was job-count-bound (each check = a materialization
-    # barrier + a collect), and with the pointer-jumping shortcut the
-    # graph converges within 2 round-GROUPS, so the second check is the
-    # zero-changes confirmation and none of the composed work is wasted.
+    # checks_every stays 1 (r11, MEASURED REJECTION): composing two full
+    # rounds per convergence check halves the barriers/collects (the r10
+    # verdict-#5 schedule), but each round's pointer-jumping shortcut
+    # references its own round's output twice, and that double reference
+    # is only free when it lands on a MATERIALIZED checkpoint — composed
+    # past the barrier it re-executes the inner round's aggregates, and
+    # the deeper AQE plan re-plans every exchange: min-of-5 at sf0.1
+    # went 5.08s -> 8.30s with checks_every=2.  The knob stays available
+    # on dup_clusters for graphs where barrier latency (not E-volume)
+    # dominates — the opposite trade at cluster scale is unproven, so
+    # the default follows the measurement we have.
     clusters = dup_clusters(
-        pairs, max_iters=max_iters, steps_per_round=4, checks_every=2
+        pairs, max_iters=max_iters, steps_per_round=4
     ).withColumnRenamed("doc_id", "__cid")
     out = df.select(F.col(id_col)).join(
         clusters, F.col(id_col) == F.col("__cid"), "left"
@@ -1386,7 +1416,7 @@ def containment_pairs(
             F.col(f"a.{id_col}").alias("id"),
             F.col(f"b.{id_col}").alias("contained_in"),
         )
-        .distinct()
+        .transform(lambda p: _wide_pair_distinct(p, "id", "contained_in"))
     )
 
     sets = sh.select(F.col(id_col), "sh_hashes", "n")

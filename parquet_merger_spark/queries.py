@@ -14426,13 +14426,22 @@ def q_weighted_median_price(spark, sf_dir):
     volume-weighted sibling of the plain median): EXACT rank selection
     over the (flag, price) count table with counts replaced by exact
     integer weights; target rank (W-1) div 2 + 1 on the cumulative
-    weight.  Scale: one count-table shuffle, no row sort."""
+    weight.  Scale: one count-table shuffle, no row sort.
+
+    r11: the count table is PERSISTED so the per-flag total branch reads
+    the cache instead of re-scanning and re-aggregating lineitem — the
+    r10 plan ran 2 scans + 5 aggregates because ReuseExchange missed
+    across the window/aggregate branches.  (An unbounded second window
+    over the same partitioning was tried first and measured WORSE,
+    1.43s -> 1.70s min-of-5: the whole-partition pass runs at
+    flag-cardinality parallelism, while the per-flag total is a
+    parallel hash aggregate.)  Same integers, same rows."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
         F.round(F.col("l_quantity"), 0).cast("long").alias("w"),
     )
-    counts = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("cw"))
+    counts = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("cw")).persist()
     win = Window.partitionBy("l_returnflag").orderBy("cents")
     cum = counts.select(
         "l_returnflag", "cents", "cw", F.sum("cw").over(win).alias("cum")

@@ -288,3 +288,58 @@ def test_asof_forward_carries_whole_row_not_stitched_columns(spark):
         right_cols=["x", "tag"],
     ).collect()[0]
     assert row.tag == "early" and row.x is None
+
+
+# ---------------------------------------------------------------------------
+# q_asof_join_nearest (r11 single-pass restructure): brute-force pin
+# ---------------------------------------------------------------------------
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """The r11 single union+window plan must agree with a brute-force
+    min-|gap| computation on every order: the nearest gap is minimal,
+    ties go backward, and orders whose customer has no events stay
+    unmatched.  Pins the RANGE-frame semantics (equal-epoch events are
+    inclusive in BOTH directions) independently of the oracle suite."""
+    from pyspark.sql import functions as F
+
+    from parquet_merger_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["asof_join_nearest"](spark, sf)
+
+    o = out.select("o_orderkey", "o_custkey", "order_epoch",
+                   "nearest_event_epoch", "direction")
+    e = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            F.col("user_id").alias("o_custkey"),
+            F.col("ts").cast("timestamp").cast("long").alias("event_epoch"),
+        )
+        .distinct()
+    )
+    # brute force: every (order, event) pair for the customer -> min |gap|
+    brute = (
+        o.select("o_orderkey", "o_custkey", "order_epoch")
+        .join(e, "o_custkey", "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(F.abs(F.col("event_epoch") - F.col("order_epoch"))).alias(
+                "min_gap"
+            )
+        )
+    )
+    j = o.join(brute, "o_orderkey").collect()
+    assert len(j) > 0
+    for r in j:
+        if r.nearest_event_epoch is None:
+            assert r.min_gap is None and r.direction is None
+            continue
+        gap = abs(r.nearest_event_epoch - r.order_epoch)
+        assert gap == r.min_gap, (r.o_orderkey, gap, r.min_gap)
+        # backward preferred on exact two-sided ties
+        if r.direction == "forward":
+            assert r.nearest_event_epoch > r.order_epoch
+            # a backward event at the same distance would have won
+        else:
+            assert r.nearest_event_epoch <= r.order_epoch
