@@ -289,6 +289,14 @@ def warm_engine(spark, cpus: int | None = None) -> float:
     w = Window.partitionBy("k").orderBy(F.desc("id"))
     out = j.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
     out.write.format("noop").mode("overwrite").save()
+    # unbounded (whole-partition) window frame: a DIFFERENT executor
+    # path from the running frame above (partition buffering + spill
+    # classes — the _df_capped shape); first execution measured ~1s of
+    # one-time cost on the first gram-index build without this
+    wu = Window.partitionBy("k")
+    df.withColumn("c", F.count(F.lit(1)).over(wu)).filter(
+        "c < 0"
+    ).write.format("noop").mode("overwrite").save()
     # Arrow/pandas boundary at real batch volume on every worker
     spark.range(0, 2_000_000, 1, n).selectExpr(
         "id", "cast(id as double) as x"
@@ -302,9 +310,11 @@ def warm_engine(spark, cpus: int | None = None) -> float:
 
     tmp = tempfile.mkdtemp(prefix="pm_warm_")
     try:
+        # write THROUGH a shuffle (the index-build shape: exchange ->
+        # compressed parquet of shuffle output), then read it back
         spark.range(0, 1_000_000, 1, n).selectExpr(
-            "id", "cast(id as string) as s"
-        ).write.mode("overwrite").parquet(f"{tmp}/warm")
+            "id", "id % 64 as k", "cast(id as string) as s"
+        ).repartition(n, "k").write.mode("overwrite").parquet(f"{tmp}/warm")
         spark.read.parquet(f"{tmp}/warm").count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
